@@ -1,0 +1,300 @@
+"""Golden-vector tests for the numpy S2 kernels.
+
+Vectors are copied verbatim from the reference's own unit tests
+(file:line cited per case) — they are public test DATA, not code.
+These gate bit-for-bit compatibility of the kernel layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.kernels import cellid as k
+from rust_s2_spark.kernels import metric as m
+
+U = np.uint64
+
+# reference src/s2/cellid.rs:1069-1085
+LATLNG_GOLDEN = [
+    (0x47A1CBD595522B39, 49.703498679, 11.770681595),
+    (0x46525318B63BE0F9, 55.685376759, 12.588490937),
+    (0x52B30B71698E729D, 45.486546517, -93.449700022),
+    (0x46ED8886CFADDA85, 58.299984854, 23.049300056),
+    (0x3663F18A24CBE857, 34.364439040, 108.330699969),
+    (0x010A06C0A948CF5D, -30.694551352, -30.048758753),
+    (0x2B2BFD076787C5DF, -25.285264027, 133.823116966),
+    (0xB09DFF882A7809E1, -75.000000031, 0.000000133),
+    (0x94DAA3D000000001, -24.694439215, -47.537363213),
+    (0x87A1000000000001, 38.899730392, -99.901813021),
+    (0x4FC76D5000000001, 81.647200334, -55.631712940),
+    (0x3B00955555555555, 10.050986518, 78.293170610),
+    (0x1DCC469991555555, -34.055420593, 18.551140038),
+    (0xB112966AAAAAAAAB, -69.219262171, 49.670072392),
+]
+
+# reference src/s2/cellid.rs:1193-1226
+TOKEN_GOLDEN = [
+    ("1", 0x1000000000000000),
+    ("3", 0x3000000000000000),
+    ("14", 0x1400000000000000),
+    ("41", 0x4100000000000000),
+    ("094", 0x0940000000000000),
+    ("537", 0x5370000000000000),
+    ("3fec", 0x3FEC000000000000),
+    ("72f3", 0x72F3000000000000),
+    ("52b8c", 0x52B8C00000000000),
+    ("990ed", 0x990ED00000000000),
+    ("4476dc", 0x4476DC0000000000),
+    ("2a724f", 0x2A724F0000000000),
+    ("7d4afc4", 0x7D4AFC4000000000),
+    ("b675785", 0xB675785000000000),
+    ("40cd6124", 0x40CD612400000000),
+    ("3ba32f81", 0x3BA32F8100000000),
+    ("08f569b5c", 0x08F569B5C0000000),
+    ("385327157", 0x3853271570000000),
+    ("166c4d1954", 0x166C4D1954000000),
+    ("96f48d8c39", 0x96F48D8C39000000),
+    ("0bca3c7f74c", 0x0BCA3C7F74C00000),
+    ("1ae3619d12f", 0x1AE3619D12F00000),
+    ("07a77802a3fc", 0x07A77802A3FC0000),
+    ("4e7887ec1801", 0x4E7887EC18010000),
+    ("4adad7ae74124", 0x4ADAD7AE74124000),
+    ("90aba04afe0c5", 0x90ABA04AFE0C5000),
+    ("8ffc3f02af305c", 0x8FFC3F02AF305C00),
+    ("6fa47550938183", 0x6FA4755093818300),
+    ("aa80a565df5e7fc", 0xAA80A565DF5E7FC0),
+    ("01614b5e968e121", 0x01614B5E968E1210),
+    ("aa05238e7bd3ee7c", 0xAA05238E7BD3EE7C),
+    ("48a23db9c2963e5b", 0x48A23DB9C2963E5B),
+]
+
+# reference src/s2/cellid.rs:1027-1046 (Pittsburg family)
+A, B, C, D = 0x80855C0000000000, 0x80855D0000000000, 0x80855DC000000000, 0x8085630000000000
+CONTAINMENT_GOLDEN = [
+    (A, A, True, True, True),
+    (A, B, True, False, True),
+    (A, C, True, False, True),
+    (A, D, False, False, False),
+    (B, B, True, True, True),
+    (B, C, True, False, True),
+    (B, D, False, False, False),
+    (C, C, True, True, True),
+    (C, D, False, False, False),
+    (D, D, True, True, True),
+]
+
+
+def ids_of(*vals):
+    return np.array(vals, dtype=np.uint64)
+
+
+def test_latlng_to_cellid_exact():
+    lat = np.array([r[1] for r in LATLNG_GOLDEN])
+    lng = np.array([r[2] for r in LATLNG_GOLDEN])
+    want = ids_of(*[r[0] for r in LATLNG_GOLDEN])
+    got = k.cell_from_latlng(lat, lng)
+    assert np.array_equal(got, want)
+
+
+def test_cellid_to_latlng_within_1e9_deg():
+    ids = ids_of(*[r[0] for r in LATLNG_GOLDEN])
+    lat, lng = k.cell_to_latlng(ids)
+    for idx, (_, wlat, wlng) in enumerate(LATLNG_GOLDEN):
+        # haversine distance < 1e-9 degrees, as the reference asserts
+        p1 = np.radians([wlat, wlng])
+        p2 = np.radians([lat[idx], lng[idx]])
+        dlat = math.sin(0.5 * (p2[0] - p1[0]))
+        dlng = math.sin(0.5 * (p2[1] - p1[1]))
+        x = dlat * dlat + dlng * dlng * math.cos(p1[0]) * math.cos(p2[0])
+        dist = 2 * math.atan2(math.sqrt(x), math.sqrt(max(0.0, 1 - x)))
+        assert dist < math.radians(1e-9)
+    # and re-encoding the decoded center gives the identical leaf id
+    assert np.array_equal(k.cell_from_latlng(lat, lng), ids)
+
+
+def test_tokens_roundtrip():
+    toks = [t for t, _ in TOKEN_GOLDEN]
+    want = ids_of(*[v for _, v in TOKEN_GOLDEN])
+    assert np.array_equal(k.from_token(toks), want)
+    assert k.to_token(want) == toks
+
+
+def test_token_errors():
+    assert k.to_token(ids_of(0)) == ["X"]
+    bad = ["X", "876b e99", "876bee99\n", "876[ee99", " 876bee99"]
+    assert np.array_equal(k.from_token(bad), np.zeros(5, dtype=np.uint64))
+
+
+@pytest.mark.parametrize("a,b,ab,ba,inter", CONTAINMENT_GOLDEN)
+def test_containment(a, b, ab, ba, inter):
+    aa, bb = ids_of(a), ids_of(b)
+    assert bool(k.contains(aa, bb)[0]) == ab
+    assert bool(k.contains(bb, aa)[0]) == ba
+    assert bool(k.intersects(aa, bb)[0]) == inter
+    assert bool(k.intersects(bb, aa)[0]) == inter
+
+
+def test_parent_child_level():
+    ids = ids_of(A, B, C, D)
+    assert list(k.level(ids)) == [9, 10, 11, 10]
+    assert k.parent(ids_of(C), 9)[0] == U(0x80855C0000000000)
+    ch = k.children(ids_of(A))[0]
+    assert all(k.level(ch) == 10)
+    assert all(k.parent(ch, 9) == U(A))
+    # immediate parent of first child is the cell itself
+    from rust_s2_spark.kernels.cellid import immediate_parent
+
+    assert immediate_parent(ch)[0] == U(A)
+
+
+def test_from_face():
+    faces = k.from_face(np.arange(6))
+    assert list(k.face(faces)) == [0, 1, 2, 3, 4, 5]
+    assert all(k.level(faces) == 0)
+    assert all(k.is_face(faces))
+    # wrap offset sanity: face ids are the level-0 centers
+    assert faces[0] == U(1) << U(60)
+
+
+def test_edge_neighbors_face1_golden():
+    # reference src/s2/cellid.rs:1088-1114
+    cell = k.parent(k.from_face_ij(1, 0, 0), 0)
+    nbrs = k.edge_neighbors(np.array([cell], dtype=np.uint64))[0]
+    assert [int(f) for f in k.face(nbrs)] == [5, 3, 2, 0]
+    assert all(k.is_face(nbrs))
+
+    max_ij = k.MAX_SIZE - 1
+    for lvl in range(1, 31):
+        cell = k.parent(k.from_face_ij(1, 0, 0), lvl)
+        size = 1 << (30 - lvl)
+        want = np.array(
+            [
+                k.parent(k.from_face_ij(5, max_ij, max_ij), lvl)[()],
+                k.parent(k.from_face_ij(1, size, 0), lvl)[()],
+                k.parent(k.from_face_ij(1, 0, size), lvl)[()],
+                k.parent(k.from_face_ij(0, max_ij, 0), lvl)[()],
+            ],
+            dtype=np.uint64,
+        )
+        got = k.edge_neighbors(np.array([cell], dtype=np.uint64))[0]
+        assert np.array_equal(got, want), f"level {lvl}"
+
+
+def test_vertex_neighbors_golden():
+    # reference src/s2/cellid.rs:1117-1146: leaf at +z axis, level 5
+    ids = k.cell_from_xyz(np.array([0.0]), np.array([0.0]), np.array([1.0]))
+    nbrs = np.sort(k.vertex_neighbors(ids, 5)[0])
+    want = []
+    for n in range(4):
+        i = (1 << 29) - (1 if n < 2 else 0)
+        j = (1 << 29) - (1 if n in (0, 3) else 0)
+        want.append(k.parent(k.from_face_ij(2, i, j), 5)[()])
+    assert np.array_equal(nbrs, np.sort(np.array(want, dtype=np.uint64)))
+
+    # cube-corner case: 3 neighbors at level 0
+    id2 = k.parent(ids_of((0 << 61) + 1), 30)  # face 0, pos 0, leaf
+    nbrs2 = np.sort(k.vertex_neighbors(np.array([id2[()]], dtype=np.uint64), 0)[0])
+    assert len(nbrs2) == 3
+    assert nbrs2[0] == k.from_face(0)[()]
+    assert nbrs2[1] == k.from_face(4)[()]
+
+
+def test_all_neighbors_matches_vertex_neighbors():
+    # property from reference src/s2/cellid.rs:1148-1185, fixed seeds
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        lat = rng.uniform(-80, 80)
+        lng = rng.uniform(-180, 180)
+        lvl = int(rng.integers(2, 24))
+        cell = k.parent(k.cell_from_latlng(np.array([lat]), np.array([lng])), lvl)
+        nbr_level = min(30 - 1, lvl + int(rng.integers(0, 4)))
+        got = k.all_neighbors(cell, nbr_level)[0]
+        want = set()
+        cbegin = k.child_begin_at_level(cell, nbr_level + 1)
+        cend = k.child_end_at_level(cell, nbr_level + 1)
+        c = cbegin
+        while c[0] != cend[0]:
+            want.add(int(k.immediate_parent(c)[0]))
+            for v in k.vertex_neighbors(c, nbr_level)[0]:
+                want.add(int(v))
+            c = k.next_id(c)
+        got_all = set(int(x) for x in got) | {int(k.immediate_parent(
+            k.child_begin_at_level(cell, nbr_level + 1))[0])}
+        # reference folds the cell's own children at nbr_level into "all";
+        # replicate: all = got ∪ descendants-at-nbr_level
+        c = k.child_begin_at_level(cell, nbr_level)
+        e = k.child_end_at_level(cell, nbr_level)
+        while c[0] != e[0]:
+            got_all.add(int(c[0]))
+            c = k.next_id(c)
+        assert got_all == want
+
+
+def test_common_ancestor_level():
+    ids = ids_of(A)
+    assert k.common_ancestor_level(ids, ids)[0] == 9
+    assert k.common_ancestor_level(ids_of(B), ids_of(C))[0] == 10
+    assert k.common_ancestor_level(ids_of(A), ids_of(D))[0] < 9
+    f0, f3 = k.from_face(np.array([0])), k.from_face(np.array([3]))
+    assert k.common_ancestor_level(f0, f3)[0] == -1
+
+
+def test_max_tile_and_range_tiling():
+    # tiling a range reproduces CellUnion::from_range invariants
+    begin = int(k.range_min(ids_of(A))[0])
+    end = int(k.range_max(ids_of(D))[0]) + 2  # next leaf after D's last
+    tiles = k.cellunion_from_range(begin, end)
+    assert len(tiles) > 1
+    rmins = k.range_min(tiles)
+    rmaxs = k.range_max(tiles)
+    assert rmins[0] == U(begin)
+    assert rmaxs[-1] == U(end - 2)
+    assert all(rmins[1:] == rmaxs[:-1] + U(2))  # contiguous leaf runs, disjoint
+
+
+def test_metric_golden():
+    # reference src/s2/metric.rs:178-210
+    assert m.MIN_WIDTH.max_level(0.001256) == 9
+    for lvl in range(0, 31):
+        width = m.MIN_WIDTH.deriv * math.pow(2.0, -lvl)
+        assert m.MIN_WIDTH.min_level(width) == lvl
+        assert m.MIN_WIDTH.max_level(width) == lvl
+        assert m.MIN_WIDTH.closest_level(width) == lvl
+    assert m.AVG_AREA.value(0) == 4 * math.pi / 6
+
+
+def test_stuv_roundtrip_exact():
+    # reference src/s2/stuv.rs:253-256
+    assert k.st_to_uv(k.uv_to_st(np.array([0.125])))[0] == 0.125
+    assert k.uv_to_st(k.st_to_uv(np.array([0.125])))[0] == 0.125
+
+
+def test_hilbert_continuity():
+    # successive ids at a level are adjacent (Hilbert curve continuity);
+    # reference src/s2/cellid.rs:1655-1685 (property, fixed sample here)
+    start = k.child_begin_at_level(k.from_face(np.array([2])), 10)
+    cur = start
+    prev_ll = None
+    max_step = m.MAX_WIDTH.value(10) * 1.5
+    for _ in range(200):
+        lat, lng = k.cell_to_latlng(cur)
+        if prev_ll is not None:
+            d = _angle(prev_ll, (lat[0], lng[0]))
+            assert d <= max_step
+        prev_ll = (lat[0], lng[0])
+        cur = k.next_id(cur)
+
+
+def _angle(p1, p2):
+    a = np.radians(p1)
+    b = np.radians(p2)
+    x1 = np.array(
+        [np.cos(a[0]) * np.cos(a[1]), np.cos(a[0]) * np.sin(a[1]), np.sin(a[0])]
+    )
+    x2 = np.array(
+        [np.cos(b[0]) * np.cos(b[1]), np.cos(b[0]) * np.sin(b[1]), np.sin(b[0])]
+    )
+    return float(np.arccos(np.clip(np.dot(x1, x2), -1, 1)))
