@@ -1,0 +1,199 @@
+"""CellUnion: a normalized, sorted (unsigned) set of cell ids.
+
+Semantics per the reference (/root/reference/src/s2/cellunion.rs):
+sorted unsigned, no duplicates, no cell containing another, no four
+sibling cells (collapsed to the parent). Stored as a numpy uint64
+array; set algebra is vectorized where the shapes allow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import cellid as k
+from ..kernels import metric as metrics
+
+U = np.uint64
+
+
+class CellUnion:
+    __slots__ = ("ids",)
+
+    def __init__(self, ids, normalized: bool = False):
+        arr = np.asarray(ids, dtype=np.uint64).ravel()
+        self.ids = arr
+        if not normalized:
+            self.normalize()
+
+    # -- normalization (ref cellunion.rs:69-135) ------------------------------
+
+    def normalize(self) -> None:
+        v = np.sort(self.ids)
+        out: list[int] = []
+        rmin = k.range_min(v)
+        rmax = k.range_max(v)
+        last_max = -1  # running unsigned max of accepted range_max
+        for idx in range(len(v)):
+            ci = int(v[idx])
+            if out and int(rmax[idx]) <= last_max:
+                continue  # contained in the previously accepted cell
+            # pop accepted cells contained by this one (cell ranges nest,
+            # so range inclusion of the accepted id is the exact test)
+            while out and int(rmin[idx]) <= out[-1][2] <= int(rmax[idx]):
+                out.pop()
+            # sibling collapse (cascading)
+            while len(out) >= 3:
+                f0, f1, f2 = out[-3][2], out[-2][2], out[-1][2]
+                if f0 ^ f1 ^ f2 ^ ci != 0:
+                    break
+                lsb_ci = ci & (-ci & 0xFFFFFFFFFFFFFFFF)
+                mask = (lsb_ci << 1) & 0xFFFFFFFFFFFFFFFF
+                mask = ~(mask + (mask << 1)) & 0xFFFFFFFFFFFFFFFF
+                should = ci & mask
+                if (
+                    (f0 & mask) != should
+                    or (f1 & mask) != should
+                    or (f2 & mask) != should
+                    or (ci & ((1 << 60) - 1)) == 0  # is_face
+                ):
+                    break
+                out.pop()
+                out.pop()
+                out.pop()
+                nlsb = lsb_ci << 2
+                ci = (ci & (~nlsb + 1) & 0xFFFFFFFFFFFFFFFF) | nlsb
+            a = np.array([ci], dtype=np.uint64)
+            out.append((int(k.range_min(a)[0]), int(k.range_max(a)[0]), ci))
+            last_max = out[-1][1]
+        self.ids = np.array([c for _, _, c in out], dtype=np.uint64)
+
+    def is_normalized(self) -> bool:
+        other = CellUnion(self.ids.copy())
+        return np.array_equal(other.ids, self.ids)
+
+    # -- membership -----------------------------------------------------------
+
+    def contains_id(self, cell_id: int) -> bool:
+        return bool(self.contains_ids(np.array([cell_id], dtype=np.uint64))[0])
+
+    def intersects_id(self, cell_id: int) -> bool:
+        return bool(self.intersects_ids(np.array([cell_id], dtype=np.uint64))[0])
+
+    def contains_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Vectorized membership via searchsorted (ref binary search)."""
+        if len(self.ids) == 0:
+            return np.zeros(len(ids), dtype=bool)
+        ids = np.asarray(ids, dtype=np.uint64)
+        i = np.searchsorted(self.ids, ids, side="right")
+        res = np.zeros(len(ids), dtype=bool)
+        has_next = i < len(self.ids)
+        res[has_next] = k.range_min(self.ids[i[has_next]]) <= ids[has_next]
+        has_prev = i > 0
+        prev = k.range_max(self.ids[np.maximum(i - 1, 0)])
+        res |= has_prev & (prev >= ids)
+        return res
+
+    def intersects_ids(self, ids: np.ndarray) -> np.ndarray:
+        if len(self.ids) == 0:
+            return np.zeros(len(ids), dtype=bool)
+        ids = np.asarray(ids, dtype=np.uint64)
+        i = np.searchsorted(self.ids, ids, side="right")
+        res = np.zeros(len(ids), dtype=bool)
+        has_next = i < len(self.ids)
+        res[has_next] = k.range_min(self.ids[i[has_next]]) <= k.range_max(
+            ids[has_next]
+        )
+        has_prev = i > 0
+        prev = k.range_max(self.ids[np.maximum(i - 1, 0)])
+        res |= has_prev & (prev >= k.range_min(ids))
+        return res
+
+    def contains_union(self, o: "CellUnion") -> bool:
+        return bool(np.all(self.contains_ids(o.ids)))
+
+    def intersects_union(self, o: "CellUnion") -> bool:
+        return bool(np.any(self.intersects_ids(o.ids)))
+
+    # -- set algebra (ref cellunion.rs:234-345) --------------------------------
+
+    def union(self, o: "CellUnion") -> "CellUnion":
+        return CellUnion(np.concatenate([self.ids, o.ids]))
+
+    def intersection(self, o: "CellUnion") -> "CellUnion":
+        mine = self.ids[self.intersects_ids_of(o)]
+        theirs = o.ids[o.intersects_ids_of(self)]
+        keep_mine = mine[CellUnion._contained_in(mine, o)]
+        keep_theirs = theirs[CellUnion._contained_in(theirs, self)]
+        out = np.unique(np.concatenate([keep_mine, keep_theirs]))
+        cu = CellUnion(out, normalized=True)
+        cu.normalize()
+        return cu
+
+    def intersects_ids_of(self, o: "CellUnion") -> np.ndarray:
+        return o.intersects_ids(self.ids) if len(self.ids) else np.zeros(0, bool)
+
+    @staticmethod
+    def _contained_in(ids: np.ndarray, cu: "CellUnion") -> np.ndarray:
+        return cu.contains_ids(ids)
+
+    def denormalize(self, min_level: int, level_mod: int) -> np.ndarray:
+        """Expanded copy satisfying min_level/level_mod (ref cellunion.rs:168-192)."""
+        out: list[int] = []
+        lv = k.level(self.ids)
+        for idx in range(len(self.ids)):
+            cid = self.ids[idx : idx + 1]
+            cur = int(lv[idx])
+            new_level = max(cur, min_level)
+            if level_mod > 1:
+                new_level += (k.MAX_LEVEL - (new_level - min_level)) % level_mod
+                new_level = min(new_level, k.MAX_LEVEL)
+            if new_level == cur:
+                out.append(int(cid[0]))
+            else:
+                c = k.child_begin_at_level(cid, new_level)
+                e = k.child_end_at_level(cid, new_level)
+                while c[0] != e[0]:
+                    out.append(int(c[0]))
+                    c = k.next_id(c)
+        return np.array(out, dtype=np.uint64)
+
+    # -- expansion (ref cellunion.rs:363-395) ----------------------------------
+
+    def expand_at_level(self, level: int) -> "CellUnion":
+        output: list[np.ndarray] = []
+        level_lsb = k.lsb_for_level(level)
+        for idx in range(len(self.ids) - 1, -1, -1):
+            cid = self.ids[idx : idx + 1]
+            if int(k.lsb(cid)[0]) < int(level_lsb):
+                cid = k.parent(cid, level)
+                if output and bool(k.contains(cid, output[-1][:1])[0]):
+                    continue
+            output.append(cid)
+            output.append(k.all_neighbors(cid, level)[0])
+        return CellUnion(np.concatenate(output) if output else np.zeros(0, np.uint64))
+
+    def expand_by_radius(self, min_radius_rad: float, max_level_diff: int) -> "CellUnion":
+        min_level = k.MAX_LEVEL
+        if len(self.ids):
+            min_level = int(np.min(k.level(self.ids)))
+        radius_level = metrics.MIN_WIDTH.max_level(min_radius_rad)
+        if radius_level == 0 and min_radius_rad > metrics.MIN_WIDTH.value(0):
+            return self.expand_at_level(0)
+        return self.expand_at_level(min(min_level + max_level_diff, radius_level))
+
+    # -- measures ---------------------------------------------------------------
+
+    def leaf_cells_covered(self) -> int:
+        if len(self.ids) == 0:
+            return 0
+        lv = k.level(self.ids).astype(np.int64)
+        return int(np.sum((np.uint64(1) << ((30 - lv).astype(np.uint64) << np.uint64(1))).astype(object)))
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __iter__(self):
+        return iter(int(x) for x in self.ids)
+
+    def tokens(self) -> list[str]:
+        return k.to_token(self.ids)

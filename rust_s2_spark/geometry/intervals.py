@@ -1,0 +1,247 @@
+"""R1 (latitude) and S1 (longitude, wraparound) intervals.
+
+Semantics follow the public S2 interval types as exercised by the
+reference tests (/root/reference/src/r1/interval.rs,
+/root/reference/src/s1/interval.rs). An S1Interval with lo > hi is
+"inverted" and crosses the ±180° date line; [π, -π] is empty and
+[-π, π] is full.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+PI = math.pi
+
+
+@dataclass(frozen=True)
+class R1Interval:
+    lo: float
+    hi: float
+
+    @staticmethod
+    def empty() -> "R1Interval":
+        return R1Interval(1.0, 0.0)
+
+    @staticmethod
+    def from_point(p: float) -> "R1Interval":
+        return R1Interval(p, p)
+
+    def is_empty(self) -> bool:
+        return self.lo > self.hi
+
+    def center(self) -> float:
+        return 0.5 * (self.lo + self.hi)
+
+    def length(self) -> float:
+        return self.hi - self.lo
+
+    def contains(self, p: float) -> bool:
+        return self.lo <= p <= self.hi
+
+    def interior_contains(self, p: float) -> bool:
+        return self.lo < p < self.hi
+
+    def contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def interior_contains_interval(self, o: "R1Interval") -> bool:
+        if o.is_empty():
+            return True
+        return o.lo > self.lo and o.hi < self.hi
+
+    def intersects(self, o: "R1Interval") -> bool:
+        if self.lo <= o.lo:
+            return o.lo <= self.hi and o.lo <= o.hi
+        return self.lo <= o.hi and self.lo <= self.hi
+
+    def interior_intersects(self, o: "R1Interval") -> bool:
+        return o.lo < self.hi and self.lo < o.hi and self.lo < self.hi and o.lo <= o.hi
+
+    def add_point(self, p: float) -> "R1Interval":
+        if self.is_empty():
+            return R1Interval(p, p)
+        return R1Interval(min(self.lo, p), max(self.hi, p))
+
+    def union(self, o: "R1Interval") -> "R1Interval":
+        if self.is_empty():
+            return o
+        if o.is_empty():
+            return self
+        return R1Interval(min(self.lo, o.lo), max(self.hi, o.hi))
+
+    def intersection(self, o: "R1Interval") -> "R1Interval":
+        return R1Interval(max(self.lo, o.lo), min(self.hi, o.hi))
+
+    def expanded(self, margin: float) -> "R1Interval":
+        if self.is_empty():
+            return self
+        return R1Interval(self.lo - margin, self.hi + margin)
+
+
+@dataclass(frozen=True)
+class S1Interval:
+    """Longitude interval in [-π, π] with date-line wraparound.
+
+    Invariants (ref s1/interval.rs:25-60): endpoints in [-π, π]; -π is
+    normalized to π except for the full interval [-π, π]; inverted
+    (lo > hi) means the interval wraps through ±π.
+    """
+
+    lo: float
+    hi: float
+
+    @staticmethod
+    def new(lo: float, hi: float) -> "S1Interval":
+        if lo == -PI and hi != PI:
+            lo = PI
+        if hi == -PI and lo != PI:
+            hi = PI
+        return S1Interval(lo, hi)
+
+    @staticmethod
+    def empty() -> "S1Interval":
+        return S1Interval(PI, -PI)
+
+    @staticmethod
+    def full() -> "S1Interval":
+        return S1Interval(-PI, PI)
+
+    @staticmethod
+    def from_point_pair(a: float, b: float) -> "S1Interval":
+        if a == -PI:
+            a = PI
+        if b == -PI:
+            b = PI
+        if S1Interval._positive_distance(a, b) <= PI:
+            return S1Interval(a, b)
+        return S1Interval(b, a)
+
+    @staticmethod
+    def _positive_distance(a: float, b: float) -> float:
+        d = b - a
+        if d >= 0:
+            return d
+        return (b + PI) - (a - PI)
+
+    def is_full(self) -> bool:
+        return self.lo == -PI and self.hi == PI
+
+    def is_empty(self) -> bool:
+        return self.lo == PI and self.hi == -PI
+
+    def is_inverted(self) -> bool:
+        return self.lo > self.hi
+
+    def center(self) -> float:
+        c = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            return c
+        if c <= 0:
+            return c + PI
+        return c - PI
+
+    def length(self) -> float:
+        length = self.hi - self.lo
+        if length >= 0:
+            return length
+        length += 2 * PI
+        if length > 0:
+            return length
+        return -1.0
+
+    def fast_contains(self, p: float) -> bool:
+        if self.is_inverted():
+            return (p >= self.lo or p <= self.hi) and not self.is_empty()
+        return self.lo <= p <= self.hi
+
+    def contains(self, p: float) -> bool:
+        if p == -PI:
+            p = PI
+        return self.fast_contains(p)
+
+    def interior_contains(self, p: float) -> bool:
+        if p == -PI:
+            p = PI
+        if self.is_inverted():
+            return p > self.lo or p < self.hi
+        return (self.lo < p < self.hi) or self.is_full()
+
+    def contains_interval(self, o: "S1Interval") -> bool:
+        if self.is_inverted():
+            if o.is_inverted():
+                return o.lo >= self.lo and o.hi <= self.hi
+            return (o.lo >= self.lo or o.hi <= self.hi) and not self.is_empty()
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return o.lo >= self.lo and o.hi <= self.hi
+
+    def interior_contains_interval(self, o: "S1Interval") -> bool:
+        if self.is_inverted():
+            if o.is_inverted():
+                return (o.lo > self.lo and o.hi < self.hi) or o.is_empty()
+            return o.lo > self.lo or o.hi < self.hi
+        if o.is_inverted():
+            return self.is_full() or o.is_empty()
+        return (o.lo > self.lo and o.hi < self.hi) or self.is_full()
+
+    def intersects(self, o: "S1Interval") -> bool:
+        if self.is_empty() or o.is_empty():
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo <= self.hi or o.hi >= self.lo
+        if o.is_inverted():
+            return o.lo <= self.hi or o.hi >= self.lo
+        return o.lo <= self.hi and o.hi >= self.lo
+
+    def add_point(self, p: float) -> "S1Interval":
+        if p == -PI:
+            p = PI
+        if self.fast_contains(p):
+            return self
+        if self.is_empty():
+            return S1Interval(p, p)
+        if S1Interval._positive_distance(p, self.lo) < S1Interval._positive_distance(
+            self.hi, p
+        ):
+            return S1Interval(p, self.hi)
+        return S1Interval(self.lo, p)
+
+    def union(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return self
+        if self.fast_contains(o.lo):
+            if self.fast_contains(o.hi):
+                if self.contains_interval(o):
+                    return self
+                return S1Interval.full()
+            return S1Interval(self.lo, o.hi)
+        if self.fast_contains(o.hi):
+            return S1Interval(o.lo, self.hi)
+        if self.is_empty() or o.fast_contains(self.lo):
+            return o
+        dlo = S1Interval._positive_distance(o.hi, self.lo)
+        dhi = S1Interval._positive_distance(self.hi, o.lo)
+        if dlo < dhi:
+            return S1Interval(o.lo, self.hi)
+        return S1Interval(self.lo, o.hi)
+
+    def expanded(self, margin: float) -> "S1Interval":
+        if margin >= 0:
+            if self.is_empty():
+                return self
+            if self.length() + 2 * margin + 2 * 2.220446049250313e-16 >= 2 * PI:
+                return S1Interval.full()
+        else:
+            if self.is_full():
+                return self
+            if self.length() + 2 * margin - 2 * 2.220446049250313e-16 <= 0:
+                return S1Interval.empty()
+        lo = math.remainder(self.lo - margin, 2 * PI)
+        hi = math.remainder(self.hi + margin, 2 * PI)
+        if lo <= -PI:
+            lo = PI
+        return S1Interval(lo, hi)

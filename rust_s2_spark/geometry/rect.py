@@ -1,0 +1,216 @@
+"""Lat/lng rectangle region with date-line wraparound.
+
+Semantics per the public S2 Rect as exercised by the reference tests
+(/root/reference/src/s2/rect.rs). Latitudes/longitudes in radians.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from . import point as pt
+from .intervals import PI, R1Interval, S1Interval
+
+_VALID_LAT = R1Interval(-PI / 2, PI / 2)
+
+
+def _simple_crossing(a: pt.Vec, b: pt.Vec, c: pt.Vec, d: pt.Vec) -> bool:
+    """Does edge AB cross CD at an interior point (ref edgeutil.rs:96-113)."""
+    ab = pt.cross(a, b)
+    acb = -pt.dot(ab, c)
+    bda = pt.dot(ab, d)
+    if acb * bda <= 0:
+        return False
+    cd = pt.cross(c, d)
+    cbd = -pt.dot(cd, b)
+    dac = pt.dot(cd, a)
+    return (acb * cbd > 0) and (acb * dac > 0)
+
+
+def _intersects_lat_edge(a: pt.Vec, b: pt.Vec, lat: float, lng: S1Interval) -> bool:
+    """Edge AB vs a constant-latitude curve (ref rect.rs:623-677)."""
+    z = pt.normalize(pt.cross(a, b))
+    if z[2] < 0:
+        z = pt.scale(z, -1.0)
+    y = pt.normalize(pt.cross(z, (0.0, 0.0, 1.0)))
+    x = pt.normalize(pt.cross(y, z))
+
+    sin_lat = math.sin(lat)
+    if abs(sin_lat) >= x[2]:
+        return False
+    cos_theta = sin_lat / x[2]
+    sin_theta = math.sqrt(1.0 - cos_theta * cos_theta)
+    theta = math.atan2(sin_theta, cos_theta)
+
+    ab_theta = S1Interval.from_point_pair(
+        math.atan2(pt.dot(a, y), pt.dot(a, x)),
+        math.atan2(pt.dot(b, y), pt.dot(b, x)),
+    )
+    if ab_theta.contains(theta):
+        isect = pt.add(pt.scale(x, cos_theta), pt.scale(y, sin_theta))
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    if ab_theta.contains(-theta):
+        isect = pt.sub(pt.scale(x, cos_theta), pt.scale(y, sin_theta))
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    return False
+
+
+def _intersects_lng_edge(a: pt.Vec, b: pt.Vec, lat: R1Interval, lng: float) -> bool:
+    return _simple_crossing(
+        a,
+        b,
+        pt.latlng_rad_to_xyz(lat.lo, lng),
+        pt.latlng_rad_to_xyz(lat.hi, lng),
+    )
+
+
+@dataclass(frozen=True)
+class Rect:
+    lat: R1Interval
+    lng: S1Interval
+
+    @staticmethod
+    def empty() -> "Rect":
+        return Rect(R1Interval.empty(), S1Interval.empty())
+
+    @staticmethod
+    def full() -> "Rect":
+        return Rect(_VALID_LAT, S1Interval.full())
+
+    @staticmethod
+    def from_degrees(lat_lo: float, lng_lo: float, lat_hi: float, lng_hi: float) -> "Rect":
+        return Rect(
+            R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
+            S1Interval.new(math.radians(lng_lo), math.radians(lng_hi)),
+        )
+
+    def is_empty(self) -> bool:
+        return self.lat.is_empty()
+
+    def is_full(self) -> bool:
+        return self.lat == _VALID_LAT and self.lng.is_full()
+
+    def center_latlng(self) -> tuple[float, float]:
+        return self.lat.center(), self.lng.center()
+
+    def lo(self) -> tuple[float, float]:
+        return self.lat.lo, self.lng.lo
+
+    def hi(self) -> tuple[float, float]:
+        return self.lat.hi, self.lng.hi
+
+    def vertex(self, kk: int) -> tuple[float, float]:
+        """CCW corners starting at (lat_lo, lng_lo)."""
+        if kk == 0:
+            return self.lat.lo, self.lng.lo
+        if kk == 1:
+            return self.lat.lo, self.lng.hi
+        if kk == 2:
+            return self.lat.hi, self.lng.hi
+        return self.lat.hi, self.lng.lo
+
+    def contains_latlng_rad(self, lat: float, lng: float) -> bool:
+        return self.lat.contains(lat) and self.lng.contains(lng)
+
+    def contains_point(self, p: pt.Vec) -> bool:
+        lat, lng = pt.xyz_to_latlng_rad(p)
+        return self.contains_latlng_rad(lat, lng)
+
+    def contains_rect(self, o: "Rect") -> bool:
+        return self.lat.contains_interval(o.lat) and self.lng.contains_interval(o.lng)
+
+    def intersects_rect(self, o: "Rect") -> bool:
+        return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    def expanded(self, lat_margin: float, lng_margin: float) -> "Rect":
+        lat = self.lat.expanded(lat_margin)
+        lng = self.lng.expanded(lng_margin)
+        if lat.is_empty() or lng.is_empty():
+            return Rect.empty()
+        return Rect(lat.intersection(_VALID_LAT), lng)
+
+    def polar_closure(self) -> "Rect":
+        """If the rect touches a pole, expand lng to full (ref rect.rs)."""
+        if self.lat.lo == -PI / 2 or self.lat.hi == PI / 2:
+            return Rect(self.lat, S1Interval.full())
+        return self
+
+    def union(self, o: "Rect") -> "Rect":
+        return Rect(self.lat.union(o.lat), self.lng.union(o.lng))
+
+    # -- region protocol -----------------------------------------------------
+
+    def rect_bound(self) -> "Rect":
+        return self
+
+    def cap_bound(self):
+        """Smaller of the mid-cap and pole-cap bounds (ref rect.rs:490-543)."""
+        from .cap import Cap
+
+        if self.is_empty():
+            return Cap.empty()
+        if self.lat.hi + self.lat.lo < 0:
+            pole_z, pole_angle = -1.0, PI / 2 + self.lat.hi
+        else:
+            pole_z, pole_angle = 1.0, PI / 2 - self.lat.lo
+        pole_cap = Cap.from_center_angle((0.0, 0.0, pole_z), pole_angle)
+
+        if pt.remainder(self.lng.hi - self.lng.lo, 2 * PI) >= 0 and (
+            self.lng.hi - self.lng.lo < 2 * PI
+        ):
+            mid = Cap(pt.latlng_rad_to_xyz(*self.center_latlng()), 0.0)
+            mid = mid.add_point(pt.latlng_rad_to_xyz(*self.lo()))
+            mid = mid.add_point(pt.latlng_rad_to_xyz(*self.hi()))
+            if mid.height() < pole_cap.height():
+                return mid
+        return pole_cap
+
+    def contains_cell(self, cell) -> bool:
+        return self.contains_rect(cell.rect_bound())
+
+    def intersects_cell(self, cell) -> bool:
+        """Exact rect-vs-cell test (ref rect.rs:548-618)."""
+        if self.is_empty():
+            return False
+        if self.contains_point(cell.center):
+            return True
+        if cell.contains_point(pt.latlng_rad_to_xyz(*self.center_latlng())):
+            return True
+        if not self.intersects_rect(cell.rect_bound()):
+            return False
+
+        vertices = cell.vertices
+        latlngs = [pt.xyz_to_latlng_rad(v) for v in vertices]
+        for i in range(4):
+            if self.contains_latlng_rad(*latlngs[i]):
+                return True
+            if cell.contains_point(pt.latlng_rad_to_xyz(*self.vertex(i))):
+                return True
+
+        for i in range(4):
+            edge_lng = S1Interval.from_point_pair(
+                latlngs[i][1], latlngs[(i + 1) & 3][1]
+            )
+            if not self.lng.intersects(edge_lng):
+                continue
+            a = vertices[i]
+            b = vertices[(i + 1) & 3]
+            if edge_lng.contains(self.lng.lo) and _intersects_lng_edge(
+                a, b, self.lat, self.lng.lo
+            ):
+                return True
+            if edge_lng.contains(self.lng.hi) and _intersects_lng_edge(
+                a, b, self.lat, self.lng.hi
+            ):
+                return True
+            if _intersects_lat_edge(a, b, self.lat.lo, self.lng):
+                return True
+            if _intersects_lat_edge(a, b, self.lat.hi, self.lng):
+                return True
+        return False
+
+    def cell_union_bound(self) -> list[int]:
+        return self.cap_bound().cell_union_bound()
