@@ -1,0 +1,159 @@
+"""Spatial covering joins (SURVEY.md §2.8).
+
+The canonical S2 join: cover the query region with ≤ max_cells cells
+(driver-side RegionCoverer), turn the covering into leaf-id ranges on
+the *biased* long column, then either
+
+* ``region_filter`` — ONE region: an OR-of-BETWEEN predicate literal.
+  Pure Catalyst filter → pushed to the parquet/Iceberg scan, prunes
+  row groups by cell_id_biased min/max. Boundary cells get the exact
+  geometric post-filter; interior-covering cells skip it.
+
+* ``region_join`` — MANY regions: a broadcast range join of the tiny
+  (region_id, rmin, rmax, interior) table against the fact table.
+
+At 100 TB both shapes avoid any shuffle of the fact table: the filter
+is scan-local, and the ranges table broadcasts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import chord2_expr, s2_biased, xyz_cols
+from ..geometry import Cap, CellUnion, Rect, RegionCoverer
+from ..kernels import cellid as k
+
+DEFAULT_COVERER = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=24)
+
+
+@dataclass(frozen=True)
+class CoveringRanges:
+    """Biased [lo, hi] leaf ranges + interior flags for one region."""
+
+    lo: list[int]
+    hi: list[int]
+    interior: list[bool]
+
+
+def covering_ranges(region, coverer: RegionCoverer = DEFAULT_COVERER) -> CoveringRanges:
+    outer = coverer.covering(region)
+    inner = coverer.interior_covering(region)
+    lo = [int(x) for x in k.bias_u64(k.range_min(outer.ids))]
+    hi = [int(x) for x in k.bias_u64(k.range_max(outer.ids))]
+    interior = [bool(b) for b in inner.contains_ids(outer.ids)]
+    return CoveringRanges(lo, hi, interior)
+
+
+def range_predicate(ranges: CoveringRanges, biased_col) -> Column:
+    c = F.col(biased_col) if isinstance(biased_col, str) else biased_col
+    pred = F.lit(False)
+    for lo, hi in zip(ranges.lo, ranges.hi):
+        pred = pred | c.between(F.lit(lo), F.lit(hi))
+    return pred
+
+
+def interior_predicate(ranges: CoveringRanges, biased_col) -> Column:
+    """True only inside interior-covering cells (no exact filter needed)."""
+    c = F.col(biased_col) if isinstance(biased_col, str) else biased_col
+    pred = F.lit(False)
+    for lo, hi, inner in zip(ranges.lo, ranges.hi, ranges.interior):
+        if inner:
+            pred = pred | c.between(F.lit(lo), F.lit(hi))
+    return pred
+
+
+def cap_exact_predicate(cap: Cap, lat_col: str, lng_col: str) -> Column:
+    """Exact cap membership as native SQL: chord²(p, center) ≤ radius²."""
+    x, y, z = xyz_cols(lat_col, lng_col)
+    return (
+        chord2_expr(
+            x, y, z, F.lit(cap.center[0]), F.lit(cap.center[1]), F.lit(cap.center[2])
+        )
+        <= F.lit(cap.radius2)
+    )
+
+
+def rect_exact_predicate(rect: Rect, lat_col: str, lng_col: str) -> Column:
+    """Exact rect membership, wrap-aware, native SQL."""
+    lat = F.radians(F.col(lat_col))
+    lng = F.radians(F.col(lng_col))
+    lat_ok = (lat >= F.lit(rect.lat.lo)) & (lat <= F.lit(rect.lat.hi))
+    if rect.lng.is_full():
+        lng_ok = F.lit(True)
+    elif rect.lng.is_inverted():
+        lng_ok = (lng >= F.lit(rect.lng.lo)) | (lng <= F.lit(rect.lng.hi))
+    else:
+        lng_ok = (lng >= F.lit(rect.lng.lo)) & (lng <= F.lit(rect.lng.hi))
+    return lat_ok & lng_ok
+
+
+def exact_predicate(region, lat_col: str, lng_col: str) -> Column:
+    if isinstance(region, Cap):
+        return cap_exact_predicate(region, lat_col, lng_col)
+    if isinstance(region, Rect):
+        return rect_exact_predicate(region, lat_col, lng_col)
+    raise TypeError(f"no exact predicate for {type(region)}")
+
+
+def region_filter(
+    df: DataFrame,
+    region,
+    coverer: RegionCoverer = DEFAULT_COVERER,
+    biased_col: str = "cell_id_biased",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Rows of ``df`` inside ``region``: pushed-down covering ranges +
+    exact post-filter only outside the interior covering."""
+    ranges = covering_ranges(region, coverer)
+    candidate = range_predicate(ranges, biased_col)
+    certain = interior_predicate(ranges, biased_col)
+    return df.where(candidate).where(certain | exact_predicate(region, lat_col, lng_col))
+
+
+def region_join(
+    spark: SparkSession,
+    df: DataFrame,
+    regions: list,
+    region_ids: list,
+    coverer: RegionCoverer = DEFAULT_COVERER,
+    biased_col: str = "cell_id_biased",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Join ``df`` against many regions: broadcast range join + exact
+    post-filter. Output = df columns + ``region_id``."""
+    rows = []
+    for rid, region in zip(region_ids, regions):
+        rr = covering_ranges(region, coverer)
+        for lo, hi, inner in zip(rr.lo, rr.hi, rr.interior):
+            rows.append((rid, lo, hi, inner))
+    ranges_df = spark.createDataFrame(rows, "region_id long, rlo long, rhi long, rinterior boolean")
+
+    j = df.join(
+        F.broadcast(ranges_df),
+        (F.col(biased_col) >= F.col("rlo")) & (F.col(biased_col) <= F.col("rhi")),
+        "inner",
+    )
+    # exact post-filter per region kind (caps only here; rects analogous)
+    exact = F.lit(False)
+    for rid, region in zip(region_ids, regions):
+        exact = F.when(
+            F.col("region_id") == F.lit(rid), exact_predicate(region, lat_col, lng_col)
+        ).otherwise(exact)
+    out = j.where(F.col("rinterior") | exact)
+    return out.drop("rlo", "rhi", "rinterior")
+
+
+def cells_per_region(df_joined: DataFrame, agg_level: int, cell_col: str = "cell_id"):
+    from ..functions import s2_parent
+
+    return (
+        df_joined.groupBy("region_id", s2_parent(cell_col, agg_level).alias("cell"))
+        .count()
+    )

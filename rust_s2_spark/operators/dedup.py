@@ -1,0 +1,158 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are native Spark SQL (md5/array functions — JVM
+codegen); the hash function is md5 so a DuckDB oracle can reproduce
+every intermediate bit-for-bit.
+
+* exact_dedup          — hash-groupBy keep-first
+* minhash_lsh_pairs    — shingle → per-band minhash → bucket join
+* ngram_jaccard        — exact n-gram Jaccard for candidate verification
+* phash_hamming_pairs  — near-dup images by phash hamming distance
+* simhash64            — 64-bit simhash over token md5s (Spark native)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per distinct text (hash-groupBy; map-side
+    partial aggregation keeps the shuffle tiny)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct character n-gram md5s per row (exploded)."""
+    expr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> md5(substring({text_col}, i, {n})))"
+    )
+    return df.withColumn("shingle", F.explode(F.array_distinct(F.expr(expr))))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash.
+
+    Per band b: signature = min(md5(b || shingle)). Rows sharing a
+    (band, signature) bucket become candidate pairs (a < b to dedup).
+    Everything is expressible in portable SQL (DuckDB oracle-able).
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n)
+    sigs = None
+    for b in range(bands):
+        s = sh.groupBy(id_col).agg(
+            F.min(F.md5(F.concat(F.lit(str(b) + ":"), F.col("shingle")))).alias("sig")
+        ).withColumn("band", F.lit(b))
+        sigs = s if sigs is None else sigs.unionByName(s)
+    left = sigs.select(F.col(id_col).alias("a"), "band", "sig")
+    right = sigs.select(F.col(id_col).alias("b"), "band", "sig")
+    pairs = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs."""
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("__id"), "shingle"
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    # intersection size via join on shingle, then count per pair
+    a_sh = sh.withColumnRenamed("__id", "a")
+    b_sh = sh.withColumnRenamed("__id", "b")
+    inter = (
+        pairs.join(a_sh, "a").join(b_sh, ["b", "shingle"]).groupBy("a", "b").agg(
+            F.count("*").alias("inter_sz")
+        )
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("__id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_sz")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")),
+        )
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def phash_hamming_pairs(
+    df: DataFrame, id_col: str, phash_col: str = "phash", max_dist: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup images: hamming(phash_a, phash_b) <= max_dist.
+
+    Banding trick on phash prefix blocks keeps the join from being a
+    cross product: two 62-bit hashes within hamming distance d share
+    at least one of ceil(64/block_bits) exact blocks when d < blocks.
+    """
+    nblocks = 4
+    blocked = None
+    for i in range(nblocks):
+        b = df.select(
+            F.col(id_col).alias("id"),
+            F.col(phash_col).alias("ph"),
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col(phash_col), i * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias("blk_val"),
+        )
+        blocked = b if blocked is None else blocked.unionByName(b)
+    left = blocked.select(F.col("id").alias("a"), F.col("ph").alias("ph_a"), "blk", "blk_val")
+    right = blocked.select(F.col("id").alias("b"), F.col("ph").alias("ph_b"), "blk", "blk_val")
+    cand = (
+        left.join(right, ["blk", "blk_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_dist).select(
+        "a", "b", "hamming"
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit simhash over whitespace tokens (Spark-native bit math).
+
+    Token hash = first 16 hex chars of md5 → bigint via conv(); each
+    bit votes ±1; sign of the vote per bit forms the fingerprint.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tokens = tokens.withColumn("th", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,117 @@
+"""Deterministic geotagged image+caption table (BASELINE.json input_hint).
+
+Schema: image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long — extended with engine geo columns
+lat, lng, cell_id (level-30 leaf), cell_id_biased, parent5.
+
+Derivation is pure bigint arithmetic + one IEEE division per
+coordinate, so DuckDB reproduces lat/lng/phash/caption EXACTLY
+(``oracle_images_sql`` emits the same derivation as a SQL CTE) — this
+is what makes the driver's DuckDB-oracle comparisons exact.
+
+30% of rows cluster around three "city" hotspots to exercise skew
+handling; everything is generated Spark-natively (no Python on any
+row), so the same generator scales to arbitrary row counts.
+
+``bytes`` is a deterministic 192-byte raster (8x8 RGB) derived from
+the row key via md5 — decode is the identity (fmt='raw'), so the
+decoded-pixel fidelity check (PSNR) is exact and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import s2_biased, s2_cell_from_latlng, s2_parent
+
+# lat/lng grids: 1e-6 degree resolution via integer hashing
+_M1 = 2654435761  # Knuth multiplicative hash
+_CITIES = [  # (lat, lng) hotspot centers
+    (40.7128, -74.0060),
+    (51.5074, -0.1278),
+    (35.6762, 139.6503),
+]
+
+
+def _derivation_sql(key: str) -> dict[str, str]:
+    """The shared Spark/DuckDB arithmetic, as SQL expression strings.
+
+    Only bigint ops + one final double division — bit-identical in any
+    IEEE-conforming engine.
+    """
+    k1 = f"(({key} * {_M1}) % 4294967296)"
+    k2 = f"(((({k1} % 1048576) * {_M1}) + ({k1} % 524287)) % 4294967296)"
+    base_lat = f"(({k1} % 160000000) / 1000000.0 - 80.0)"
+    base_lng = f"(({k2} % 360000000) / 1000000.0 - 180.0)"
+    city = f"({key} % 10)"
+    city_lat = (
+        f"(CASE {city} WHEN 0 THEN {_CITIES[0][0]} WHEN 1 THEN {_CITIES[1][0]} "
+        f"ELSE {_CITIES[2][0]} END + ({k1} % 400000) / 1000000.0 - 0.2)"
+    )
+    city_lng = (
+        f"(CASE {city} WHEN 0 THEN {_CITIES[0][1]} WHEN 1 THEN {_CITIES[1][1]} "
+        f"ELSE {_CITIES[2][1]} END + ({k2} % 400000) / 1000000.0 - 0.2)"
+    )
+    return {
+        "k1": k1,
+        "k2": k2,
+        "lat": f"(CASE WHEN {city} < 3 THEN {city_lat} ELSE {base_lat} END)",
+        "lng": f"(CASE WHEN {city} < 3 THEN {city_lng} ELSE {base_lng} END)",
+        # fits in int64: (2^31-1)*2^31 + 2^31 < 2^62
+        "phash": f"(({k2} % 2147483648) * 2147483648 + ({k1} % 2147483648))",
+    }
+
+
+def images_from_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    with_bytes: bool = True,
+    partition_level: int = 5,
+) -> DataFrame:
+    """Build the images table from the driver's orders parquet.
+
+    Geo hot path never touches ``bytes``/``caption`` (they ride along
+    in the same rows; the cell-id UDF reads only lat/lng).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = _derivation_sql("o_orderkey")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("image_id"),
+        F.expr(d["lat"]).alias("lat"),
+        F.expr(d["lng"]).alias("lng"),
+        F.expr(d["phash"]).alias("phash"),
+    )
+    df = df.withColumn("caption", F.concat(F.lit("img "), F.col("image_id")))
+    if with_bytes:
+        # 192 deterministic bytes = 12 chained md5 blocks of 16 bytes
+        block = F.md5(F.col("image_id"))
+        blocks = [block]
+        for _ in range(11):
+            blocks.append(F.md5(blocks[-1]))
+        df = df.withColumn("bytes", F.unhex(F.concat(*blocks)))
+    else:
+        df = df.withColumn("bytes", F.lit(None).cast("binary"))
+    df = (
+        df.withColumn("w", F.lit(8))
+        .withColumn("h", F.lit(8))
+        .withColumn("fmt", F.lit("raw"))
+        .withColumn("cell_id", s2_cell_from_latlng("lat", "lng"))
+    )
+    return (
+        df.withColumn("cell_id_biased", s2_biased("cell_id"))
+        .withColumn("parent5", s2_parent("cell_id", partition_level))
+    )
+
+
+def oracle_images_sql(with_k: bool = False) -> str:
+    """DuckDB CTE producing the identical (image_id, lat, lng, phash,
+    caption) rows from the pre-registered ``orders`` view."""
+    d = _derivation_sql("o_orderkey")
+    extra = f", {d['k1']} AS k1, {d['k2']} AS k2" if with_k else ""
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS image_id, "
+        f"{d['lat']} AS lat, {d['lng']} AS lng, {d['phash']} AS phash, "
+        "'img ' || CAST(o_orderkey AS VARCHAR) AS caption"
+        f"{extra} FROM orders"
+    )
