@@ -67,7 +67,11 @@ def s2_parent(cell_id, level: int | Column) -> Column:
     if isinstance(level, int):
         b = F.lit(1 << (2 * (30 - level)))
     else:
-        b = F.shiftleft(F.lit(1).cast("long"), (F.lit(2) * (F.lit(30) - level)).cast("int"))
+        b = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.lit(2) * (F.lit(30) - level)).cast("int"),
+        )
     return c.bitwiseAND(-b).bitwiseOR(b)
 
 
@@ -138,6 +142,19 @@ def _cell_from_latlng_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
 
 def s2_cell_from_latlng(lat_deg, lng_deg) -> Column:
     return _cell_from_latlng_udf(_as_col(lat_deg), _as_col(lng_deg))
+
+
+@pandas_udf(LongType())
+def _cell_from_xyz_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    ids = k.cell_from_xyz(
+        x.to_numpy(np.float64), y.to_numpy(np.float64), z.to_numpy(np.float64)
+    )
+    return pd.Series(ids.view(np.int64))
+
+
+def s2_cell_from_xyz(x, y, z) -> Column:
+    """Leaf cell id from a (not necessarily unit) xyz direction."""
+    return _cell_from_xyz_udf(_as_col(x), _as_col(y), _as_col(z))
 
 
 @pandas_udf(StructType([StructField("lat", DoubleType()), StructField("lng", DoubleType())]))

@@ -8,12 +8,14 @@ Plan (Spark-first, no per-row Python):
    against the fact table on parent-at-level equality (native bit
    arithmetic — equi-join, broadcastable).
 3. chord² distance (native SQL) + window rank ≤ k.
-4. Queries that under-fill (ring too small) are retried with a wider
-   ring, driver-side — each retry touches only the missing queries.
+4. Exactness: a 3×3 all_neighbors ring around the query's cell is
+   guaranteed to contain every point within one cell min-width of the
+   query. A query's top-k is final only when its k-th distance is
+   below that bound; otherwise the ring is widened (coarser level)
+   and only the unresolved queries are retried.
 
 At scale the equi-join on the parent column co-locates with the
-table's cell_id partitioning, so only the (small) candidate side
-moves.
+table's cell_id partitioning, so only the (small) candidate side moves.
 """
 
 from __future__ import annotations
@@ -39,6 +41,15 @@ def _candidate_cells(lat: np.ndarray, lng: np.ndarray, level: int) -> list[np.nd
     ]
 
 
+def _safe_chord2(level: int) -> float:
+    """Chord² radius certainly covered by the 3×3 ring at this level."""
+    if level <= 0:
+        return 4.0  # whole sphere
+    w = metrics.MIN_WIDTH.value(level)
+    s = 2.0 * math.sin(0.5 * min(w, math.pi))
+    return s * s
+
+
 def knn_join(
     spark: SparkSession,
     df: DataFrame,
@@ -48,9 +59,9 @@ def knn_join(
     lat_col: str = "lat",
     lng_col: str = "lng",
     id_col: str = "image_id",
-    max_widen: int = 3,
+    max_widen: int = 12,
 ) -> DataFrame:
-    """Return (query_id, rank, image_id, dist_chord2) of the k nearest
+    """(query_id, rank, image_id, dist_chord2) of the exact k nearest
     rows per query point. Deterministic tie-break on id."""
     qids = np.array([q[0] for q in query_points], dtype=np.int64)
     qlat = np.array([q[1] for q in query_points], dtype=np.float64)
@@ -61,12 +72,13 @@ def knn_join(
 
     result = None
     pending = np.arange(len(qids))
-    for attempt in range(max_widen + 1):
-        lvl = max(0, level - attempt)
+    attempt = 0
+    while len(pending) > 0:
+        lvl = max(0, level - 2 * attempt)
         cand = _candidate_cells(qlat[pending], qlng[pending], lvl)
         rows = []
         for i, cells in zip(pending, cand):
-            for c in cells.view(np.int64):  # two's-complement LongType view
+            for c in cells.view(np.int64):
                 rows.append((int(qids[i]), float(qlat[i]), float(qlng[i]), int(c)))
         cand_df = spark.createDataFrame(
             rows, "query_id long, qlat double, qlng double, cand_cell long"
@@ -84,23 +96,27 @@ def knn_join(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk)
             .select("query_id", "rank", id_col, "dist_chord2")
-        )
-        counts = {
-            r["query_id"]: r["n"]
-            for r in ranked.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        ).cache()
+        # a query is final when it found k results AND the k-th distance
+        # is inside the ring's guaranteed coverage radius
+        safe = _safe_chord2(lvl)
+        stats = {
+            r["query_id"]: (r["n"], r["dmax"])
+            for r in ranked.groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("dist_chord2").alias("dmax"))
+            .collect()
         }
-        filled = np.array([counts.get(int(q), 0) >= kk for q in qids[pending]])
-        done_idx = pending[filled]
-        done_set = set(int(qids[i]) for i in done_idx)
-        part = ranked.where(F.col("query_id").isin([int(q) for q in done_set]) if done_set else F.lit(False))
-        result = part if result is None else result.unionByName(part)
-        pending = pending[~filled]
-        if len(pending) == 0:
-            break
-    if len(pending) > 0:
-        # final attempt: take whatever the widest ring found
-        last = ranked.where(
-            F.col("query_id").isin([int(qids[i]) for i in pending])
-        )
-        result = last if result is None else result.unionByName(last)
+        is_last = lvl == 0 or attempt >= max_widen
+        done_mask = []
+        for q in qids[pending]:
+            n, dmax = stats.get(int(q), (0, None))
+            ok = n >= kk and (dmax is None or dmax <= safe)
+            done_mask.append(ok or is_last)
+        done_mask = np.array(done_mask, dtype=bool)
+        done_ids = [int(q) for q in qids[pending][done_mask]]
+        if done_ids:
+            part = ranked.where(F.col("query_id").isin(done_ids))
+            result = part if result is None else result.unionByName(part)
+        pending = pending[~done_mask]
+        attempt += 1
     return result

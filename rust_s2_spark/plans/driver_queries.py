@@ -1,0 +1,707 @@
+"""Driver-contract query pairs: Spark builder + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 gets a ``queries()`` entry here;
+SQL-expressible ones also get an ``oracle_sql()`` string that DuckDB
+runs on the same parquet views (region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    s2_biased,
+    s2_cell_center_latlng,
+    s2_cell_from_latlng,
+    s2_cell_from_token,
+    s2_cell_from_xyz,
+    s2_cell_to_token,
+    s2_face,
+    s2_level,
+    s2_parent,
+    s2_range_max,
+    s2_range_min,
+)
+from ..geometry import Cap, RegionCoverer
+from ..kernels import cellid as k
+from ..operators.covering_join import cap_exact_predicate, region_filter
+from ..sources.images import images_from_orders, oracle_images_sql, _derivation_sql
+from .oracle_sql import hilbert_oracle_query, trig_free_xyz_sql
+
+U64 = np.uint64
+MIN_LONG = -(2**63)
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --------------------------------------------------------------------------
+# golden fixtures (reference test data; see tests/test_kernels_golden.py)
+
+LATLNG_GOLDEN = [
+    (0x47A1CBD595522B39, 49.703498679, 11.770681595),
+    (0x46525318B63BE0F9, 55.685376759, 12.588490937),
+    (0x52B30B71698E729D, 45.486546517, -93.449700022),
+    (0x46ED8886CFADDA85, 58.299984854, 23.049300056),
+    (0x3663F18A24CBE857, 34.364439040, 108.330699969),
+    (0x010A06C0A948CF5D, -30.694551352, -30.048758753),
+    (0x2B2BFD076787C5DF, -25.285264027, 133.823116966),
+    (0xB09DFF882A7809E1, -75.000000031, 0.000000133),
+    (0x94DAA3D000000001, -24.694439215, -47.537363213),
+    (0x87A1000000000001, 38.899730392, -99.901813021),
+    (0x4FC76D5000000001, 81.647200334, -55.631712940),
+    (0x3B00955555555555, 10.050986518, 78.293170610),
+    (0x1DCC469991555555, -34.055420593, 18.551140038),
+    (0xB112966AAAAAAAAB, -69.219262171, 49.670072392),
+]
+
+TOKEN_GOLDEN = [
+    ("1", 0x1000000000000000), ("3", 0x3000000000000000),
+    ("14", 0x1400000000000000), ("41", 0x4100000000000000),
+    ("094", 0x0940000000000000), ("537", 0x5370000000000000),
+    ("3fec", 0x3FEC000000000000), ("72f3", 0x72F3000000000000),
+    ("52b8c", 0x52B8C00000000000), ("990ed", 0x990ED00000000000),
+    ("4476dc", 0x4476DC0000000000), ("2a724f", 0x2A724F0000000000),
+    ("7d4afc4", 0x7D4AFC4000000000), ("b675785", 0xB675785000000000),
+    ("40cd6124", 0x40CD612400000000), ("3ba32f81", 0x3BA32F8100000000),
+    ("08f569b5c", 0x08F569B5C0000000), ("385327157", 0x3853271570000000),
+    ("166c4d1954", 0x166C4D1954000000), ("96f48d8c39", 0x96F48D8C39000000),
+    ("0bca3c7f74c", 0x0BCA3C7F74C00000), ("1ae3619d12f", 0x1AE3619D12F00000),
+    ("07a77802a3fc", 0x07A77802A3FC0000), ("4e7887ec1801", 0x4E7887EC18010000),
+    ("4adad7ae74124", 0x4ADAD7AE74124000), ("90aba04afe0c5", 0x90ABA04AFE0C5000),
+    ("8ffc3f02af305c", 0x8FFC3F02AF305C00), ("6fa47550938183", 0x6FA4755093818300),
+    ("aa80a565df5e7fc", 0xAA80A565DF5E7FC0), ("01614b5e968e121", 0x01614B5E968E1210),
+    ("aa05238e7bd3ee7c", 0xAA05238E7BD3EE7C), ("48a23db9c2963e5b", 0x48A23DB9C2963E5B),
+]
+
+PITTSBURG = [0x80855C0000000000, 0x80855D0000000000, 0x80855DC000000000, 0x8085630000000000]
+PARENT_LEVELS = [0, 3, 5, 8, 12, 20, 25]
+
+NYC = (40.7128, -74.0060)
+CITY_CAP_DEG = 3.0
+
+KNN_QUERIES = [
+    (0, 40.7128, -74.0060),
+    (1, 51.5074, -0.1278),
+    (2, 35.6762, 139.6503),
+    (3, 0.0, 0.0),
+    (4, -33.8688, 151.2093),
+]
+KNN_K = 10
+
+SIM_QUERY_IDS = list(range(8))
+SIM_K = 10
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return images_from_orders(spark, sf_dir, with_bytes=False)
+
+
+# --------------------------------------------------------------------------
+# 1-4: golden kernel queries
+
+
+def q_golden_latlng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        [(lat, lng) for _, lat, lng in LATLNG_GOLDEN], "lat double, lng double"
+    )
+    return df.select(
+        "lat",
+        "lng",
+        s2_cell_from_latlng("lat", "lng").alias("cell_id"),
+        s2_cell_to_token(s2_cell_from_latlng("lat", "lng")).alias("token"),
+    )
+
+
+def o_golden_latlng() -> str:
+    ids = np.array([cid for cid, _, _ in LATLNG_GOLDEN], dtype=np.uint64)
+    toks = k.to_token(ids)
+    rows = ",".join(
+        f"({lat!r}, {lng!r}, {_signed(cid)}, '{tok}')"
+        for (cid, lat, lng), tok in zip(LATLNG_GOLDEN, toks)
+    )
+    return (
+        f"SELECT lat, lng, CAST(cell_id AS BIGINT) AS cell_id, token FROM "
+        f"(VALUES {rows}) t(lat, lng, cell_id, token)"
+    )
+
+
+def q_golden_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(t,) for t, _ in TOKEN_GOLDEN], "token string")
+    out = df.select("token", s2_cell_from_token("token").alias("cell_id"))
+    return out.withColumn("token_back", s2_cell_to_token("cell_id"))
+
+
+def o_golden_tokens() -> str:
+    rows = ",".join(f"('{t}', {_signed(v)}, '{t}')" for t, v in TOKEN_GOLDEN)
+    return (
+        f"SELECT token, CAST(cell_id AS BIGINT) AS cell_id, token_back FROM "
+        f"(VALUES {rows}) t(token, cell_id, token_back)"
+    )
+
+
+def q_golden_parent_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = [(_signed(cid),) for cid, _, _ in LATLNG_GOLDEN] + [
+        (_signed(c),) for c in PITTSBURG
+    ]
+    df = spark.createDataFrame(ids, "cell_id long")
+    lv = spark.createDataFrame([(l,) for l in PARENT_LEVELS], "lvl int")
+    j = df.crossJoin(lv).where(s2_level("cell_id") >= F.col("lvl"))
+    return j.select(
+        "cell_id",
+        "lvl",
+        s2_level("cell_id").alias("cell_level"),
+        s2_parent("cell_id", F.col("lvl")).alias("parent"),
+        s2_range_min(s2_parent("cell_id", F.col("lvl"))).alias("rmin"),
+        s2_range_max(s2_parent("cell_id", F.col("lvl"))).alias("rmax"),
+        s2_face("cell_id").alias("face"),
+    )
+
+
+def o_golden_parent_level() -> str:
+    """Independent DuckDB bit-math implementation of parent/level/range."""
+    ids = ",".join(
+        f"({_signed(cid)})" for cid, _, _ in LATLNG_GOLDEN
+    ) + "," + ",".join(f"({_signed(c)})" for c in PITTSBURG)
+    lvls = ",".join(f"({l})" for l in PARENT_LEVELS)
+    return f"""
+WITH ids(cell_id) AS (VALUES {ids}),
+lvls(lvl) AS (VALUES {lvls}),
+base AS (
+  SELECT cell_id, lvl,
+         (cell_id & -cell_id) AS lsb,
+         CAST(30 - bit_count((cell_id & -cell_id) - 1) // 2 AS INT) AS cell_level
+  FROM ids, lvls
+),
+ok AS (SELECT * FROM base WHERE cell_level >= lvl),
+calc AS (
+  SELECT cell_id, lvl, cell_level,
+         ((cell_id & -(1::BIGINT << CAST(2*(30-lvl) AS INT)))
+          | (1::BIGINT << CAST(2*(30-lvl) AS INT))) AS parent
+  FROM ok
+)
+SELECT cell_id, lvl, cell_level, parent,
+       parent - ((parent & -parent) - 1) AS rmin,
+       parent + ((parent & -parent) - 1) AS rmax,
+       CAST((cell_id >> 61) & 7 AS INT) AS face
+FROM calc
+""".strip()
+
+
+def q_golden_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (_signed(a), _signed(b))
+        for a in PITTSBURG
+        for b in PITTSBURG
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    a_rmin, a_rmax = s2_range_min("a"), s2_range_max("a")
+    b_rmin, b_rmax = s2_range_min("b"), s2_range_max("b")
+    bias = F.lit(MIN_LONG)
+    return df.select(
+        "a",
+        "b",
+        (
+            (a_rmin.bitwiseXOR(bias) <= F.col("b").bitwiseXOR(bias))
+            & (F.col("b").bitwiseXOR(bias) <= a_rmax.bitwiseXOR(bias))
+        ).alias("a_contains_b"),
+        (
+            (b_rmin.bitwiseXOR(bias) <= a_rmax.bitwiseXOR(bias))
+            & (b_rmax.bitwiseXOR(bias) >= a_rmin.bitwiseXOR(bias))
+        ).alias("intersects"),
+    )
+
+
+def o_golden_containment() -> str:
+    vals = ",".join(
+        f"({_signed(a)}, {_signed(b)})" for a in PITTSBURG for b in PITTSBURG
+    )
+    m = MIN_LONG
+    return f"""
+WITH pairs(a, b) AS (VALUES {vals}),
+r AS (
+  SELECT a, b,
+         xor(a - ((a & -a) - 1), {m}) AS a_rmin_b,
+         xor(a + ((a & -a) - 1), {m}) AS a_rmax_b,
+         xor(b - ((b & -b) - 1), {m}) AS b_rmin_b,
+         xor(b + ((b & -b) - 1), {m}) AS b_rmax_b,
+         xor(b, {m}) AS b_b
+  FROM pairs
+)
+SELECT a, b,
+       (a_rmin_b <= b_b AND b_b <= a_rmax_b) AS a_contains_b,
+       (b_rmin_b <= a_rmax_b AND b_rmax_b >= a_rmin_b) AS intersects
+FROM r
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 5-7: at-scale encode checks
+
+
+def q_xyz_cellid_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig-free xyz → full Hilbert id; oracle recomputes the ENTIRE
+    encode chain in pure SQL (bit-identical)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    pts = spark.sql(trig_free_xyz_sql())
+    return pts.select(
+        "key_id", s2_cell_from_xyz("x", "y", "z").alias("cell_id")
+    )
+
+
+def o_xyz_cellid_scale() -> str:
+    return hilbert_oracle_query()
+
+
+def q_roundtrip_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode center + re-encode == id for every image row."""
+    img = _images(spark, sf_dir)
+    c = img.withColumn("ctr", s2_cell_center_latlng("cell_id"))
+    c = c.withColumn("back", s2_cell_from_latlng(F.col("ctr.lat"), F.col("ctr.lng")))
+    return c.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("back") == F.col("cell_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+    )
+
+
+def o_roundtrip_scale() -> str:
+    return "SELECT count(*) AS n_total, count(*) AS n_ok FROM orders"
+
+
+def q_face_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    return (
+        img.groupBy(s2_face("cell_id").alias("face"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("face")
+    )
+
+
+def o_face_histogram() -> str:
+    d = _derivation_sql("o_orderkey")
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+xyz AS (
+  SELECT cos(radians(lng)) * cos(radians(lat)) AS x,
+         sin(radians(lng)) * cos(radians(lat)) AS y,
+         sin(radians(lat)) AS z
+  FROM img
+),
+f AS (
+  SELECT (CASE
+    WHEN abs(z) > (CASE WHEN abs(y) > abs(x) THEN abs(y) ELSE abs(x) END)
+      THEN (CASE WHEN z < 0 THEN 5 ELSE 2 END)
+    WHEN abs(y) > abs(x) THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+    ELSE (CASE WHEN x < 0 THEN 3 ELSE 0 END) END) AS face
+  FROM xyz
+)
+SELECT CAST(face AS INT) AS face, count(*) AS n FROM f GROUP BY face ORDER BY face
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 8-9: spatial join + kNN
+
+
+def _nyc_cap() -> Cap:
+    return Cap.from_latlng_degrees(NYC[0], NYC[1], CITY_CAP_DEG)
+
+
+def q_cap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = _images(spark, sf_dir)
+    hits = region_filter(img, _nyc_cap())
+    return hits.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("phash").cast("long").alias("n_phash"),
+        F.sum(F.col("phash") % F.lit(1000003)).cast("long").alias("sum_phash_mod"),
+    )
+
+
+def _chord2_sql(lat1: str, lng1: str, lat2: float, lng2: float) -> str:
+    cx, cy, cz = (
+        math.cos(math.radians(lng2)) * math.cos(math.radians(lat2)),
+        math.sin(math.radians(lng2)) * math.cos(math.radians(lat2)),
+        math.sin(math.radians(lat2)),
+    )
+    return (
+        f"(pow(cos(radians({lng1}))*cos(radians({lat1})) - ({cx!r}), 2)"
+        f" + pow(sin(radians({lng1}))*cos(radians({lat1})) - ({cy!r}), 2)"
+        f" + pow(sin(radians({lat1})) - ({cz!r}), 2))"
+    )
+
+
+def o_cap_count() -> str:
+    cap = _nyc_cap()
+    d2 = _chord2_sql("lat", "lng", NYC[0], NYC[1])
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT count(*) AS n, count(DISTINCT phash) AS n_phash,
+       CAST(sum(phash % 1000003) AS BIGINT) AS sum_phash_mod
+FROM img WHERE {d2} <= {cap.radius2!r}
+""".strip()
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import knn_join
+
+    img = _images(spark, sf_dir)
+    out = knn_join(spark, img, KNN_QUERIES, KNN_K, radius_guess_deg=2.0)
+    return out.select(
+        "query_id", "rank", F.col("image_id").cast("long").alias("image_id")
+    )
+
+
+def o_knn() -> str:
+    qrows = ",".join(f"({qid}, {la!r}, {lo!r})" for qid, la, lo in KNN_QUERIES)
+    d2 = (
+        "(pow(cos(radians(i.lng))*cos(radians(i.lat)) - cos(radians(q.qlng))*cos(radians(q.qlat)), 2)"
+        " + pow(sin(radians(i.lng))*cos(radians(i.lat)) - sin(radians(q.qlng))*cos(radians(q.qlat)), 2)"
+        " + pow(sin(radians(i.lat)) - sin(radians(q.qlat)), 2))"
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+q(query_id, qlat, qlng) AS (VALUES {qrows}),
+scored AS (
+  SELECT q.query_id, CAST(i.image_id AS BIGINT) AS image_id,
+         {d2} AS dist,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {d2} ASC, i.image_id ASC) AS rank
+  FROM img i, q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, image_id
+FROM scored WHERE rank <= {KNN_K}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 10-15: training-data operators (documents)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def o_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS doc_id, "
+        "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id", n=5, bands=4)
+
+
+def o_minhash_pairs() -> str:
+    sigs = []
+    for b in range(4):
+        sigs.append(
+            f"SELECT doc_id, {b} AS band, min(md5('{b}:' || sh)) AS sig FROM shing GROUP BY doc_id"
+        )
+    sig_sql = " UNION ALL ".join(sigs)
+    return f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
+  FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+),
+sigs AS ({sig_sql})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+""".strip()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
+    out = ngram_jaccard(docs, pairs, "text", "doc_id", n=5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def o_ngram_jaccard() -> str:
+    cand = o_minhash_pairs()
+    return f"""
+WITH cand AS ({cand}),
+shing AS (
+  SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
+  FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter_sz
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.a
+  JOIN shing sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(CAST(i.inter_sz AS DOUBLE) / (za.sz + zb.sz - i.inter_sz), 6) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+""".strip()
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable token/char statistics (identical formulation to oracle)."""
+    docs = _docs(spark, sf_dir)
+    collapsed = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    n_tokens = (
+        F.lit(1)
+        + F.length(collapsed)
+        - F.length(F.regexp_replace(collapsed, " ", ""))
+    )
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    n = F.length("text")
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_alpha / F.greatest(n, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+    )
+
+
+def o_text_stats() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS collapsed
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_actual,
+  CAST(1 + length(collapsed) - length(replace(collapsed, ' ', '')) AS BIGINT) AS n_tokens,
+  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM t
+""".strip()
+
+
+def q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, portable double-space trick."""
+    docs = _docs(spark, sf_dir)
+    collapsed = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    padded = F.concat(F.lit(" "), F.regexp_replace(collapsed, " ", "  "), F.lit(" "))
+    n_stop = F.lit(0)
+    for w in STOPWORDS:
+        pat = f" {w} "
+        n_stop = n_stop + (
+            (F.length(padded) - F.length(F.regexp_replace(padded, pat, "")))
+            / F.lit(len(pat))
+        ).cast("long")
+    n_tokens = (
+        F.lit(1)
+        + F.length(collapsed)
+        - F.length(F.regexp_replace(collapsed, " ", ""))
+    )
+    ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def o_lang_stopword() -> str:
+    terms = []
+    for w in STOPWORDS:
+        pat = f" {w} "
+        terms.append(
+            f"CAST((length(padded) - length(replace(padded, '{pat}', ''))) // {len(pat)} AS BIGINT)"
+        )
+    n_stop = " + ".join(terms)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS collapsed
+  FROM documents
+),
+p AS (
+  SELECT doc_id, collapsed,
+         ' ' || replace(collapsed, ' ', '  ') || ' ' AS padded,
+         CAST(1 + length(collapsed) - length(replace(collapsed, ' ', '')) AS BIGINT) AS n_tokens
+  FROM t
+),
+s AS (SELECT doc_id, n_tokens, ({n_stop}) AS n_stop FROM p)
+SELECT doc_id,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+       CASE WHEN CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.08
+            THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM s
+""".strip()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def o_fingerprint() -> str:
+    return (
+        r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+        "AS fingerprint FROM documents"
+    )
+
+
+# --------------------------------------------------------------------------
+# 16-17: similarity + phash near-dup
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, SIM_K)
+    return out.select("query_id", "rank", "vec_id")
+
+
+def o_similarity_topk() -> str:
+    ids = ",".join(str(i) for i in SIM_QUERY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings e, q
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM scored WHERE rank <= {SIM_K}
+""".strip()
+
+
+def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import phash_hamming_pairs
+
+    img = _images(spark, sf_dir).select(
+        F.col("image_id").cast("long").alias("img"), "phash"
+    )
+    out = phash_hamming_pairs(img, "img", "phash", max_dist=30)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def o_phash_hamming() -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT CAST(image_id AS BIGINT) AS id, phash, {i} AS blk, "
+        f"(phash // {1 << (i * 16)}) % 65536 AS blk_val FROM img"
+        for i in range(4)
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+blocked AS ({blocks}),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.phash AS ph_a, r.phash AS ph_b
+  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.id < r.id
+)
+SELECT a, b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 30
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 18-19: geometry-only (rows-only checks)
+
+
+def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = Cap.from_center_area(
+        (
+            math.cos(math.radians(8.5)) * math.cos(math.radians(47.3)),
+            math.sin(math.radians(8.5)) * math.cos(math.radians(47.3)),
+            math.sin(math.radians(47.3)),
+        ),
+        0.05,
+    )
+    rc = RegionCoverer(min_level=4, max_level=16, level_mod=1, max_cells=8)
+    cov = rc.covering(cap)
+    toks = cov.tokens()
+    return spark.createDataFrame([(t,) for t in toks], "token string")
+
+
+def q_tiling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    begin = int(k.range_min(np.array([PITTSBURG[0]], dtype=U64))[0])
+    end = int(k.range_max(np.array([PITTSBURG[3]], dtype=U64))[0]) + 2
+    tiles = k.cellunion_from_range(begin, end)
+    toks = k.to_token(tiles)
+    return spark.createDataFrame(
+        [(t, int(s)) for t, s in zip(toks, tiles.view(np.int64))],
+        "token string, cell_id long",
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def queries():
+    return {
+        "golden_latlng": q_golden_latlng,
+        "golden_tokens": q_golden_tokens,
+        "golden_parent_level": q_golden_parent_level,
+        "golden_containment": q_golden_containment,
+        "xyz_cellid_scale": q_xyz_cellid_scale,
+        "roundtrip_scale": q_roundtrip_scale,
+        "face_histogram": q_face_histogram,
+        "cap_count": q_cap_count,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "lang_stopword": q_lang_stopword,
+        "fingerprint": q_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "phash_hamming": q_phash_hamming,
+        "covering_tokens": q_covering_tokens,
+        "tiling_range": q_tiling_range,
+    }
+
+
+def oracle_sql():
+    return {
+        "golden_latlng": o_golden_latlng(),
+        "golden_tokens": o_golden_tokens(),
+        "golden_parent_level": o_golden_parent_level(),
+        "golden_containment": o_golden_containment(),
+        "xyz_cellid_scale": o_xyz_cellid_scale(),
+        "roundtrip_scale": o_roundtrip_scale(),
+        "face_histogram": o_face_histogram(),
+        "cap_count": o_cap_count(),
+        "knn": o_knn(),
+        "dedup_exact": o_dedup_exact(),
+        "minhash_pairs": o_minhash_pairs(),
+        "ngram_jaccard": o_ngram_jaccard(),
+        "text_stats": o_text_stats(),
+        "lang_stopword": o_lang_stopword(),
+        "fingerprint": o_fingerprint(),
+        "similarity_topk": o_similarity_topk(),
+        "phash_hamming": o_phash_hamming(),
+        # covering_tokens / tiling_range: geometry-only → rows-only checks
+    }
