@@ -1,0 +1,168 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Extra env:
+  SPARK_GRAFT_SCALING=1  — additionally run the spatial pipeline at
+  local[8] and local[32] on the same input and report throughput at
+  both plus scaling efficiency (sandbox proxy for the N→4N-executor
+  criterion in BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rust_s2_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(16, 2 * cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def spatial_pipeline(spark, sf_dir: str) -> int:
+    """The headline job: encode 150k..N images, covering-join 3 city
+    caps, aggregate per cell. Returns images processed."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.geometry import Cap
+    from rust_s2_spark.operators.covering_join import region_join
+    from rust_s2_spark.functions import s2_parent
+    from rust_s2_spark.sources import images_from_orders
+
+    img = images_from_orders(spark, sf_dir, with_bytes=False)
+    caps = [
+        Cap.from_latlng_degrees(40.7128, -74.0060, 3.0),
+        Cap.from_latlng_degrees(51.5074, -0.1278, 3.0),
+        Cap.from_latlng_degrees(35.6762, 139.6503, 3.0),
+    ]
+    joined = region_join(spark, img, caps, [0, 1, 2])
+    agg = joined.groupBy("region_id", s2_parent("cell_id", 8).alias("cell8")).agg(
+        F.count("*").alias("n"), F.countDistinct("phash").alias("np")
+    )
+    agg.collect()
+    return img.count()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.functions import s2_biased, s2_parent
+    from rust_s2_spark.operators.dedup import minhash_lsh_pairs, phash_hamming_pairs
+    from rust_s2_spark.operators.knn import knn_join
+    from rust_s2_spark.operators.similarity import brute_force_topk
+    from rust_s2_spark.sources import images_from_orders
+
+    out: dict[str, float] = {}
+
+    img = images_from_orders(spark, sf_dir, with_bytes=False)
+
+    def q_encode():
+        return img.agg(
+            F.count("*"), F.sum(s2_biased("cell_id") % F.lit(1000003))
+        ).collect()
+
+    out["encode"], _ = timed(q_encode)
+
+    out["spatial_join"], n_images = timed(lambda: spatial_pipeline(spark, sf_dir))
+
+    def q_tile():
+        return (
+            img.groupBy(s2_parent("cell_id", 7).alias("c"))
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(20)
+            .collect()
+        )
+
+    out["tile_agg"], _ = timed(q_tile)
+
+    queries_pts = [
+        (0, 40.7128, -74.0060),
+        (1, 51.5074, -0.1278),
+        (2, 35.6762, 139.6503),
+        (3, 0.0, 0.0),
+        (4, -33.8688, 151.2093),
+    ]
+    out["knn"], _ = timed(
+        lambda: knn_join(spark, img, queries_pts, 10, radius_guess_deg=2.0).collect()
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out["minhash_lsh"], _ = timed(
+        lambda: minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4).count()
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out["similarity_topk"], _ = timed(lambda: brute_force_topk(emb, q, 10).count())
+
+    imgn = img.select(F.col("image_id").cast("long").alias("img"), "phash")
+    out["phash_hamming"], _ = timed(
+        lambda: phash_hamming_pairs(imgn, "img", "phash", max_dist=20).count()
+    )
+
+    out["_n_images"] = float(n_images)
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = make_spark(cpus)
+    t0 = time.perf_counter()
+    q = run_queries(spark, sf_dir)
+    total = time.perf_counter() - t0
+    n_images = int(q.pop("_n_images"))
+    spark.stop()
+
+    result = {
+        "metric": "spatial-join + tiling throughput",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / q["spatial_join"], 1),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for c in (8, 32):
+            s = make_spark(c)
+            # warm-up run to exclude JVM/Arrow first-touch costs
+            spatial_pipeline(s, sf_dir)
+            dt, n = timed(lambda: spatial_pipeline(s, sf_dir))
+            scaling[str(c)] = {"sec": round(dt, 3), "images_per_sec": round(n / dt, 1)}
+            s.stop()
+        eff = (scaling["32"]["images_per_sec"] / scaling["8"]["images_per_sec"]) / 4.0
+        result["scaling"] = scaling
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
