@@ -1,18 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
+Architecture matches the 100 TB deployment: the images table is
+materialized ONCE, range-partitioned + sorted by the biased cell id
+(Iceberg-layout stand-in), and every query reads the stored table so
+covering-range predicates prune parquet row groups via min/max stats.
+
 Extra env:
-  SPARK_GRAFT_SCALING=1  — additionally run the spatial pipeline at
-  local[8] and local[32] on the same input and report throughput at
-  both plus scaling efficiency (sandbox proxy for the N→4N-executor
-  criterion in BASELINE.json north_rule).
+  SPARK_GRAFT_SCALING=1 — additionally run the spatial pipeline at
+  local[8] and local[32] on the same stored input and report
+  throughput at both plus scaling efficiency (sandbox proxy for the
+  N→4N-executor criterion in BASELINE.json north_rule).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
+import shutil
+import tempfile
 import time
 
 
@@ -37,17 +43,15 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def spatial_pipeline(spark, sf_dir: str) -> int:
-    """The headline job: encode 150k..N images, covering-join 3 city
-    caps, aggregate per cell. Returns images processed."""
+def spatial_pipeline(spark, img) -> int:
+    """Headline job: covering-join 3 city caps against the stored
+    table, aggregate per level-8 cell. Returns images matched."""
     from pyspark.sql import functions as F
 
+    from rust_s2_spark.functions import s2_parent
     from rust_s2_spark.geometry import Cap
     from rust_s2_spark.operators.covering_join import region_join
-    from rust_s2_spark.functions import s2_parent
-    from rust_s2_spark.sources import images_from_orders
 
-    img = images_from_orders(spark, sf_dir, with_bytes=False)
     caps = [
         Cap.from_latlng_degrees(40.7128, -74.0060, 3.0),
         Cap.from_latlng_degrees(51.5074, -0.1278, 3.0),
@@ -57,11 +61,11 @@ def spatial_pipeline(spark, sf_dir: str) -> int:
     agg = joined.groupBy("region_id", s2_parent("cell_id", 8).alias("cell8")).agg(
         F.count("*").alias("n"), F.countDistinct("phash").alias("np")
     )
-    agg.collect()
-    return img.count()
+    rows = agg.collect()
+    return sum(r["n"] for r in rows)
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from rust_s2_spark.functions import s2_biased, s2_parent
@@ -69,19 +73,20 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from rust_s2_spark.operators.knn import knn_join
     from rust_s2_spark.operators.similarity import brute_force_topk
     from rust_s2_spark.sources import images_from_orders
+    from rust_s2_spark.sources.images import read_images_table, write_images_table
 
     out: dict[str, float] = {}
 
-    img = images_from_orders(spark, sf_dir, with_bytes=False)
+    # ingest: generate + encode + cluster-by-Hilbert write (the once-per
+    # -dataset cost; also the encode-throughput number)
+    out["ingest_encode"], _ = timed(
+        lambda: write_images_table(spark, sf_dir, table_path, with_bytes=False)
+    )
 
-    def q_encode():
-        return img.agg(
-            F.count("*"), F.sum(s2_biased("cell_id") % F.lit(1000003))
-        ).collect()
+    img = read_images_table(spark, table_path)
+    n_images = img.count()
 
-    out["encode"], _ = timed(q_encode)
-
-    out["spatial_join"], n_images = timed(lambda: spatial_pipeline(spark, sf_dir))
+    out["spatial_join"], _ = timed(lambda: spatial_pipeline(spark, img))
 
     def q_tile():
         return (
@@ -129,39 +134,49 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    table_path = tempfile.mkdtemp(prefix="s2img_") + "/images"
 
-    spark = make_spark(cpus)
-    t0 = time.perf_counter()
-    q = run_queries(spark, sf_dir)
-    total = time.perf_counter() - t0
-    n_images = int(q.pop("_n_images"))
-    spark.stop()
+    try:
+        spark = make_spark(cpus)
+        t0 = time.perf_counter()
+        q = run_queries(spark, sf_dir, table_path)
+        total = time.perf_counter() - t0
+        n_images = int(q.pop("_n_images"))
+        spark.stop()
 
-    result = {
-        "metric": "spatial-join + tiling throughput",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in q.items()},
-        "sf": sf,
-        "cpus": cpus,
-        "n_images": n_images,
-        "images_per_sec": round(n_images / q["spatial_join"], 1),
-    }
+        result = {
+            "metric": "spatial-join + tiling throughput",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in q.items()},
+            "sf": sf,
+            "cpus": cpus,
+            "n_images": n_images,
+            "images_per_sec": round(n_images / q["spatial_join"], 1),
+            "encode_images_per_sec": round(n_images / q["ingest_encode"], 1),
+        }
 
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        scaling = {}
-        for c in (8, 32):
-            s = make_spark(c)
-            # warm-up run to exclude JVM/Arrow first-touch costs
-            spatial_pipeline(s, sf_dir)
-            dt, n = timed(lambda: spatial_pipeline(s, sf_dir))
-            scaling[str(c)] = {"sec": round(dt, 3), "images_per_sec": round(n / dt, 1)}
-            s.stop()
-        eff = (scaling["32"]["images_per_sec"] / scaling["8"]["images_per_sec"]) / 4.0
-        result["scaling"] = scaling
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+            scaling = {}
+            for c in (8, 32):
+                s = make_spark(c)
+                img = s.read.parquet(table_path)
+                spatial_pipeline(s, img)  # warm-up (JVM/codegen first-touch)
+                dt, _ = timed(lambda: spatial_pipeline(s, img))
+                scaling[str(c)] = {
+                    "sec": round(dt, 3),
+                    "images_per_sec": round(n_images / dt, 1),
+                }
+                s.stop()
+            eff = (
+                scaling["32"]["images_per_sec"] / scaling["8"]["images_per_sec"]
+            ) / 4.0
+            result["scaling"] = scaling
+            result["scaling_efficiency_8_to_32"] = round(eff, 3)
 
-    print(json.dumps(result))
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(os.path.dirname(table_path), ignore_errors=True)
 
 
 if __name__ == "__main__":

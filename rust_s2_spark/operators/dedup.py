@@ -27,12 +27,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct character n-gram md5s per row (exploded)."""
-    expr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-        f" i -> md5(substring({text_col}, i, {n})))"
+    """Distinct character n-gram md5s per row (exploded).
+
+    explode(sequence) + top-level substring/md5 keeps the hashing in
+    whole-stage codegen; a lambda inside transform() would run
+    interpreted per element.
+    """
+    pos = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(text_col) - F.lit(n - 1), F.lit(1))
+        )
+    ).alias("__pos")
+    with_pos = df.select("*", pos)
+    sh = F.md5(F.expr(f"substring({text_col}, __pos, {n})")).alias("shingle")
+    return with_pos.select(*df.columns, sh).dropDuplicates(
+        [c for c in df.columns] + ["shingle"]
     )
-    return df.withColumn("shingle", F.explode(F.array_distinct(F.expr(expr))))
 
 
 def minhash_lsh_pairs(
@@ -41,20 +51,48 @@ def minhash_lsh_pairs(
     id_col: str,
     n: int = 5,
     bands: int = 8,
+    rows_per_band: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded minhash.
-
-    Per band b: signature = min(md5(b || shingle)). Rows sharing a
-    (band, signature) bucket become candidate pairs (a < b to dedup).
-    Everything is expressible in portable SQL (DuckDB oracle-able).
+    """Candidate near-duplicate pairs via banded minhash (b bands ×
+    r rows): minhash h_i = min(md5('s{i}:' || shingle)); band
+    signature = md5(h_{rb} || ... || h_{rb+r-1}). Collision
+    probability per band ≈ J^r, so common-vocabulary corpora don't
+    explode the buckets. Rows sharing a (band, signature) bucket
+    become candidate pairs (a < b). All portable SQL (DuckDB
+    oracle-able); one shingle pass computes every minhash (map-side
+    partial min aggregation).
     """
+    nh = bands * rows_per_band
     sh = shingles(df.select(id_col, text_col), text_col, n)
-    sigs = None
-    for b in range(bands):
-        s = sh.groupBy(id_col).agg(
-            F.min(F.md5(F.concat(F.lit(str(b) + ":"), F.col("shingle")))).alias("sig")
-        ).withColumn("band", F.lit(b))
-        sigs = s if sigs is None else sigs.unionByName(s)
+    # minhash h_i: slice four independent 32-bit (8-hex) values out of
+    # each md5 instead of hashing once per i — 128 bits of md5 feed 4
+    # minhashes, so ceil(nh/4) md5 calls per shingle instead of nh
+    aggs = []
+    for i in range(nh):
+        grp, sl = divmod(i, 4)
+        src = F.md5(F.concat(F.lit(f"g{grp}:"), F.col("shingle")))
+        aggs.append(F.min(F.substring(src, 1 + 8 * sl, 8)).alias(f"h{i}"))
+    wide = sh.groupBy(id_col).agg(*aggs)
+    band_sigs = [
+        F.md5(
+            F.concat(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    wide = wide.select(id_col, *band_sigs)
+    sigs = wide.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     left = sigs.select(F.col(id_col).alias("a"), "band", "sig")
     right = sigs.select(F.col(id_col).alias("b"), "band", "sig")
     pairs = (

@@ -413,19 +413,30 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id", n=5, bands=4)
 
 
-def o_minhash_pairs() -> str:
-    sigs = []
-    for b in range(4):
-        sigs.append(
-            f"SELECT doc_id, {b} AS band, min(md5('{b}:' || sh)) AS sig FROM shing GROUP BY doc_id"
+def o_minhash_pairs(bands: int = 4, rows_per_band: int = 4) -> str:
+    nh = bands * rows_per_band
+    mins = ", ".join(
+        "min(substring(md5('g{g}:' || sh), {start}, 8)) AS h{i}".format(
+            g=i // 4, start=1 + 8 * (i % 4), i=i
         )
-    sig_sql = " UNION ALL ".join(sigs)
+        for i in range(nh)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM wide".format(
+            b=b,
+            cat=" || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return f"""
 WITH shing AS (
   SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
   FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
 ),
-sigs AS ({sig_sql})
+wide AS (SELECT doc_id, {mins} FROM shing GROUP BY doc_id),
+sigs AS ({band_rows})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 """.strip()

@@ -104,6 +104,35 @@ def images_from_orders(
     )
 
 
+def write_images_table(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    with_bytes: bool = True,
+    partition_level: int = 5,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the images table the way the 100 TB Iceberg table
+    would be laid out: range-partitioned AND sorted by the biased cell
+    id, so every covering-join range predicate prunes files via parquet
+    min/max stats and scans are Hilbert-clustered.
+
+    (Stand-in for Iceberg write with sort order cell_id_biased; plain
+    parquet here because the sandbox has no Iceberg runtime.)
+    """
+    df = images_from_orders(spark, sf_dir, with_bytes, partition_level)
+    (
+        df.repartitionByRange(n_buckets, "cell_id_biased")
+        .sortWithinPartitions("cell_id_biased")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def read_images_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def oracle_images_sql(with_k: bool = False) -> str:
     """DuckDB CTE producing the identical (image_id, lat, lng, phash,
     caption) rows from the pre-registered ``orders`` view."""
