@@ -157,21 +157,43 @@ def main():
         }
 
         if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+            # N→4N core proxy: same job, same input, local[8] vs local[32].
+            # Input is scaled (multiplier) so per-core work dominates task
+            # scheduling overhead — at raw sf0.1 the whole pipeline runs in
+            # ~2s and measures nothing but fixed costs.
+            from rust_s2_spark.sources.images import (
+                images_from_orders,
+                write_images_table,
+            )
+
+            mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
             scaling = {}
             for c in (8, 32):
                 s = make_spark(c)
-                img = s.read.parquet(table_path)
-                spatial_pipeline(s, img)  # warm-up (JVM/codegen first-touch)
-                dt, _ = timed(lambda: spatial_pipeline(s, img))
+
+                def job():
+                    # headline job: generate + encode (pandas UDF) +
+                    # covering join + per-cell agg, end to end
+                    df = images_from_orders(
+                        s, sf_dir, with_bytes=False, multiplier=mult
+                    )
+                    return spatial_pipeline(s, df)
+
+                job()  # warm-up (JVM codegen + Python worker spin-up)
+                # min of 3 trials — this sandbox shows large run-to-run
+                # JIT/GC noise; the min is the stable capability estimate
+                dt = min(timed(job)[0] for _ in range(3))
+                n_big = n_images * mult
                 scaling[str(c)] = {
                     "sec": round(dt, 3),
-                    "images_per_sec": round(n_images / dt, 1),
+                    "images_per_sec": round(n_big / dt, 1),
                 }
                 s.stop()
             eff = (
                 scaling["32"]["images_per_sec"] / scaling["8"]["images_per_sec"]
             ) / 4.0
             result["scaling"] = scaling
+            result["scaling_rows"] = n_images * mult
             result["scaling_efficiency_8_to_32"] = round(eff, 3)
 
         print(json.dumps(result))

@@ -1,0 +1,185 @@
+"""Spherical polygon loop region (point-in-polygon support).
+
+The reference only ships the abstract Shape trait (shape.rs:151-233,
+no implementations); this Loop is built from the reference's own
+primitives: crossing tests (edgeutil.rs:96-113 simple_crossing),
+orientation predicates (predicates.rs), and the RectBounder idea
+(rect_bounder.rs) for lat/lng bounds.
+
+Conventions
+-----------
+* vertices CCW, implicitly closed, interior on the left;
+* the loop (boundary + interior) must fit in an open hemisphere —
+  then the antipode of the vertex centroid is a guaranteed-exterior
+  anchor and containment = crossing parity of the geodesic
+  anchor→point with the boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import cellid as k
+from ..kernels import edges as ek
+from . import point as pt
+from .intervals import PI, R1Interval, S1Interval
+from .rect import Rect
+
+
+class Loop:
+    def __init__(self, vertices: np.ndarray):
+        """vertices: (n,3) unit vectors, CCW, n >= 3."""
+        v = np.asarray(vertices, dtype=np.float64)
+        if v.ndim != 2 or v.shape[0] < 3 or v.shape[1] != 3:
+            raise ValueError("Loop needs (n>=3, 3) vertices")
+        self.vertices = v / np.linalg.norm(v, axis=1, keepdims=True)
+        centroid = self.vertices.sum(axis=0)
+        nc = np.linalg.norm(centroid)
+        if nc < 1e-9:
+            raise ValueError("Loop vertices span a hemisphere or more")
+        self.anchor = -centroid / nc  # guaranteed outside (hemisphere rule)
+
+    @staticmethod
+    def from_latlng_degrees(coords: list[tuple[float, float]]) -> "Loop":
+        return Loop(np.array([pt.latlng_to_xyz(la, lo) for la, lo in coords]))
+
+    # -- containment ---------------------------------------------------------
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        """Vectorized PIP: crossing parity of geodesic anchor→p with
+        every boundary edge. Pure numpy; this is the kernel the Spark
+        pandas UDF calls."""
+        p = np.stack(
+            [
+                np.asarray(x, dtype=np.float64),
+                np.asarray(y, dtype=np.float64),
+                np.asarray(z, dtype=np.float64),
+            ],
+            axis=1,
+        )
+        n = p.shape[0]
+        parity = np.zeros(n, dtype=bool)
+        q = self.anchor[None, :]
+        verts = self.vertices
+        m = verts.shape[0]
+        for i in range(m):
+            a = verts[i][None, :]
+            b = verts[(i + 1) % m][None, :]
+            parity ^= np.asarray(ek.simple_crossing(q, p, a, b))
+        return parity
+
+    def contains_point(self, p) -> bool:
+        p = np.asarray(p, dtype=np.float64)
+        return bool(self.contains_points(p[0:1], p[1:2], p[2:3])[0])
+
+    # -- bounds --------------------------------------------------------------
+
+    def rect_bound(self) -> Rect:
+        """Conservative lat/lng bound: vertex extremes plus per-edge
+        interior latitude extremes (RectBounder's core rule,
+        ref rect_bounder.rs:83-220), expanded by a small margin."""
+        lats = np.arctan2(
+            self.vertices[:, 2],
+            np.hypot(self.vertices[:, 0], self.vertices[:, 1]),
+        )
+        lat = R1Interval(float(np.min(lats)), float(np.max(lats)))
+
+        lngs = np.arctan2(self.vertices[:, 1], self.vertices[:, 0])
+        lng = S1Interval(float(lngs[0]), float(lngs[0]))
+        for i in range(1, len(lngs)):
+            lng = lng.add_point(float(lngs[i]))
+
+        m = self.vertices.shape[0]
+        for i in range(m):
+            a = self.vertices[i]
+            b = self.vertices[(i + 1) % m]
+            normal = np.cross(a, b)
+            nn = np.linalg.norm(normal)
+            if nn == 0:
+                continue
+            # the great circle through a,b attains |lat| = asin(hypot(nx,ny)/|n|)
+            max_abs_lat = np.arcsin(
+                min(1.0, np.hypot(normal[0], normal[1]) / nn)
+            )
+            # extreme points: where the circle's tangent is east-west
+            up = np.array([0.0, 0.0, 1.0])
+            east = np.cross(up, normal)
+            if np.linalg.norm(east) == 0:
+                continue
+            for sign in (1.0, -1.0):
+                ext = sign * np.cross(normal, east)
+                ne = np.linalg.norm(ext)
+                if ne == 0:
+                    continue
+                ext = ext / ne
+                # is the extreme point within the edge segment?
+                if (
+                    np.dot(np.cross(a, ext), normal) > 0
+                    and np.dot(np.cross(ext, b), normal) > 0
+                ):
+                    lat = lat.add_point(float(np.sign(ext[2]) * max_abs_lat))
+            # wide lng spans: edges crossing the anti-meridian are handled
+            # by S1Interval.add_point above (shortest-arc rule)
+        margin = 4.0 * pt.DBL_EPSILON
+        out = Rect(lat, lng).expanded(margin, margin)
+        # if the loop contains a pole, the lng span must be full
+        if self.contains_point((0.0, 0.0, 1.0)):
+            out = Rect(R1Interval(out.lat.lo, PI / 2), S1Interval.full())
+        if self.contains_point((0.0, 0.0, -1.0)):
+            out = Rect(R1Interval(-PI / 2, out.lat.hi), S1Interval.full())
+        return out
+
+    def cap_bound(self):
+        return self.rect_bound().cap_bound()
+
+    def cell_union_bound(self) -> list[int]:
+        return self.cap_bound().cell_union_bound()
+
+    # -- region protocol for the coverer --------------------------------------
+
+    def _cell_relation(self, cell):
+        verts = self.vertices
+        m = verts.shape[0]
+        cell_verts = np.array(cell.vertices)
+        inside = self.contains_points(
+            cell_verts[:, 0], cell_verts[:, 1], cell_verts[:, 2]
+        )
+        # any loop vertex inside the cell?
+        any_loop_vertex_in_cell = any(
+            cell.contains_point(tuple(v)) for v in verts
+        )
+        # boundary crossings between loop edges and cell edges
+        crossing = False
+        for i in range(m):
+            a = verts[i][None, :]
+            b = verts[(i + 1) % m][None, :]
+            for j in range(4):
+                c = cell_verts[j][None, :]
+                d = cell_verts[(j + 1) % 4][None, :]
+                if ek.crossing_sign(a, b, c, d)[0] >= 0:
+                    crossing = True
+                    break
+            if crossing:
+                break
+        return inside, any_loop_vertex_in_cell, crossing
+
+    def intersects_cell(self, cell) -> bool:
+        inside, loop_v_in_cell, crossing = self._cell_relation(cell)
+        return bool(np.any(inside)) or loop_v_in_cell or crossing
+
+    def contains_cell(self, cell) -> bool:
+        inside, loop_v_in_cell, crossing = self._cell_relation(cell)
+        return bool(np.all(inside)) and not loop_v_in_cell and not crossing
+
+    # -- measures --------------------------------------------------------------
+
+    def area(self) -> float:
+        """Signed spherical area via triangulation from vertex 0
+        (Σ point_area with orientation from robust_sign)."""
+        v = self.vertices
+        total = 0.0
+        for i in range(1, len(v) - 1):
+            tri_area = float(ek.point_area(v[0], v[i], v[i + 1])[0])
+            sign = int(ek.robust_sign(v[0][None], v[i][None], v[i + 1][None])[0])
+            total += sign * tri_area
+        return abs(total)

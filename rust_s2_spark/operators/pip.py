@@ -1,0 +1,64 @@
+"""Point-in-polygon join (SURVEY.md §2.8).
+
+Plan: cover the loop (RegionCoverer) → pushdown range predicate on
+the biased cell id → rows in interior-covering cells pass without
+geometry; boundary-cell rows get the vectorized crossing-parity
+kernel (one Arrow batch per ~10k rows, numpy inside).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..geometry import RegionCoverer
+from ..geometry.loop import Loop
+from .covering_join import covering_ranges, interior_predicate, range_predicate
+
+PIP_COVERER = RegionCoverer(min_level=0, max_level=18, level_mod=1, max_cells=64)
+
+
+def loop_contains_expr(loop: Loop, lat_col: str, lng_col: str) -> Column:
+    """Exact PIP as an Arrow-batched pandas UDF (crossing parity)."""
+    verts = loop.vertices.copy()
+    anchor = loop.anchor.copy()
+
+    @pandas_udf(BooleanType())
+    def _pip(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernels import edges as ek
+
+        la = np.radians(lat.to_numpy(np.float64))
+        lo = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        p = np.stack([np.cos(lo) * cl, np.sin(lo) * cl, np.sin(la)], axis=1)
+        parity = np.zeros(len(p), dtype=bool)
+        q = anchor[None, :]
+        m = verts.shape[0]
+        for i in range(m):
+            a = verts[i][None, :]
+            b = verts[(i + 1) % m][None, :]
+            parity ^= np.asarray(ek.simple_crossing(q, p, a, b))
+        return pd.Series(parity)
+
+    return _pip(F.col(lat_col), F.col(lng_col))
+
+
+def pip_filter(
+    df: DataFrame,
+    loop: Loop,
+    coverer: RegionCoverer = PIP_COVERER,
+    biased_col: str = "cell_id_biased",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Rows of df inside the loop."""
+    ranges = covering_ranges(loop, coverer)
+    candidate = range_predicate(ranges, biased_col)
+    certain = interior_predicate(ranges, biased_col)
+    return df.where(candidate).where(
+        certain | loop_contains_expr(loop, lat_col, lng_col)
+    )

@@ -68,13 +68,31 @@ def images_from_orders(
     sf_dir: str,
     with_bytes: bool = True,
     partition_level: int = 5,
+    multiplier: int = 1,
 ) -> DataFrame:
     """Build the images table from the driver's orders parquet.
 
     Geo hot path never touches ``bytes``/``caption`` (they ride along
     in the same rows; the cell-id UDF reads only lat/lng).
+    ``multiplier`` replicates rows with distinct derived keys — used by
+    the bench scaling run to get a working set big enough that per-core
+    work dominates scheduling overhead.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # the driver testdata is one parquet file = one input partition;
+    # spread the keys so the encode UDF uses every core
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+    if multiplier > 1:
+        orders = orders.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1))).alias("__idx"),
+        ).select(
+            (F.col("o_orderkey") * F.lit(multiplier) + F.col("__idx")).alias(
+                "o_orderkey"
+            )
+        )
     d = _derivation_sql("o_orderkey")
     df = orders.select(
         F.col("o_orderkey").cast("string").alias("image_id"),

@@ -1,0 +1,184 @@
+"""Edge-kernel and point-in-polygon tests (goldens + properties)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.geometry import point as pt
+from rust_s2_spark.geometry.loop import Loop
+from rust_s2_spark.kernels import edges as ek
+
+
+def V(*rows):
+    return np.array(rows, dtype=np.float64)
+
+
+def norm(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_simple_crossing_basic():
+    # two great-circle arcs crossing at the origin-ish point
+    a, b = norm([1, -0.1, 0]), norm([1, 0.1, 0])
+    c, d = norm([1, 0, -0.1]), norm([1, 0, 0.1])
+    assert ek.simple_crossing(a[None], b[None], c[None], d[None])[0]
+    # non-crossing
+    c2, d2 = norm([0.9, 0.5, 0.1]), norm([0.9, 0.6, 0.2])
+    assert not ek.simple_crossing(a[None], b[None], c2[None], d2[None])[0]
+
+
+def test_robust_sign_antisymmetry_and_cycle():
+    rng = np.random.default_rng(3)
+    p = rng.standard_normal((50, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    a, b, c = p[:20], p[15:35], p[30:50]
+    s1 = ek.robust_sign(a, b, c)
+    assert np.array_equal(s1, ek.robust_sign(b, c, a))  # cyclic
+    assert np.array_equal(s1, -ek.robust_sign(c, b, a))  # antisymmetric
+    assert np.all(s1 != 0)
+
+
+def test_robust_sign_collinear_exact_fallback():
+    # exactly collinear points (same great circle) → exact sign 0
+    a = norm([1, 0, 0])
+    b = norm([0, 1, 0])
+    c = norm([1, 1, 0])
+    assert ek.exact_sign(a, b, c) == 0
+    assert ek.robust_sign(a[None], b[None], c[None])[0] == 0
+
+
+def test_interpolate_matches_reference_semantics():
+    # ref edgeutil.rs: interpolate(0)=a, interpolate(1)=b, midpoint
+    a = norm([1, 0, 0])
+    b = norm([0, 1, 0])
+    p0 = ek.interpolate(0.0, a, b)[0]
+    p1 = ek.interpolate(1.0, a, b)[0]
+    pm = ek.interpolate(0.5, a, b)[0]
+    assert np.allclose(p0, a, atol=1e-15)
+    assert np.allclose(p1, b, atol=1e-14)
+    assert np.allclose(pm, norm([1, 1, 0]), atol=1e-14)
+
+
+def test_project_and_distance():
+    a = norm([1, 0, 0])
+    b = norm([0, 1, 0])
+    x = norm([1, 1, 0.5])
+    closest = ek.project_to_segment(x, a, b)[0]
+    d2 = ek.dist2_point_segment(x, a, b)[0]
+    # closest point is on the equator arc between a and b
+    assert abs(closest[2]) < 1e-15
+    want = pt.chord2(tuple(x), tuple(closest))
+    assert abs(d2 - want) < 1e-15
+    # endpoint case: x nearest to a
+    x2 = norm([1, -0.5, 0.0])
+    c2 = ek.project_to_segment(x2, a, b)[0]
+    assert np.allclose(c2, a)
+
+
+def test_point_area_goldens():
+    # ref point.rs:676-743: area of the octant triangle = π/2
+    x = norm([1, 0, 0])
+    y = norm([0, 1, 0])
+    z = norm([0, 0, 1])
+    assert abs(ek.point_area(x, y, z)[0] - math.pi / 2) < 1e-14
+    # tiny triangle ~ planar area
+    eps = 1e-5
+    a = norm([1, eps, 0])
+    b = norm([1, 0, eps])
+    got = ek.point_area(a, b, z if False else norm([1, 0, 0]))[0]
+    assert abs(got - 0.5 * eps * eps) < 1e-14
+
+
+# ---------------------------------------------------------------------------
+# Loop / PIP
+
+
+def diamond_loop(lat0=10.0, lng0=20.0, r=5.0) -> Loop:
+    return Loop.from_latlng_degrees(
+        [
+            (lat0, lng0 + r),
+            (lat0 + r, lng0),
+            (lat0, lng0 - r),
+            (lat0 - r, lng0),
+        ][::-1]  # CCW viewed from outside: counterclockwise in lat/lng
+    )
+
+
+def test_loop_contains_center_not_far():
+    lp = Loop.from_latlng_degrees([(0, 0), (0, 10), (10, 10), (10, 0)])
+    assert lp.contains_point(pt.latlng_to_xyz(5, 5))
+    assert not lp.contains_point(pt.latlng_to_xyz(20, 5))
+    assert not lp.contains_point(pt.latlng_to_xyz(-5, 5))
+    assert not lp.contains_point(pt.latlng_to_xyz(5, -170))
+
+
+def test_loop_concave():
+    # concave hexagon (notch cut into the right side)
+    lp = Loop.from_latlng_degrees(
+        [(0, 0), (0, 10), (4, 10), (4, 4), (6, 4), (6, 10), (10, 10), (10, 0)]
+    )
+    assert lp.contains_point(pt.latlng_to_xyz(2, 8))  # below the notch
+    assert not lp.contains_point(pt.latlng_to_xyz(5, 8))  # inside the notch
+    assert lp.contains_point(pt.latlng_to_xyz(5, 2))  # left of the notch
+
+
+def test_loop_rect_bound_contains_boundary_samples():
+    lp = diamond_loop()
+    bound = lp.rect_bound()
+    v = lp.vertices
+    for i in range(len(v)):
+        a, b = v[i], v[(i + 1) % len(v)]
+        for t in np.linspace(0, 1, 20):
+            p = ek.interpolate(float(t), a, b)[0]
+            la, lo = pt.xyz_to_latlng_rad(tuple(p))
+            assert bound.contains_latlng_rad(la, lo)
+
+
+def test_loop_coverer_and_membership():
+    from rust_s2_spark.geometry import RegionCoverer
+    from rust_s2_spark.kernels import cellid as k
+
+    lp = diamond_loop()
+    rc = RegionCoverer(min_level=0, max_level=16, level_mod=1, max_cells=32)
+    cov = rc.covering(lp)
+    inner = rc.interior_covering(lp)
+    assert len(cov) >= 1
+    # random points inside the loop are inside the covering
+    rng = np.random.default_rng(9)
+    hits = 0
+    for _ in range(200):
+        la = rng.uniform(4, 16)
+        lo = rng.uniform(14, 26)
+        p = pt.latlng_to_xyz(la, lo)
+        if not lp.contains_point(p):
+            continue
+        hits += 1
+        leaf = k.cell_from_latlng(np.array([la]), np.array([lo]))
+        assert cov.contains_ids(leaf)[0]
+        # interior covering must never cover outside points — and
+        # points in the interior covering must be in the loop
+        if inner.contains_ids(leaf)[0]:
+            assert lp.contains_point(p)
+    assert hits > 20
+
+
+def test_pip_filter_matches_brute_force(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.pip import loop_contains_expr, pip_filter
+    from rust_s2_spark.sources import images_from_orders
+
+    img = images_from_orders(spark, sf_dir, with_bytes=False).cache()
+    # polygon around the NYC hotspot so matches exist
+    lp = Loop.from_latlng_degrees(
+        [(39.5, -75.5), (39.5, -72.5), (42.0, -72.5), (42.0, -75.5)]
+    )
+    got = pip_filter(img, lp).select("image_id")
+    want = img.where(loop_contains_expr(lp, "lat", "lng")).select("image_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
