@@ -638,7 +638,67 @@ FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 30
 
 
 # --------------------------------------------------------------------------
-# 18-19: geometry-only (rows-only checks)
+# 18: point-in-polygon join — the oracle polygon is a spherical
+# triangle whose edges are two meridians + an equator arc, i.e. all
+# geodesics with an exact lat/lng characterization (lat>0 ∧ 0<lng<50),
+# so DuckDB can decide membership in pure SQL while Spark runs the
+# real covering + crossing-parity join.
+
+PIP_TRIANGLE = [(0.0, 0.0), (0.0, 50.0), (90.0, 25.0)]
+# apex at the pole: both side edges are true meridians (to within the
+# ~6e-17 rounding of sin/cos at ±90°), so membership is EXACTLY
+# lat>0 ∧ 0<lng<50 — far beyond the 1e-6° resolution of the data
+
+
+def q_pip_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..geometry.loop import Loop
+    from ..operators.pip import pip_filter
+
+    img = _images(spark, sf_dir)
+    lp = Loop.from_latlng_degrees(PIP_TRIANGLE)
+    hits = pip_filter(img, lp)
+    return hits.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("phash") % F.lit(1000003)).cast("long").alias("sum_phash_mod"),
+    )
+
+
+def o_pip_triangle() -> str:
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT count(*) AS n, CAST(sum(phash % 1000003) AS BIGINT) AS sum_phash_mod
+FROM img WHERE lat > 0 AND lng > 0 AND lng < 50
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 19: cell areas
+
+
+def q_cell_avg_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average cell area per level (metric table, native SQL)."""
+    from ..kernels import metric as metrics
+
+    lv = spark.createDataFrame([(l,) for l in range(0, 31, 3)], "lvl int")
+    return lv.select(
+        "lvl",
+        (F.lit(metrics.AVG_AREA.deriv) * F.pow(F.lit(2.0), F.lit(-2) * F.col("lvl")))
+        .alias("avg_area"),
+    )
+
+
+def o_cell_avg_area() -> str:
+    from ..kernels import metric as metrics
+
+    lvls = ",".join(f"({l})" for l in range(0, 31, 3))
+    return (
+        f"SELECT lvl, {metrics.AVG_AREA.deriv!r} * pow(2.0, -2*lvl) AS avg_area "
+        f"FROM (VALUES {lvls}) t(lvl)"
+    )
+
+
+# --------------------------------------------------------------------------
+# 20-21: geometry-only (rows-only checks)
 
 
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +750,8 @@ def queries():
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "phash_hamming": q_phash_hamming,
+        "pip_triangle": q_pip_triangle,
+        "cell_avg_area": q_cell_avg_area,
         "covering_tokens": q_covering_tokens,
         "tiling_range": q_tiling_range,
     }
@@ -714,5 +776,7 @@ def oracle_sql():
         "fingerprint": o_fingerprint(),
         "similarity_topk": o_similarity_topk(),
         "phash_hamming": o_phash_hamming(),
+        "pip_triangle": o_pip_triangle(),
+        "cell_avg_area": o_cell_avg_area(),
         # covering_tokens / tiling_range: geometry-only → rows-only checks
     }

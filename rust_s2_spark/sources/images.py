@@ -53,11 +53,15 @@ def _derivation_sql(key: str) -> dict[str, str]:
         f"(CASE {city} WHEN 0 THEN {_CITIES[0][1]} WHEN 1 THEN {_CITIES[1][1]} "
         f"ELSE {_CITIES[2][1]} END + ({k2} % 400000) / 1000000.0 - 0.2)"
     )
+    # final CAST(... AS DOUBLE): both engines evaluate the arithmetic in
+    # exact DECIMAL and round once at the cast — identical results — and
+    # the Spark column is a real double (decimal columns would cross
+    # Arrow as python objects and wreck pandas-UDF throughput)
     return {
         "k1": k1,
         "k2": k2,
-        "lat": f"(CASE WHEN {city} < 3 THEN {city_lat} ELSE {base_lat} END)",
-        "lng": f"(CASE WHEN {city} < 3 THEN {city_lng} ELSE {base_lng} END)",
+        "lat": f"CAST((CASE WHEN {city} < 3 THEN {city_lat} ELSE {base_lat} END) AS DOUBLE)",
+        "lng": f"CAST((CASE WHEN {city} < 3 THEN {city_lng} ELSE {base_lng} END) AS DOUBLE)",
         # fits in int64: (2^31-1)*2^31 + 2^31 < 2^62
         "phash": f"(({k2} % 2147483648) * 2147483648 + ({k1} % 2147483648))",
     }

@@ -1,0 +1,134 @@
+"""Streaming cell rollups, raster↔vector tile assignment, and
+lineage-checkpointed writes with idempotent resume."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.sources import images_from_orders
+from rust_s2_spark.sources.images import _derivation_sql
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    df = images_from_orders(spark, sf_dir, with_bytes=False).cache()
+    df.count()
+    return df
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir):
+    from rust_s2_spark.streaming import assign_cells, windowed_cell_counts
+
+    tmp = tempfile.mkdtemp(prefix="s2stream_")
+    try:
+        # stage the events table as a streamable directory with derived coords
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        d = _derivation_sql("user_id")
+        staged = events.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+            F.expr(d["lat"]).alias("lat"),
+            F.expr(d["lng"]).alias("lng"),
+        )
+        staged.write.mode("overwrite").parquet(f"{tmp}/in")
+
+        stream = spark.readStream.schema(staged.schema).parquet(f"{tmp}/in")
+        rolled = windowed_cell_counts(
+            assign_cells(stream), ts_col="ts", window="6 hours",
+            watermark="1 hour", agg_level=4,
+        )
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName("rollup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql(
+            "SELECT w.start AS ws, cell, n, value_sum FROM rollup"
+        )
+        batch = windowed_cell_counts(
+            assign_cells(spark.read.parquet(f"{tmp}/in")),
+            ts_col="ts", window="6 hours", watermark="1 hour", agg_level=4,
+        ).select(F.col("w.start").alias("ws"), "cell", "n", "value_sum")
+        # append-mode emits only watermark-closed windows → got ⊆ batch
+        assert got.count() > 0
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_image_tiles_cover_footprint(images):
+    from rust_s2_spark.operators.tiles import image_tiles
+
+    tiled = image_tiles(images.limit(200), level=10)
+    rows = tiled.groupBy("image_id").agg(F.count("*").alias("n")).collect()
+    # 3x3 ring: normally 9 tiles (can be fewer/more at face corners)
+    assert all(3 <= r.n <= 12 for r in rows)
+    # every tile is at level 10 and the image's own cell is among them
+    from rust_s2_spark.functions import s2_level, s2_parent
+
+    bad = tiled.where(s2_level("tile_cell") != 10).count()
+    assert bad == 0
+    own = tiled.where(s2_parent("cell_id", 10) == F.col("tile_cell"))
+    assert own.select("image_id").distinct().count() == 200
+
+
+def test_raster_vector_assign(spark, images):
+    from rust_s2_spark.geometry import Cap
+    from rust_s2_spark.operators.tiles import raster_vector_assign
+
+    cap = Cap.from_latlng_degrees(40.7128, -74.0060, 1.0)
+    out = raster_vector_assign(spark, images, cap, level=8)
+    n = out.select("image_id").distinct().count()
+    # everything strictly inside the cap must be assigned
+    from rust_s2_spark.operators.covering_join import cap_exact_predicate
+
+    inside = images.where(cap_exact_predicate(cap, "lat", "lng"))
+    n_inside = inside.count()
+    assert n >= n_inside > 0
+    # and their own tiles appear
+    assigned = set(r.image_id for r in out.select("image_id").distinct().collect())
+    for r in inside.select("image_id").limit(50).collect():
+        assert r.image_id in assigned
+
+
+def test_lineage_write_and_resume(spark, images):
+    from rust_s2_spark.plans.lineage import (
+        completed_buckets,
+        pending_buckets,
+        read_output,
+        write_with_lineage,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="s2lineage_")
+    base = f"{tmp}/out"
+    try:
+        df = images.limit(3000)
+        n1 = write_with_lineage(spark, df, base, step="ingest", bucket_level=2)
+        assert n1 > 0
+        done = completed_buckets(spark, base, "ingest")
+        assert len(done) == n1
+        # resume: nothing pending, writes nothing
+        assert pending_buckets(spark, df, base, "ingest", 2) == []
+        n2 = write_with_lineage(spark, df, base, step="ingest", bucket_level=2)
+        assert n2 == 0
+        # output round-trips completely
+        out = read_output(spark, base)
+        assert out.count() == df.count()
+        got_ids = set(r.image_id for r in out.select("image_id").collect())
+        want_ids = set(r.image_id for r in df.select("image_id").collect())
+        assert got_ids == want_ids
+        # lineage metrics are sane
+        ln = spark.read.parquet(f"{base}/_lineage")
+        tot = ln.agg(F.sum("n_rows")).collect()[0][0]
+        assert tot == df.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
