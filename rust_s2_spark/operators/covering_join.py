@@ -109,11 +109,19 @@ def region_filter(
     lng_col: str = "lng",
 ) -> DataFrame:
     """Rows of ``df`` inside ``region``: pushed-down covering ranges +
-    exact post-filter only outside the interior covering."""
+    exact geometric post-filter.
+
+    Both predicates are ANDed as one conjunction: the range predicate
+    stays a top-level conjunct so it reaches the parquet scan
+    (PushedFilters + row-group min/max pruning on the Hilbert-sorted
+    table). The exact filter is native codegen trig — cheap enough to
+    evaluate on interior rows too. (An ``interior OR exact`` shape
+    would make Catalyst distribute the AND and lose pushdown — that
+    trick only pays when the exact test is a Python UDF; see
+    operators/pip.py.)"""
     ranges = covering_ranges(region, coverer)
     candidate = range_predicate(ranges, biased_col)
-    certain = interior_predicate(ranges, biased_col)
-    return df.where(candidate).where(certain | exact_predicate(region, lat_col, lng_col))
+    return df.where(candidate & exact_predicate(region, lat_col, lng_col))
 
 
 def region_join(

@@ -17,7 +17,12 @@ from pyspark.sql.types import BooleanType
 
 from ..geometry import RegionCoverer
 from ..geometry.loop import Loop
-from .covering_join import covering_ranges, interior_predicate, range_predicate
+from .covering_join import (
+    CoveringRanges,
+    covering_ranges,
+    interior_predicate,
+    range_predicate,
+)
 
 PIP_COVERER = RegionCoverer(min_level=0, max_level=18, level_mod=1, max_cells=64)
 
@@ -55,10 +60,23 @@ def pip_filter(
     lat_col: str = "lat",
     lng_col: str = "lng",
 ) -> DataFrame:
-    """Rows of df inside the loop."""
+    """Rows of df inside the loop.
+
+    Two pushed-down scans unioned: interior-covering cells need no
+    geometry at all; only boundary-cell rows pay the crossing-parity
+    UDF. (A single ``interior OR udf`` filter would evaluate the UDF
+    on every candidate row — vectorized UDFs are computed per batch
+    before any when()/or short-circuit — and would also break parquet
+    filter pushdown.)"""
     ranges = covering_ranges(loop, coverer)
-    candidate = range_predicate(ranges, biased_col)
     certain = interior_predicate(ranges, biased_col)
-    return df.where(candidate).where(
-        certain | loop_contains_expr(loop, lat_col, lng_col)
+    boundary = CoveringRanges(
+        lo=[lo for lo, i in zip(ranges.lo, ranges.interior) if not i],
+        hi=[hi for hi, i in zip(ranges.hi, ranges.interior) if not i],
+        interior=[False] * (len(ranges.lo) - sum(ranges.interior)),
     )
+    inner_rows = df.where(certain)
+    boundary_rows = df.where(range_predicate(boundary, biased_col)).where(
+        loop_contains_expr(loop, lat_col, lng_col)
+    )
+    return inner_rows.unionByName(boundary_rows)
