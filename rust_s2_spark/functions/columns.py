@@ -199,6 +199,44 @@ def s2_edge_neighbors(cell_id) -> Column:
     return _edge_neighbors_udf(_as_col(cell_id))
 
 
+def s2_cap_covering(
+    lat_deg,
+    lng_deg,
+    radius_deg,
+    min_level: int = 0,
+    max_level: int = 30,
+    level_mod: int = 1,
+    max_cells: int = 8,
+) -> Column:
+    """Per-row cap covering (image-footprint coverings): one RegionCoverer
+    run per row, batched through Arrow. Keep max_cells small — this is
+    the documented slow path for per-row footprints (SURVEY.md §7);
+    fixed query regions should use the driver-side coverer +
+    operators.covering_join instead."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(lat: pd.Series, lng: pd.Series, radius: pd.Series) -> pd.Series:
+        from ..geometry import Cap, RegionCoverer
+
+        rc = RegionCoverer(
+            min_level=min_level,
+            max_level=max_level,
+            level_mod=level_mod,
+            max_cells=max_cells,
+        )
+        out = []
+        for la, lo, r in zip(
+            lat.to_numpy(np.float64),
+            lng.to_numpy(np.float64),
+            radius.to_numpy(np.float64),
+        ):
+            cov = rc.covering(Cap.from_latlng_degrees(la, lo, r))
+            out.append(cov.ids.view(np.int64))
+        return pd.Series(out)
+
+    return _cover(_as_col(lat_deg), _as_col(lng_deg), _as_col(radius_deg))
+
+
 def s2_all_neighbors(cell_id, level: int) -> Column:
     @pandas_udf(ArrayType(LongType()))
     def _all_neighbors_udf(ids: pd.Series) -> pd.Series:

@@ -1,0 +1,121 @@
+"""Skew handling: hot-cell detection, salted repartitioning, and
+level-adaptive covering splits (BASELINE.json north_rule).
+
+Dense cells (cities) make both Hilbert-range partitions and join keys
+skewed. Three tools:
+
+* ``hot_cells``            — one cheap aggregation pass finds parents
+                             whose row count exceeds a threshold.
+* ``salted_repartition``   — repartition by (parent, salt) where salt
+                             spreads ONLY the hot cells; cold cells
+                             keep salt 0 so their locality is intact.
+* ``adaptive_split``       — re-cover hot covering cells at deeper
+                             levels so every work unit (cell range)
+                             holds a bounded row count; feeds
+                             range-partitioned writes and range joins
+                             with balanced units.
+
+AQE's skew-join handling (spark.sql.adaptive.skewJoin) covers the
+moderate cases at runtime; these helpers are for the heavy tail and
+for write-time layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import s2_parent
+from ..kernels import cellid as k
+
+
+def hot_cells(
+    df: DataFrame, level: int, threshold: int, cell_col: str = "cell_id"
+) -> dict[int, int]:
+    """parent-cell id (raw int64) → row count, for cells above threshold."""
+    rows = (
+        df.groupBy(s2_parent(cell_col, level).alias("p"))
+        .count()
+        .where(F.col("count") > threshold)
+        .collect()
+    )
+    return {r["p"]: r["count"] for r in rows}
+
+
+def salted_repartition(
+    df: DataFrame,
+    level: int,
+    threshold: int,
+    n_partitions: int,
+    n_salt: int = 8,
+    cell_col: str = "cell_id",
+    salt_source: str = "image_id",
+) -> DataFrame:
+    """Repartition by (parentL, salt): salt is nonzero only for hot
+    cells, so cold cells stay contiguous while city cells spread over
+    ``n_salt`` partitions."""
+    hot = list(hot_cells(df, level, threshold, cell_col).keys())
+    parent = s2_parent(cell_col, level)
+    salt = F.when(
+        parent.isin(hot) if hot else F.lit(False),
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt)),
+    ).otherwise(F.lit(0))
+    return df.repartition(n_partitions, parent, salt)
+
+
+def adaptive_split(
+    df: DataFrame,
+    covering_ids: np.ndarray,
+    threshold: int,
+    max_level: int = 30,
+    cell_col_biased: str = "cell_id_biased",
+    max_rounds: int = 8,
+) -> np.ndarray:
+    """Level-adaptive covering split: any covering cell holding more
+    than ``threshold`` rows of ``df`` is replaced by its 4 children,
+    repeatedly, so every returned cell is a bounded work unit.
+
+    One counting aggregation per round (round count ≤ max_rounds);
+    the counting join is a broadcast range join on the biased id.
+    """
+    cells = np.asarray(covering_ids, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    spark = df.sparkSession
+    for _ in range(max_rounds):
+        if len(cells) == 0:
+            break
+        lo = k.bias_u64(k.range_min(cells))
+        hi = k.bias_u64(k.range_max(cells))
+        ranges = spark.createDataFrame(
+            [(int(c), int(a), int(b)) for c, a, b in zip(cells.view(np.int64), lo, hi)],
+            "cell long, lo long, hi long",
+        )
+        counts = {
+            r["cell"]: r["n"]
+            for r in df.join(
+                F.broadcast(ranges),
+                (F.col(cell_col_biased) >= F.col("lo"))
+                & (F.col(cell_col_biased) <= F.col("hi")),
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cells_i64 = cells.view(np.int64)
+        lvl = k.level(cells)
+        keep, split = [], []
+        for idx in range(len(cells)):
+            n = counts.get(int(cells_i64[idx]), 0)
+            if n > threshold and int(lvl[idx]) < max_level:
+                split.append(cells[idx])
+            else:
+                keep.append(cells[idx])
+        out.append(np.array(keep, dtype=np.uint64))
+        if not split:
+            cells = np.zeros(0, dtype=np.uint64)
+            break
+        cells = k.children(np.array(split, dtype=np.uint64)).ravel()
+    if len(cells):
+        out.append(cells)
+    return np.sort(np.concatenate(out)) if out else np.zeros(0, dtype=np.uint64)

@@ -1,0 +1,88 @@
+"""Per-row covering UDF, simhash, text operators (API-level tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.functions import s2_cap_covering
+from rust_s2_spark.sources import images_from_orders
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    df = images_from_orders(spark, sf_dir, with_bytes=False).cache()
+    df.count()
+    return df
+
+
+def test_per_row_cap_covering(spark, images):
+    out = (
+        images.limit(50)
+        .withColumn(
+            "cov", s2_cap_covering("lat", "lng", F.lit(0.5), max_cells=8)
+        )
+        .select("lat", "lng", "cov")
+        .collect()
+    )
+    from rust_s2_spark.geometry import Cap, CellUnion, RegionCoverer
+
+    rc = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=8)
+    for r in out:
+        assert 1 <= len(r.cov) <= 8
+        # matches the driver-side coverer exactly
+        want = rc.covering(Cap.from_latlng_degrees(r.lat, r.lng, 0.5))
+        got = np.array(r.cov, dtype=np.int64).view(np.uint64)
+        assert np.array_equal(np.sort(got), np.sort(want.ids))
+        # and the covering contains its own center
+        cu = CellUnion(got, normalized=True)
+        from rust_s2_spark.kernels import cellid as k
+
+        leaf = k.cell_from_latlng(np.array([r.lat]), np.array([r.lng]))
+        assert cu.contains_ids(leaf)[0]
+
+
+def test_simhash_similar_docs_close(spark):
+    from rust_s2_spark.operators.dedup import simhash64
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words entirely unrelated topic matter"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in simhash64(df, "text", "doc_id").collect()}
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_quality_and_langid_api(spark, sf_dir):
+    from rust_s2_spark.operators.text import lang_id, quality_score, token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score(docs, "text", "doc_id")
+    assert q.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    t = token_stats(docs, "text", "doc_id")
+    assert t.where(F.col("n_tokens") <= 0).count() == 0
+    l = lang_id(docs, "text", "doc_id")
+    vals = set(r.lang_guess for r in l.select("lang_guess").distinct().collect())
+    assert vals <= {"en", "unknown"}
+
+
+def test_lsh_bucket_topk_recall(spark, sf_dir):
+    from rust_s2_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, 5).collect()
+    # near-random embeddings → low-cosine neighbors; few planes + many
+    # tables is the right operating point (P(bucket match) ~ (1-θ/π)^planes)
+    approx = lsh_bucket_topk(spark, emb, queries, 5, n_tables=8, n_planes=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35  # ANN: partial recall expected, not exactness

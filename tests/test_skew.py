@@ -1,0 +1,89 @@
+"""Skew handling: hot-cell detection, salted repartition, adaptive split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.functions import s2_parent
+from rust_s2_spark.geometry import Cap, RegionCoverer
+from rust_s2_spark.kernels import cellid as k
+from rust_s2_spark.plans.skew import adaptive_split, hot_cells, salted_repartition
+from rust_s2_spark.sources import images_from_orders
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    df = images_from_orders(spark, sf_dir, with_bytes=False).cache()
+    df.count()
+    return df
+
+
+def test_hot_cells_finds_cities(images):
+    n = images.count()
+    hot = hot_cells(images, level=5, threshold=n // 20)
+    # 30% of rows sit in 3 city hotspots → 3-ish hot level-5 cells
+    assert 1 <= len(hot) <= 6
+    assert sum(hot.values()) >= 0.25 * n
+
+
+def test_salted_repartition_balances(images, spark):
+    n = images.count()
+    out = salted_repartition(images, level=5, threshold=n // 20, n_partitions=16)
+    sizes = out.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    counts = sorted(r["count"] for r in sizes)
+    # without salting a city cell (~10% of rows each) pins one partition;
+    # with salting the max partition stays well under 2x the mean
+    assert max(counts) < 2.0 * (n / len(counts))
+
+
+def test_adaptive_split_bounds_work_units(images):
+    cap = Cap.from_latlng_degrees(40.7128, -74.0060, 5.0)
+    rc = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=12)
+    cov = rc.covering(cap)
+    threshold = 200
+    split = adaptive_split(images, cov.ids, threshold)
+    assert len(split) >= len(cov)
+    # every split cell now holds <= threshold rows (or is at max level)
+    lo = k.bias_u64(k.range_min(split))
+    hi = k.bias_u64(k.range_max(split))
+    spark = images.sparkSession
+    ranges = spark.createDataFrame(
+        [(int(c), int(a), int(b)) for c, a, b in zip(split.view(np.int64), lo, hi)],
+        "cell long, lo long, hi long",
+    )
+    counts = (
+        images.join(
+            F.broadcast(ranges),
+            (F.col("cell_id_biased") >= F.col("lo"))
+            & (F.col("cell_id_biased") <= F.col("hi")),
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= threshold for r in counts)
+    # and the split still covers everything the original covering did
+    total_orig = images.where(
+        F.col("cell_id_biased").between(
+            int(k.bias_u64(k.range_min(cov.ids)).min()),
+            int(k.bias_u64(k.range_max(cov.ids)).max()),
+        )
+    ).count()
+    assert sum(r["n"] for r in counts) >= 0.95 * 0  # split covers same id space
+    covered = sum(r["n"] for r in counts)
+    # original covering row count
+    lo0 = k.bias_u64(k.range_min(cov.ids))
+    hi0 = k.bias_u64(k.range_max(cov.ids))
+    r0 = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(lo0, hi0)], "lo long, hi long"
+    )
+    orig = (
+        images.join(
+            F.broadcast(r0),
+            (F.col("cell_id_biased") >= F.col("lo"))
+            & (F.col("cell_id_biased") <= F.col("hi")),
+        ).count()
+    )
+    assert covered == orig
