@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media ride as opaque ``binary`` columns with typed metadata (w, h,
+fmt). All Spark-side plumbing — schemas, mapInPandas batch shapes,
+Arrow transfer — is real and tested; only the external codecs are
+stubbed: fmt='raw' (the deterministic 8x8 RGB raster the synthetic
+table carries) decodes with pure numpy, fmt='png'/'jpeg' raise
+NotImplementedError unless PIL happens to be installed (import-try
+gated), per the sandbox constraints.
+
+The fidelity invariant (BASELINE.json input_hint): decode→re-encode of
+fmt='raw' is the identity, so PSNR is infinite and the
+decoded-pixel-allclose check is exact; ``image_fidelity`` computes it
+per row so pipelines can assert bytes survived untouched.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+try:  # optional external codec path
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
+    """fmt='raw': w*h*3 uint8 RGB, row-major — pure numpy, no codec."""
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3)
+    return px.reshape(h, w, 3)
+
+
+def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, w, h)
+    if fmt in ("png", "jpeg", "jpg"):
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                f"decode of fmt={fmt!r} needs an image codec (PIL) which this "
+                "environment does not ship; fmt='raw' is the deterministic path"
+            )
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+    raise NotImplementedError(f"unknown image fmt {fmt!r}")
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize, pure numpy."""
+    h, w = px.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return px[yi][:, xi]
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("std_gray", DoubleType()),
+        StructField("psnr_db", DoubleType()),
+    ]
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (one Arrow batch at a
+    time; pixels never materialize as a Spark column).
+
+    Input columns: image_id (castable to long), bytes, w, h, fmt.
+    psnr_db compares decode(bytes) against re-encoded bytes — for
+    fmt='raw' the identity, so inf (reported as 999.0)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "mean_r", "mean_g", "mean_b", "std_gray", "psnr_db")}
+            for row in pdf.itertuples():
+                px = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
+                re_encoded = px.tobytes() if row.fmt == "raw" else None
+                if re_encoded is not None:
+                    back = decode_image(re_encoded, int(row.w), int(row.h), "raw")
+                    mse = float(np.mean((px.astype(np.float64) - back) ** 2))
+                    psnr = 999.0 if mse == 0 else 10 * math.log10(255.0**2 / mse)
+                else:
+                    psnr = float("nan")
+                gray = px.astype(np.float64).mean(axis=2)
+                out["image_id"].append(int(row.image_id))
+                out["mean_r"].append(float(px[..., 0].mean()))
+                out["mean_g"].append(float(px[..., 1].mean()))
+                out["mean_b"].append(float(px[..., 2].mean()))
+                out["std_gray"].append(float(gray.std()))
+                out["psnr_db"].append(psnr)
+            yield pd.DataFrame(out)
+
+    cols = df.select(
+        F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    return cols.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", LongType()),
+        StructField("h", LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Deterministic nearest-neighbor thumbnail via mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "bytes": [], "w": [], "h": []}
+            for row in pdf.itertuples():
+                px = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
+                small = resize_nearest(px, out_w, out_h)
+                rows["image_id"].append(int(row.image_id))
+                rows["bytes"].append(small.tobytes())
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+            yield pd.DataFrame(rows)
+
+    cols = df.select(
+        F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    return cols.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_k: int, frame_bytes: int) -> DataFrame:
+    """'Video' frame sampling: bytes = concatenated fixed-size frames
+    (deterministic fake codec); keeps every k-th frame. Exercises the
+    variable-length-output mapInPandas shape."""
+
+    schema = StructType(
+        [
+            StructField("image_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "frame_idx": [], "frame": []}
+            for row in pdf.itertuples():
+                buf = bytes(row.bytes)
+                n_frames = len(buf) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    rows["image_id"].append(int(row.image_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(buf[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(rows)
+
+    cols = df.select(F.col("image_id").cast("long").alias("image_id"), "bytes")
+    return cols.mapInPandas(fn, schema)
