@@ -112,6 +112,43 @@ class Cap:
             return Cap(p, 0.0)
         return Cap(self.center, max(self.radius2, pt.chord2(self.center, p)))
 
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Grow to include the other cap (ref cap.rs:505-521)."""
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        dist = pt.chord2_add(pt.chord2(self.center, other.center), other.radius2)
+        dist = pt.chord2_add(dist, pt.DBL_EPSILON * dist)
+        return Cap(self.center, max(self.radius2, dist))
+
+    def union(self, other: "Cap") -> "Cap":
+        """Smallest cap enclosing both (ref cap.rs:444-471)."""
+        import math as _m
+
+        from ..kernels import edges as ek
+
+        a, b = (self, other) if self.radius2 > other.radius2 else (other, self)
+        if a.is_full() or b.is_empty():
+            return a
+        a_r = a.radius_rad()
+        b_r = b.radius_rad()
+        d = pt.chord2_to_angle(pt.chord2(a.center, b.center))
+        if a_r >= d + b_r:
+            return a
+        res_radius = 0.5 * (d + a_r + b_r)
+        center = ek.interpolate_at_distance(
+            0.5 * (d - a_r + b_r), np.array(a.center), np.array(b.center)
+        )[0]
+        return Cap(tuple(center), pt.angle_to_chord2(res_radius))
+
+    def centroid(self) -> pt.Vec:
+        """True centroid × area (ref cap.rs:423-441)."""
+        if self.is_empty():
+            return (0.0, 0.0, 0.0)
+        r = 1.0 - 0.5 * self.height()
+        return pt.scale(self.center, r * self.area())
+
     # -- region protocol (ref cap.rs:259-409) ---------------------------------
 
     def cap_bound(self) -> "Cap":

@@ -183,6 +183,58 @@ class CellUnion:
 
     # -- measures ---------------------------------------------------------------
 
+    def average_area(self) -> float:
+        """Σ AVG_AREA(level) over cells (ref cellunion.rs:348-356)."""
+        from ..kernels.cellid import cell_area_average
+
+        return float(np.sum(cell_area_average(self.ids))) if len(self.ids) else 0.0
+
+    def exact_area(self) -> float:
+        """Σ exact spherical cell areas (ref cellunion.rs:366-374)."""
+        from ..kernels.cellid import cell_area_exact
+
+        return float(np.sum(cell_area_exact(self.ids))) if len(self.ids) else 0.0
+
+    def rect_bound(self):
+        """Union of per-cell exact rect bounds (ref cellunion.rs:452-472)."""
+        from .cell import Cell
+        from .rect import Rect
+
+        out = Rect.empty()
+        for cid in self.ids:
+            out = out.union(Cell(int(cid)).rect_bound())
+        return out
+
+    def cap_bound(self):
+        """Cap around the area-weighted cell-center centroid
+        (ref cellunion.rs:413-449)."""
+        from ..kernels.cellid import cell_area_average
+        from .cap import Cap
+        from .cell import Cell
+
+        if len(self.ids) == 0:
+            return Cap.empty()
+        x, y, z = k.cell_to_xyz(self.ids)
+        n = np.sqrt(x * x + y * y + z * z)
+        w = cell_area_average(self.ids)
+        cx = float(np.sum(w * x / n))
+        cy = float(np.sum(w * y / n))
+        cz = float(np.sum(w * z / n))
+        norm = (cx * cx + cy * cy + cz * cz) ** 0.5
+        center = (1.0, 0.0, 0.0) if norm == 0 else (cx / norm, cy / norm, cz / norm)
+        cap = Cap(center, 0.0)
+        for cid in self.ids:
+            cap = cap.add_cap(Cell(int(cid)).cap_bound())
+        return cap
+
+    def contains_point_xyz(self, x: float, y: float, z: float) -> bool:
+        from .. import kernels
+
+        leaf = kernels.cell_from_xyz(
+            np.array([x]), np.array([y]), np.array([z])
+        )
+        return bool(self.contains_ids(leaf)[0])
+
     def leaf_cells_covered(self) -> int:
         if len(self.ids) == 0:
             return 0

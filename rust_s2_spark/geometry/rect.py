@@ -141,6 +141,49 @@ class Rect:
     def union(self, o: "Rect") -> "Rect":
         return Rect(self.lat.union(o.lat), self.lng.union(o.lng))
 
+    def intersection(self, o: "Rect") -> "Rect":
+        lat = self.lat.intersection(o.lat)
+        if lat.is_empty():
+            return Rect.empty()
+        # S1 intersection: clip each endpoint into the other interval
+        if not self.lng.intersects(o.lng):
+            return Rect.empty()
+        lo = self.lng.lo if o.lng.contains(self.lng.lo) else o.lng.lo
+        hi = self.lng.hi if o.lng.contains(self.lng.hi) else o.lng.hi
+        return Rect(lat, S1Interval.new(lo, hi))
+
+    def area(self) -> float:
+        """Surface area on the unit sphere (ref rect.rs)."""
+        if self.is_empty():
+            return 0.0
+        return self.lng.length() * abs(
+            math.sin(self.lat.hi) - math.sin(self.lat.lo)
+        )
+
+    def distance_to_latlng_rad(self, lat: float, lng: float) -> float:
+        """Distance (radians) from a point to the rect (0 if inside).
+
+        Approximation: treats the boundary as the 4 geodesic
+        corner-to-corner segments — exact on the meridian edges,
+        slightly conservative near the curved constant-latitude edges
+        (the reference's exact lat-edge handling, rect.rs:259-279, is
+        a round-2 refinement)."""
+        if self.contains_latlng_rad(lat, lng):
+            return 0.0
+        import numpy as np
+
+        from ..kernels import edges as ek
+
+        p = np.array(pt.latlng_rad_to_xyz(lat, lng))[None, :]
+        best = math.inf
+        corners = [self.vertex(i) for i in range(4)]
+        for i in range(4):
+            a = np.array(pt.latlng_rad_to_xyz(*corners[i]))[None, :]
+            b = np.array(pt.latlng_rad_to_xyz(*corners[(i + 1) % 4]))[None, :]
+            d2 = float(ek.dist2_point_segment(p, a, b)[0])
+            best = min(best, pt.chord2_to_angle(d2))
+        return best
+
     # -- region protocol -----------------------------------------------------
 
     def rect_bound(self) -> "Rect":

@@ -189,6 +189,52 @@ def distance_from_begin(ids: np.ndarray) -> np.ndarray:
     return ids >> (U(2) * (U(MAX_LEVEL) - level(ids)) + U(1))
 
 
+def advance(ids: np.ndarray, steps: np.ndarray) -> np.ndarray:
+    """Advance/retreat along the Hilbert curve at the current level,
+    clamped to [begin, end] (ref cellid.rs:563-583)."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    steps = np.atleast_1d(np.asarray(steps, dtype=np.int64))
+    step_shift = np.atleast_1d(
+        (U(2) * (U(MAX_LEVEL) - level(ids)) + U(1)).astype(np.uint64)
+    )
+    min_steps = -((ids >> step_shift).astype(np.int64))
+    max_steps = ((WRAP_OFFSET + lsb(ids) - ids) >> step_shift).astype(np.int64)
+    s = np.clip(steps, min_steps, max_steps)
+    out = ids + (s << step_shift.astype(np.int64)).view(np.uint64)
+    return np.atleast_1d(out)
+
+
+def cell_area_exact(ids: np.ndarray) -> np.ndarray:
+    """Exact spherical area of each cell: sum of the two triangles of
+    its (normalized) vertex quad (ref cell.rs:213-228 via point_area)."""
+    from . import edges as ek
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    f, i, j, _ = to_face_ij_orientation(ids)
+    lvl = level(ids).astype(np.int64)
+    size = size_ij(lvl)
+    x_lo = i & (-size)
+    y_lo = j & (-size)
+    corners = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        u = st_to_uv(ij_to_stmin(x_lo + di * size))
+        v = st_to_uv(ij_to_stmin(y_lo + dj * size))
+        x, y, z = face_uv_to_xyz(f.astype(np.int64), u, v)
+        p = np.stack([x, y, z], axis=1)
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        corners.append(p)
+    a, b, c, d = corners
+    return ek.point_area(a, b, c) + ek.point_area(a, c, d)
+
+
+def cell_area_average(ids: np.ndarray) -> np.ndarray:
+    """AVG_AREA metric value at each cell's level."""
+    from . import metric as metrics
+
+    lvl = level(np.asarray(ids, dtype=np.uint64)).astype(np.int64)
+    return metrics.AVG_AREA.deriv * np.power(2.0, -2.0 * lvl)
+
+
 # ---------------------------------------------------------------------------
 # st/uv projections (quadratic — the only projection in the reference)
 
