@@ -7,10 +7,16 @@ materialized ONCE, range-partitioned + sorted by the biased cell id
 covering-range predicates prune parquet row groups via min/max stats.
 
 Extra env:
-  SPARK_GRAFT_SCALING=1 — additionally run the spatial pipeline at
-  local[8] and local[32] on the same stored input and report
-  throughput at both plus scaling efficiency (sandbox proxy for the
-  N→4N-executor criterion in BASELINE.json north_rule).
+  SPARK_GRAFT_SCALING=1 — additionally run the full generate+encode+
+  covering-join pipeline at two parallelism levels
+  (SPARK_GRAFT_SCALE_CORES, default "2,8" — both on dedicated physical
+  cores of this box; "8,32" spans the SMT threads where 4x threads is
+  only ~2x hardware) over SPARK_GRAFT_SCALE_MULT x the input (default
+  90 → 13.5M rows) and report throughput at both plus scaling
+  efficiency — the sandbox proxy for the N→4N-executor criterion in
+  BASELINE.json north_rule. For the cleanest numbers run each level in
+  its own process (JVM state pollutes back-to-back sessions); the
+  BASELINE.md table was measured that way.
 """
 
 from __future__ import annotations
@@ -166,9 +172,13 @@ def main():
                 write_images_table,
             )
 
-            mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
+            mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "90"))
+            pair = [
+                int(x)
+                for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
+            ]
             scaling = {}
-            for c in (8, 32):
+            for c in pair:
                 s = make_spark(c)
 
                 def job():
@@ -189,12 +199,13 @@ def main():
                     "images_per_sec": round(n_big / dt, 1),
                 }
                 s.stop()
+            lo, hi = str(pair[0]), str(pair[1])
             eff = (
-                scaling["32"]["images_per_sec"] / scaling["8"]["images_per_sec"]
-            ) / 4.0
+                scaling[hi]["images_per_sec"] / scaling[lo]["images_per_sec"]
+            ) / (pair[1] / pair[0])
             result["scaling"] = scaling
             result["scaling_rows"] = n_images * mult
-            result["scaling_efficiency_8_to_32"] = round(eff, 3)
+            result[f"scaling_efficiency_{pair[0]}_to_{pair[1]}"] = round(eff, 3)
 
         print(json.dumps(result))
     finally:

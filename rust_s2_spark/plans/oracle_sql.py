@@ -85,14 +85,16 @@ def hilbert_encode_ctes(src: str, key: str = "image_id") -> str:
 def trig_free_xyz_sql(key: str = "o_orderkey") -> str:
     """Deterministic xyz direction from integer keys — identical in any
     IEEE engine (no trig anywhere)."""
+    # e-notation literals → DOUBLE arithmetic in both engines (plain
+    # decimal literals would be DECIMAL-typed in Spark and DuckDB)
     k1 = f"(({key} * 2654435761) % 4294967296)"
     k2 = f"(((({k1} % 1048576) * 2654435761) + ({k1} % 524287)) % 4294967296)"
-    x = f"(({k1} % 2000001 - 1000000) / 1000000.0)"
-    y = f"(({k2} % 2000001 - 1000000) / 1000000.0)"
-    z = f"((({k1} % 1381) * ({k2} % 1447)) % 2000001 - 1000000) / 1000000.0"
+    x = f"(({k1} % 2000001 - 1000000) / 1e6)"
+    y = f"(({k2} % 2000001 - 1000000) / 1e6)"
+    z = f"((({k1} % 1381) * ({k2} % 1447)) % 2000001 - 1000000) / 1e6"
     return (
         f"SELECT {key} AS key_id, {x} AS x, {y} AS y, ({z}) AS z FROM orders "
-        f"WHERE abs({x}) + abs({y}) + abs({z}) > 0.001"
+        f"WHERE abs({x}) + abs({y}) + abs({z}) > 1e-3"
     )
 
 

@@ -40,28 +40,34 @@ def _derivation_sql(key: str) -> dict[str, str]:
     Only bigint ops + one final double division — bit-identical in any
     IEEE-conforming engine.
     """
+    # every float literal is written in e-notation so BOTH engines parse
+    # it as DOUBLE (plain `1.0`-style literals are DECIMAL in Spark SQL
+    # and DuckDB, which would push the whole derivation into exact
+    # decimal arithmetic — ~10× slower per row and a non-double column
+    # type). Integer ops stay BIGINT; one double division + additions →
+    # bit-identical IEEE results in any conforming engine.
     k1 = f"(({key} * {_M1}) % 4294967296)"
     k2 = f"(((({k1} % 1048576) * {_M1}) + ({k1} % 524287)) % 4294967296)"
-    base_lat = f"(({k1} % 160000000) / 1000000.0 - 80.0)"
-    base_lng = f"(({k2} % 360000000) / 1000000.0 - 180.0)"
+    base_lat = f"(({k1} % 160000000) / 1e6 - 80e0)"
+    base_lng = f"(({k2} % 360000000) / 1e6 - 180e0)"
     city = f"({key} % 10)"
+
+    def _e(x: float) -> str:
+        return f"{x!r}e0"
+
     city_lat = (
-        f"(CASE {city} WHEN 0 THEN {_CITIES[0][0]} WHEN 1 THEN {_CITIES[1][0]} "
-        f"ELSE {_CITIES[2][0]} END + ({k1} % 400000) / 1000000.0 - 0.2)"
+        f"(CASE {city} WHEN 0 THEN {_e(_CITIES[0][0])} WHEN 1 THEN {_e(_CITIES[1][0])} "
+        f"ELSE {_e(_CITIES[2][0])} END + ({k1} % 400000) / 1e6 - 2e-1)"
     )
     city_lng = (
-        f"(CASE {city} WHEN 0 THEN {_CITIES[0][1]} WHEN 1 THEN {_CITIES[1][1]} "
-        f"ELSE {_CITIES[2][1]} END + ({k2} % 400000) / 1000000.0 - 0.2)"
+        f"(CASE {city} WHEN 0 THEN {_e(_CITIES[0][1])} WHEN 1 THEN {_e(_CITIES[1][1])} "
+        f"ELSE {_e(_CITIES[2][1])} END + ({k2} % 400000) / 1e6 - 2e-1)"
     )
-    # final CAST(... AS DOUBLE): both engines evaluate the arithmetic in
-    # exact DECIMAL and round once at the cast — identical results — and
-    # the Spark column is a real double (decimal columns would cross
-    # Arrow as python objects and wreck pandas-UDF throughput)
     return {
         "k1": k1,
         "k2": k2,
-        "lat": f"CAST((CASE WHEN {city} < 3 THEN {city_lat} ELSE {base_lat} END) AS DOUBLE)",
-        "lng": f"CAST((CASE WHEN {city} < 3 THEN {city_lng} ELSE {base_lng} END) AS DOUBLE)",
+        "lat": f"(CASE WHEN {city} < 3 THEN {city_lat} ELSE {base_lat} END)",
+        "lng": f"(CASE WHEN {city} < 3 THEN {city_lng} ELSE {base_lng} END)",
         # fits in int64: (2^31-1)*2^31 + 2^31 < 2^62
         "phash": f"(({k2} % 2147483648) * 2147483648 + ({k1} % 2147483648))",
     }
