@@ -698,7 +698,118 @@ def o_cell_avg_area() -> str:
 
 
 # --------------------------------------------------------------------------
-# 20-21: geometry-only (rows-only checks)
+# 20-22: more at-scale oracles — parent histogram, tokens, streaming
+
+
+def q_cells_per_parent7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-encode trig-free points, aggregate per level-7 parent;
+    the oracle recomputes BOTH the encode and the parent in pure SQL."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    pts = spark.sql(trig_free_xyz_sql())
+    enc = pts.select(s2_cell_from_xyz("x", "y", "z").alias("cell_id"))
+    return (
+        enc.groupBy(s2_parent("cell_id", 7).alias("parent7"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def o_cells_per_parent7() -> str:
+    base = hilbert_oracle_query()
+    lsb7 = 1 << (2 * (30 - 7))
+    return f"""
+WITH enc AS ({base})
+SELECT ((cell_id & -{lsb7}) | {lsb7}) AS parent7, count(*) AS n
+FROM enc GROUP BY 1
+""".strip()
+
+
+def q_tokens_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token encoding at scale (trig-free ids); oracle hex-formats the
+    two's-complement id independently."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    pts = spark.sql(trig_free_xyz_sql())
+    enc = pts.select("key_id", s2_cell_from_xyz("x", "y", "z").alias("cell_id"))
+    return enc.select("key_id", s2_cell_to_token("cell_id").alias("token"))
+
+
+def o_tokens_scale() -> str:
+    base = hilbert_oracle_query()
+    return f"""
+WITH enc AS ({base})
+SELECT key_id, rtrim(printf('%016x', cell_id), '0') AS token FROM enc
+""".strip()
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed rollup (6h windows × face) over the
+    events table, run to completion with availableNow; the oracle is
+    the same rollup in DuckDB (time_bucket + trig face)."""
+    import tempfile
+
+    from ..sources.images import _derivation_sql
+    from ..streaming import assign_cells
+
+    d = _derivation_sql("user_id")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(d["lat"]).alias("lat"),
+        F.expr(d["lng"]).alias("lng"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamq_")
+    events.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    rolled = (
+        assign_cells(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window(F.col("ts"), "6 hours").alias("w"),
+            s2_face("cell_id").alias("face"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    name = "rollup_oracle_q"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS ws, face, n FROM {name}"
+    )
+
+
+def o_stream_rollup() -> str:
+    d = _derivation_sql("user_id")
+    return f"""
+WITH ev AS (
+  SELECT ts, {d['lat']} AS lat, {d['lng']} AS lng FROM events
+),
+xyz AS (
+  SELECT ts,
+         cos(radians(lng)) * cos(radians(lat)) AS x,
+         sin(radians(lng)) * cos(radians(lat)) AS y,
+         sin(radians(lat)) AS z
+  FROM ev
+),
+f AS (
+  SELECT ts, (CASE
+    WHEN abs(z) > (CASE WHEN abs(y) > abs(x) THEN abs(y) ELSE abs(x) END)
+      THEN (CASE WHEN z < 0 THEN 5 ELSE 2 END)
+    WHEN abs(y) > abs(x) THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+    ELSE (CASE WHEN x < 0 THEN 3 ELSE 0 END) END) AS face
+  FROM xyz
+)
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       CAST(face AS INT) AS face, count(*) AS n
+FROM f GROUP BY 1, 2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# 23-24: geometry-only (rows-only checks)
 
 
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +863,9 @@ def queries():
         "phash_hamming": q_phash_hamming,
         "pip_triangle": q_pip_triangle,
         "cell_avg_area": q_cell_avg_area,
+        "cells_per_parent7": q_cells_per_parent7,
+        "tokens_scale": q_tokens_scale,
+        "stream_rollup": q_stream_rollup,
         "covering_tokens": q_covering_tokens,
         "tiling_range": q_tiling_range,
     }
@@ -778,5 +892,8 @@ def oracle_sql():
         "phash_hamming": o_phash_hamming(),
         "pip_triangle": o_pip_triangle(),
         "cell_avg_area": o_cell_avg_area(),
+        "cells_per_parent7": o_cells_per_parent7(),
+        "tokens_scale": o_tokens_scale(),
+        "stream_rollup": o_stream_rollup(),
         # covering_tokens / tiling_range: geometry-only → rows-only checks
     }
