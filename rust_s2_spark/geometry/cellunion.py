@@ -136,6 +136,26 @@ class CellUnion:
     def _contained_in(ids: np.ndarray, cu: "CellUnion") -> np.ndarray:
         return cu.contains_ids(ids)
 
+    def difference(self, o: "CellUnion") -> "CellUnion":
+        """Cells of self not covered by o, via recursive 4-way
+        subdivision of partially-covered cells (ref cellunion.rs:503-523)."""
+        out: list[int] = []
+
+        def walk(cid: np.ndarray) -> None:
+            if not o.intersects_ids(cid)[0]:
+                out.append(int(cid[0]))
+                return
+            if o.contains_ids(cid)[0]:
+                return
+            if bool(k.is_leaf(cid)[0]):
+                return
+            for ch in k.children(cid)[0]:
+                walk(np.array([ch], dtype=np.uint64))
+
+        for cid in self.ids:
+            walk(np.array([cid], dtype=np.uint64))
+        return CellUnion(np.array(out, dtype=np.uint64))
+
     def denormalize(self, min_level: int, level_mod: int) -> np.ndarray:
         """Expanded copy satisfying min_level/level_mod (ref cellunion.rs:168-192)."""
         out: list[int] = []

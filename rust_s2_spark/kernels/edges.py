@@ -354,6 +354,30 @@ def point_area(a, b, c) -> np.ndarray:
     return out
 
 
+def regular_points(center, radius_rad: float, n: int) -> np.ndarray:
+    """n vertices of a regular spherical polygon of the given angular
+    radius around center, CCW (ref point.rs:185-209) — test-fixture and
+    synthetic-region generator."""
+    z = np.asarray(center, dtype=np.float64)
+    z = z / np.linalg.norm(z)
+    # orthonormal frame
+    idx = int(np.argmin(np.abs(z)))
+    basis = np.zeros(3)
+    basis[idx] = 1.0
+    x = np.cross(z, basis)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    r = np.sin(radius_rad)
+    h = np.cos(radius_rad)
+    theta = 2.0 * np.pi * np.arange(n) / n
+    pts = (
+        (r * np.cos(theta))[:, None] * x[None, :]
+        + (r * np.sin(theta))[:, None] * y[None, :]
+        + h * z[None, :]
+    )
+    return pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+
 def true_centroid(a, b, c) -> np.ndarray:
     """True centroid of a spherical triangle × its area
     (ref point.rs:305-345)."""

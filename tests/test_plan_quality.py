@@ -1,0 +1,100 @@
+"""Plan-quality regression tests: the properties that matter at 100 TB
+must not silently regress — parquet pushdown of covering ranges,
+native (codegen) key expressions, broadcast of small join sides."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.geometry import Cap, CellUnion
+from rust_s2_spark.geometry.loop import Loop
+from rust_s2_spark.kernels import cellid as k
+from rust_s2_spark.kernels import edges as ek
+from rust_s2_spark.operators.covering_join import region_filter, region_join
+from rust_s2_spark.operators.pip import pip_filter
+from rust_s2_spark.sources.images import read_images_table, write_images_table
+
+
+@pytest.fixture(scope="module")
+def stored(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="s2plan_")
+    path = f"{tmp}/images"
+    write_images_table(spark, sf_dir, path, with_bytes=False)
+    yield read_images_table(spark, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_region_filter_pushes_ranges(stored):
+    cap = Cap.from_latlng_degrees(40.7128, -74.0060, 3.0)
+    plan = _plan(region_filter(stored, cap))
+    scan = plan[plan.find("PushedFilters") :][:200]
+    # Spark truncates long plan strings; assert ranges are pushed
+    # (non-empty Or-tree) rather than matching the full predicate
+    assert "PushedFilters: []" not in scan, scan
+    assert "Or(" in scan, scan
+    assert "*(1)" in plan  # '*' prefix = whole-stage codegen
+
+
+def test_pip_filter_pushes_both_scans(stored):
+    lp = Loop.from_latlng_degrees(
+        [(39.5, -75.5), (39.5, -72.5), (42.0, -72.5), (42.0, -75.5)]
+    )
+    plan = _plan(pip_filter(stored, lp))
+    import re
+
+    pushed = re.findall(r"PushedFilters: (\[[^\]]{0,60})", plan)
+    nonempty = [p for p in pushed if "Or(" in p or "GreaterThan" in p]
+    assert len(nonempty) >= 2, pushed  # interior scan AND boundary scan
+    # the crossing-parity UDF must appear exactly once (boundary branch)
+    assert plan.count("ArrowEvalPython") == 1 or "BatchEvalPython" not in plan
+
+
+def test_region_join_broadcasts_ranges(stored, spark):
+    caps = [Cap.from_latlng_degrees(40.7128, -74.0060, 2.0)]
+    plan = _plan(region_join(spark, stored, caps, [0]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle
+
+
+def test_native_keys_stay_in_codegen(stored):
+    from rust_s2_spark.functions import s2_level, s2_parent, s2_range_min
+
+    df = stored.select(
+        s2_parent("cell_id", 7).alias("p"),
+        s2_level("cell_id").alias("l"),
+        s2_range_min("cell_id").alias("r"),
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # '*' prefix = whole-stage codegen
+
+
+def test_cellunion_difference():
+    base = CellUnion([int(k.from_face(np.array([1]))[0])])
+    child = k.children(k.from_face(np.array([1])))[0]
+    sub = CellUnion([int(child[2])])
+    diff = base.difference(sub)
+    # exactly the other three children remain
+    want = {int(child[0]), int(child[1]), int(child[3])}
+    assert set(int(c) for c in diff.ids) == want
+    assert not diff.intersects_union(sub)
+
+
+def test_regular_points():
+    pts = ek.regular_points((0.0, 0.0, 1.0), 0.1, 12)
+    assert pts.shape == (12, 3)
+    # all at the requested angular radius from the center
+    d = np.degrees(np.arccos(np.clip(pts @ np.array([0.0, 0.0, 1.0]), -1, 1)))
+    assert np.allclose(d, np.degrees(0.1), atol=1e-9)
+    # and they form a loop that contains the center
+    lp = Loop(pts)
+    assert lp.contains_point((0.0, 0.0, 1.0))
