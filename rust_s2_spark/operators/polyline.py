@@ -69,6 +69,23 @@ def polyline_covering_ranges(
     return CoveringRanges(lo, hi, [False] * len(lo))
 
 
+def polyline_covering_ranges_tight(
+    latlng_vertices: list[tuple[float, float]], radius_rad: float
+) -> CoveringRanges:
+    """Tight buffered covering: exact edge cells (face segmentation +
+    uv-line rasterization, kernels/clipping.py) at the level where one
+    cell min-width covers the radius, expanded by one neighbor ring."""
+    from ..kernels import metric as metrics
+    from ..kernels.clipping import polyline_cells
+
+    level = max(0, min(18, metrics.MIN_WIDTH.max_level(radius_rad)))
+    cells = polyline_cells(latlng_vertices, level)
+    cu = CellUnion(cells).expand_at_level(level)
+    lo = [int(x) for x in k.bias_u64(k.range_min(cu.ids))]
+    hi = [int(x) for x in k.bias_u64(k.range_max(cu.ids))]
+    return CoveringRanges(lo, hi, [False] * len(lo))
+
+
 def near_polyline(
     df: DataFrame,
     latlng_vertices: list[tuple[float, float]],
@@ -76,12 +93,16 @@ def near_polyline(
     biased_col: str = "cell_id_biased",
     lat_col: str = "lat",
     lng_col: str = "lng",
+    tight: bool = True,
 ) -> DataFrame:
     """Rows within radius_deg of the polyline, with a
     ``dist_chord2`` column. Pruning ranges push to the scan."""
     verts = np.array([pt.latlng_to_xyz(la, lo) for la, lo in latlng_vertices])
     radius_rad = math.radians(radius_deg)
-    ranges = polyline_covering_ranges(verts, radius_rad)
+    if tight:
+        ranges = polyline_covering_ranges_tight(latlng_vertices, radius_rad)
+    else:
+        ranges = polyline_covering_ranges(verts, radius_rad)
     d = polyline_distance_expr(verts, lat_col, lng_col)
     threshold = pt.angle_to_chord2(radius_rad)
     return (
