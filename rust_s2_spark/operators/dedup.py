@@ -26,13 +26,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct character n-gram md5s per row (exploded).
+def shingles(df: DataFrame, text_col: str, n: int, id_col: str | None = None) -> DataFrame:
+    """Distinct character n-gram md5s per row: (id cols..., shingle).
 
     explode(sequence) + top-level substring/md5 keeps the hashing in
-    whole-stage codegen; a lambda inside transform() would run
-    interpreted per element.
+    whole-stage codegen (a lambda inside transform() runs interpreted),
+    and the text column is PRUNED before the distinct shuffle — the
+    shuffle carries (id, 32-byte hash), never the documents themselves.
     """
+    keys = [c for c in df.columns if c != text_col]
     pos = F.explode(
         F.sequence(
             F.lit(1), F.greatest(F.length(text_col) - F.lit(n - 1), F.lit(1))
@@ -40,9 +42,7 @@ def shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     ).alias("__pos")
     with_pos = df.select("*", pos)
     sh = F.md5(F.expr(f"substring({text_col}, __pos, {n})")).alias("shingle")
-    return with_pos.select(*df.columns, sh).dropDuplicates(
-        [c for c in df.columns] + ["shingle"]
-    )
+    return with_pos.select(*keys, sh).dropDuplicates(keys + ["shingle"])
 
 
 def minhash_lsh_pairs(
