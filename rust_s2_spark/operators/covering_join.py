@@ -135,20 +135,42 @@ def region_join(
     lng_col: str = "lng",
 ) -> DataFrame:
     """Join ``df`` against many regions: broadcast range join + exact
-    post-filter. Output = df columns + ``region_id``."""
+    post-filter. Output = df columns + ``region_id``.
+
+    Cap regions carry their (center, radius²) as columns of the
+    broadcast ranges table, so the exact filter is ONE constant-size
+    expression regardless of region count (a per-region CASE chain
+    would grow the plan linearly — fatal with thousands of regions).
+    Non-cap regions fall back to a per-region predicate chain.
+    """
+    all_caps = all(isinstance(r, Cap) for r in regions)
     rows = []
     for rid, region in zip(region_ids, regions):
         rr = covering_ranges(region, coverer)
         for lo, hi, inner in zip(rr.lo, rr.hi, rr.interior):
-            rows.append((rid, lo, hi, inner))
-    ranges_df = spark.createDataFrame(rows, "region_id long, rlo long, rhi long, rinterior boolean")
+            if all_caps:
+                cx, cy, cz = region.center
+                rows.append((rid, lo, hi, inner, cx, cy, cz, region.radius2))
+            else:
+                rows.append((rid, lo, hi, inner))
+    schema = "region_id long, rlo long, rhi long, rinterior boolean"
+    if all_caps:
+        schema += ", rcx double, rcy double, rcz double, rr2 double"
+    ranges_df = spark.createDataFrame(rows, schema)
 
     j = df.join(
         F.broadcast(ranges_df),
         (F.col(biased_col) >= F.col("rlo")) & (F.col(biased_col) <= F.col("rhi")),
         "inner",
     )
-    # exact post-filter per region kind (caps only here; rects analogous)
+    if all_caps:
+        x, y, z = xyz_cols(lat_col, lng_col)
+        exact = (
+            chord2_expr(x, y, z, F.col("rcx"), F.col("rcy"), F.col("rcz"))
+            <= F.col("rr2")
+        )
+        out = j.where(F.col("rinterior") | exact)
+        return out.drop("rlo", "rhi", "rinterior", "rcx", "rcy", "rcz", "rr2")
     exact = F.lit(False)
     for rid, region in zip(region_ids, regions):
         exact = F.when(
