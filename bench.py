@@ -132,6 +132,19 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
         lambda: phash_hamming_pairs(imgn, "img", "phash", max_dist=20).count()
     )
 
+    from rust_s2_spark.geometry.loop import Loop
+    from rust_s2_spark.operators.pip import pip_filter
+
+    lp = Loop.from_latlng_degrees(
+        [(38.5, -76.5), (38.5, -71.5), (43.0, -71.5), (43.0, -76.5)]
+    )
+    out["pip"], _ = timed(lambda: pip_filter(img, lp).count())
+
+    from rust_s2_spark.operators.polyline import near_polyline
+
+    line = [(38.0, -76.0), (40.7, -74.0), (43.0, -72.0), (45.0, -70.0)]
+    out["polyline"], _ = timed(lambda: near_polyline(img, line, 1.0).count())
+
     out["_n_images"] = float(n_images)
     return out
 

@@ -47,8 +47,9 @@ class Loop:
 
     def contains_points(self, x, y, z) -> np.ndarray:
         """Vectorized PIP: crossing parity of geodesic anchor→p with
-        every boundary edge. Pure numpy; this is the kernel the Spark
-        pandas UDF calls."""
+        every boundary edge — ONE batched crossing call over the full
+        (edges × points) grid. Pure numpy; this is the kernel the
+        Spark pandas UDF calls."""
         p = np.stack(
             [
                 np.asarray(x, dtype=np.float64),
@@ -58,15 +59,14 @@ class Loop:
             axis=1,
         )
         n = p.shape[0]
-        parity = np.zeros(n, dtype=bool)
-        q = self.anchor[None, :]
         verts = self.vertices
         m = verts.shape[0]
-        for i in range(m):
-            a = verts[i][None, :]
-            b = verts[(i + 1) % m][None, :]
-            parity ^= np.asarray(ek.simple_crossing(q, p, a, b))
-        return parity
+        a = np.repeat(verts, n, axis=0)  # (m*n, 3)
+        b = np.repeat(np.roll(verts, -1, axis=0), n, axis=0)
+        pp = np.tile(p, (m, 1))
+        q = np.broadcast_to(self.anchor, (m * n, 3))
+        crossings = np.asarray(ek.simple_crossing(q, pp, a, b)).reshape(m, n)
+        return crossings.sum(axis=0) % 2 == 1
 
     def contains_point(self, p) -> bool:
         p = np.asarray(p, dtype=np.float64)
@@ -148,19 +148,13 @@ class Loop:
         any_loop_vertex_in_cell = any(
             cell.contains_point(tuple(v)) for v in verts
         )
-        # boundary crossings between loop edges and cell edges
-        crossing = False
-        for i in range(m):
-            a = verts[i][None, :]
-            b = verts[(i + 1) % m][None, :]
-            for j in range(4):
-                c = cell_verts[j][None, :]
-                d = cell_verts[(j + 1) % 4][None, :]
-                if ek.crossing_sign(a, b, c, d)[0] >= 0:
-                    crossing = True
-                    break
-            if crossing:
-                break
+        # boundary crossings between loop edges and cell edges — one
+        # batched robust call over all (m × 4) edge pairs
+        a = np.repeat(verts, 4, axis=0)
+        b = np.repeat(np.roll(verts, -1, axis=0), 4, axis=0)
+        c = np.tile(cell_verts, (m, 1))
+        d = np.tile(np.roll(cell_verts, -1, axis=0), (m, 1))
+        crossing = bool(np.any(ek.crossing_sign(a, b, c, d) >= 0))
         return inside, any_loop_vertex_in_cell, crossing
 
     def intersects_cell(self, cell) -> bool:

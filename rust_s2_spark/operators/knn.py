@@ -70,7 +70,10 @@ def knn_join(
     level = metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg))
     level = max(0, min(30, level))
 
-    result = None
+    # the final result is at most len(queries) × k rows — collect per
+    # attempt and assemble once at the end (no cached lineage to leak,
+    # no recompute)
+    final_rows: list[tuple] = []
     pending = np.arange(len(qids))
     attempt = 0
     while len(pending) > 0:
@@ -96,27 +99,25 @@ def knn_join(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk)
             .select("query_id", "rank", id_col, "dist_chord2")
-        ).cache()
+        )
+        collected = ranked.collect()
         # a query is final when it found k results AND the k-th distance
         # is inside the ring's guaranteed coverage radius
         safe = _safe_chord2(lvl)
-        stats = {
-            r["query_id"]: (r["n"], r["dmax"])
-            for r in ranked.groupBy("query_id")
-            .agg(F.count("*").alias("n"), F.max("dist_chord2").alias("dmax"))
-            .collect()
-        }
+        stats: dict[int, tuple[int, float]] = {}
+        for r in collected:
+            n, dmax = stats.get(r["query_id"], (0, 0.0))
+            stats[r["query_id"]] = (n + 1, max(dmax, r["dist_chord2"]))
         is_last = lvl == 0 or attempt >= max_widen
         done_mask = []
         for q in qids[pending]:
-            n, dmax = stats.get(int(q), (0, None))
-            ok = n >= kk and (dmax is None or dmax <= safe)
+            n, dmax = stats.get(int(q), (0, 0.0))
+            ok = n >= kk and dmax <= safe
             done_mask.append(ok or is_last)
         done_mask = np.array(done_mask, dtype=bool)
-        done_ids = [int(q) for q in qids[pending][done_mask]]
-        if done_ids:
-            part = ranked.where(F.col("query_id").isin(done_ids))
-            result = part if result is None else result.unionByName(part)
+        done_ids = {int(q) for q in qids[pending][done_mask]}
+        final_rows.extend(tuple(r) for r in collected if r["query_id"] in done_ids)
         pending = pending[~done_mask]
         attempt += 1
-    return result
+    schema = f"query_id long, rank int, {id_col} string, dist_chord2 double"
+    return spark.createDataFrame(final_rows, schema)

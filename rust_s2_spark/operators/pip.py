@@ -40,14 +40,14 @@ def loop_contains_expr(loop: Loop, lat_col: str, lng_col: str) -> Column:
         lo = np.radians(lng.to_numpy(np.float64))
         cl = np.cos(la)
         p = np.stack([np.cos(lo) * cl, np.sin(lo) * cl, np.sin(la)], axis=1)
-        parity = np.zeros(len(p), dtype=bool)
-        q = anchor[None, :]
+        n = len(p)
         m = verts.shape[0]
-        for i in range(m):
-            a = verts[i][None, :]
-            b = verts[(i + 1) % m][None, :]
-            parity ^= np.asarray(ek.simple_crossing(q, p, a, b))
-        return pd.Series(parity)
+        a = np.repeat(verts, n, axis=0)
+        b = np.repeat(np.roll(verts, -1, axis=0), n, axis=0)
+        pp = np.tile(p, (m, 1))
+        q = np.broadcast_to(anchor, (m * n, 3))
+        crossings = np.asarray(ek.simple_crossing(q, pp, a, b)).reshape(m, n)
+        return pd.Series(crossings.sum(axis=0) % 2 == 1)
 
     return _pip(F.col(lat_col), F.col(lng_col))
 
