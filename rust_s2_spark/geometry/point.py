@@ -128,6 +128,24 @@ def xyz_to_latlng_rad(p: Vec) -> tuple[float, float]:
     return lat, lng
 
 
+def normalize_latlng_deg(lat: float, lng: float) -> tuple[float, float]:
+    """Clamp lat to ±90°, wrap lng via IEEE remainder
+    (ref latlng.rs:47-60)."""
+    lat = max(-90.0, min(90.0, lat))
+    lng = math.degrees(math.remainder(math.radians(lng), 2.0 * math.pi))
+    return lat, lng
+
+
+def latlng_distance_rad(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
+    """Haversine distance in radians (ref latlng.rs:62-68), degrees in."""
+    p1, t1 = math.radians(lat1), math.radians(lng1)
+    p2, t2 = math.radians(lat2), math.radians(lng2)
+    dlat = math.sin(0.5 * (p2 - p1))
+    dlng = math.sin(0.5 * (t2 - t1))
+    x = dlat * dlat + dlng * dlng * math.cos(p1) * math.cos(p2)
+    return 2.0 * math.atan2(math.sqrt(x), math.sqrt(max(0.0, 1.0 - x)))
+
+
 def remainder(x: float, y: float) -> float:
     """IEEE remainder (round-half-even quotient), as Rust f64::rem_euclid is
     NOT — matches the reference's use of remainder() for lng normalization."""

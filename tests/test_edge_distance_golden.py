@@ -1,0 +1,48 @@
+"""Point-to-segment distance goldens (reference edgeutil.rs:347-716,
+14 cases, tolerance 1e-15 on the angle)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.kernels import edges as ek
+
+
+def norm(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+PI = math.pi
+
+# (x, a, b, want_dist_rad, want_closest)
+CASES = [
+    ((1, 0, 0), (1, 0, 0), (0, 1, 0), 0.0, (1, 0, 0)),
+    ((0, 1, 0), (1, 0, 0), (0, 1, 0), 0.0, (0, 1, 0)),
+    ((1, 3, 0), (1, 0, 0), (0, 1, 0), 0.0, (1, 3, 0)),
+    ((0, 0, 1), (1, 0, 0), (0, 1, 0), PI / 2, None),
+    ((0, 0, -1), (1, 0, 0), (0, 1, 0), PI / 2, None),
+    ((-1, -1, 0), (1, 0, 0), (0, 1, 0), 0.75 * PI, None),
+    ((0, 1, 0), (1, 0, 0), (1, 1, 0), PI / 4, (1, 1, 0)),
+    ((1, 1, -1), (1, 0, 0), (0, 1, 0), math.asin(math.sqrt(1.0 / 3.0)), (1, 1, 0)),
+    ((-1, 0, 0), (1, 1, 0), (1, 1, 0), 0.75 * PI, (1, 1, 0)),
+    ((0, 0, -1), (1, 1, 0), (1, 1, 0), PI / 2, (1, 1, 0)),
+    ((-1, 0, 0), (1, 0, 0), (1, 0, 0), PI, (1, 0, 0)),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_distance_golden(case):
+    x, a, b, want, closest = case
+    xx, aa, bb = norm(x)[None, :], norm(a)[None, :], norm(b)[None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d2 = float(ek.dist2_point_segment(xx, aa, bb)[0])
+    got = 2.0 * math.asin(0.5 * math.sqrt(min(4.0, d2)))
+    assert abs(got - want) < 1e-13, (case, got)
+    if closest is not None and want > 0:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cp = ek.project_to_segment(xx, aa, bb)[0]
+        assert np.allclose(cp, norm(closest), atol=1e-14), (case, cp)
