@@ -204,6 +204,31 @@ def advance(ids: np.ndarray, steps: np.ndarray) -> np.ndarray:
     return np.atleast_1d(out)
 
 
+def advance_wrap(ids: np.ndarray, steps) -> np.ndarray:
+    """Advance along the Hilbert curve with wraparound at the curve's
+    ends (ref cellid.rs advance_wrap semantics)."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    steps = np.atleast_1d(np.asarray(steps, dtype=np.int64))
+    steps = np.broadcast_to(steps, ids.shape).astype(np.int64).copy()
+    shift = np.atleast_1d(
+        (U(2) * (U(MAX_LEVEL) - level(ids)) + U(1)).astype(np.uint64)
+    )
+    wrap = (WRAP_OFFSET >> shift).astype(np.int64)
+    neg = steps < 0
+    min_steps = -((ids >> shift).astype(np.int64))
+    m = neg & (steps < min_steps)
+    steps[m] = steps[m] % wrap[m]
+    m2 = neg & (steps < min_steps)
+    steps[m2] += wrap[m2]
+    pos = ~neg
+    max_steps = ((WRAP_OFFSET - ids) >> shift).astype(np.int64)
+    p = pos & (steps > max_steps)
+    steps[p] = steps[p] % wrap[p]
+    p2 = pos & (steps > max_steps)
+    steps[p2] -= wrap[p2]
+    return np.atleast_1d(ids + (steps << shift.astype(np.int64)).view(np.uint64))
+
+
 def cell_area_exact(ids: np.ndarray) -> np.ndarray:
     """Exact spherical area of each cell: sum of the two triangles of
     its (normalized) vertex quad (ref cell.rs:213-228 via point_area)."""

@@ -1,0 +1,77 @@
+"""Hilbert-curve wrapping goldens (reference cellid.rs:1488-1634)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.kernels import cellid as k
+
+U = np.uint64
+
+
+def face(f):
+    return k.from_face(np.array([f]))
+
+
+def from_face_pos_level(f: int, pos: int, lvl: int) -> np.ndarray:
+    raw = ((f << 61) + (pos | 1)) & ((1 << 64) - 1)
+    return k.parent(np.array([raw], dtype=np.uint64), lvl)
+
+
+def test_wrap_begin_end():
+    # wrap from beginning to end of the curve
+    want = k.prev_id(k.child_end_at_level(face(5), 0))
+    got = k.prev_wrap(k.child_begin_at_level(face(0), 0))
+    assert got[0] == want[0]
+
+    # smallest end leaf wraps to largest leaf via prev_wrap / advance_wrap(-1)
+    biggest = from_face_pos_level(5, (2**64 - 1) >> 3, 30)
+    first_leaf = k.child_begin_at_level(face(0), 30)
+    assert k.prev_wrap(first_leaf)[0] == biggest[0]
+    assert k.advance_wrap(first_leaf, -1)[0] == biggest[0]
+    assert k.advance_wrap(first_leaf, -1)[0] == k.prev_wrap(first_leaf)[0]
+
+
+def test_wrap_level4():
+    # prev + next_wrap stays the same at a given level
+    want = k.child_begin_at_level(face(0), 4)
+    got = k.next_wrap(k.prev_id(k.child_end_at_level(face(5), 4)))
+    assert got[0] == want[0]
+    # advance_wrap forward and back
+    got2 = k.advance_wrap(k.advance(k.child_end_at_level(face(5), 4), -1), 1)
+    assert got2[0] == want[0]
+
+
+def test_wrap_leaf():
+    want = from_face_pos_level(0, 0, 30)
+    got = k.next_wrap(k.prev_id(k.child_end_at_level(face(5), 30)))
+    assert got[0] == want[0]
+    got2 = k.advance_wrap(k.advance(k.child_end_at_level(face(5), 30), -1), 1)
+    assert got2[0] == want[0]
+
+
+def test_advance_wrap_cycles():
+    # advancing 7 steps around the cube ends one past start
+    start = k.child_begin_at_level(face(0), 0)
+    assert k.advance_wrap(start, 7)[0] == face(1)[0]
+    # twice around (12 faces) is identity
+    assert k.advance_wrap(start, 12)[0] == start[0]
+    assert k.advance_wrap(start, -12)[0] == start[0]
+    # mixing advance and advance_wrap is consistent at deeper levels
+    c = k.child_begin_at_level(face(3), 10)
+    assert k.advance_wrap(k.advance_wrap(c, 12345), -12345)[0] == c[0]
+
+
+def test_advance_golden():
+    # reference cellid.rs advance cases (test_cellid_advance):
+    # advance(7) from the first face cell reaches End (one past face 5)
+    f0_begin = k.child_begin_at_level(face(0), 0)
+    f5_end = k.child_end_at_level(face(5), 0)
+    assert k.advance(f0_begin, 7)[0] == f5_end[0]
+    # advance clamps at the ends
+    assert k.advance(f0_begin, -1)[0] == f0_begin[0]
+    leaf_begin = k.child_begin_at_level(face(0), 30)
+    big = k.advance(leaf_begin, 6 * (1 << 60))
+    end_leaf = k.child_end_at_level(face(5), 30)
+    assert big[0] == end_leaf[0]
