@@ -96,11 +96,10 @@ class S1Interval:
 
     @staticmethod
     def new(lo: float, hi: float) -> "S1Interval":
-        if lo == -PI and hi != PI:
-            lo = PI
-        if hi == -PI and lo != PI:
-            hi = PI
-        return S1Interval(lo, hi)
+        # both checks test the ORIGINAL endpoints (so [-π,-π] → [π,π])
+        new_lo = PI if (lo == -PI and hi != PI) else lo
+        new_hi = PI if (hi == -PI and lo != PI) else hi
+        return S1Interval(new_lo, new_hi)
 
     @staticmethod
     def empty() -> "S1Interval":
@@ -196,6 +195,30 @@ class S1Interval:
         if o.is_inverted():
             return o.lo <= self.hi or o.hi >= self.lo
         return o.lo <= self.hi and o.hi >= self.lo
+
+    def interior_intersects(self, o: "S1Interval") -> bool:
+        if self.is_empty() or o.is_empty() or self.lo == self.hi:
+            return False
+        if self.is_inverted():
+            return o.is_inverted() or o.lo < self.hi or o.hi > self.lo
+        if o.is_inverted():
+            return o.lo < self.hi or o.hi > self.lo
+        return (o.lo < self.hi and o.hi > self.lo) or self.is_full()
+
+    def intersection(self, o: "S1Interval") -> "S1Interval":
+        if o.is_empty():
+            return S1Interval.empty()
+        if self.fast_contains(o.lo):
+            if self.fast_contains(o.hi):
+                if o.length() < self.length():
+                    return o
+                return self
+            return S1Interval(o.lo, self.hi)
+        if self.fast_contains(o.hi):
+            return S1Interval(self.lo, o.hi)
+        if o.fast_contains(self.lo):
+            return self
+        return S1Interval.empty()
 
     def add_point(self, p: float) -> "S1Interval":
         if p == -PI:
