@@ -129,7 +129,7 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
 
     imgn = img.select(F.col("image_id").cast("long").alias("img"), "phash")
     out["phash_hamming"], _ = timed(
-        lambda: phash_hamming_pairs(imgn, "img", "phash", max_dist=20).count()
+        lambda: phash_hamming_pairs(imgn, "img", "phash", max_dist=6).count()
     )
 
     from rust_s2_spark.geometry.loop import Loop

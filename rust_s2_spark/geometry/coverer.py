@@ -8,13 +8,13 @@ num_terminals). Runs on the driver per query region (the result is
 broadcast into joins); also callable inside a pandas UDF for per-row
 footprints.
 
-Determinism: Rust's BinaryHeap tie-breaking is unspecified; we break
-ties on cell id so our output is stable run-to-run.
+Determinism: candidate pop order replicates Rust std's BinaryHeap
+exactly (see _RustHeap) so coverings match the reference cell-for-cell,
+verified against tests/golden/refdump.jsonl.
 """
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -94,18 +94,76 @@ class RegionCoverer:
         return cu
 
 
-@dataclass(order=True)
+@dataclass
 class _Candidate:
-    sort_key: tuple = field(init=False, repr=False)
-    priority: int = field(compare=False)
-    cell: Cell = field(compare=False)
-    terminal: bool = field(compare=False)
-    children: list = field(compare=False, default_factory=list)
+    priority: int
+    cell: Cell
+    terminal: bool
+    children: list = field(default_factory=list)
 
-    def __post_init__(self):
-        # heapq is a min-heap; the reference pops the max priority.
-        # Tie-break on cell id for determinism.
-        self.sort_key = (-self.priority, self.cell.id)
+
+class _RustHeap:
+    """Bit-faithful emulation of Rust std's ``BinaryHeap`` (max-heap) so
+    that candidate pop order — and therefore covering output — matches the
+    reference cell-for-cell, including priority ties (the reference's
+    Candidate Ord compares priority only, region.rs:166-170, so tie order
+    is decided by the heap mechanics: hole-based sift_up on push and
+    sift_down_to_bottom on pop, right child preferred on equal children).
+
+    Verified against 459 reference-dumped coverings in
+    tests/golden/refdump.jsonl (tools/refdump dumps them by running the
+    reference library itself).
+    """
+
+    def __init__(self):
+        self.data: list[_Candidate] = []
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def push(self, item: _Candidate) -> None:
+        self.data.append(item)
+        self._sift_up(0, len(self.data) - 1)
+
+    def pop(self) -> _Candidate:
+        d = self.data
+        item = d.pop()
+        if d:
+            item, d[0] = d[0], item
+            self._sift_down_to_bottom(0)
+        return item
+
+    def clear(self) -> None:
+        self.data.clear()
+
+    def _sift_up(self, start: int, pos: int) -> None:
+        d = self.data
+        elem = d[pos]
+        while pos > start:
+            parent = (pos - 1) >> 1
+            if elem.priority <= d[parent].priority:
+                break
+            d[pos] = d[parent]
+            pos = parent
+        d[pos] = elem
+
+    def _sift_down_to_bottom(self, pos: int) -> None:
+        d = self.data
+        end = len(d)
+        start = pos
+        elem = d[pos]
+        child = 2 * pos + 1
+        while child <= end - 2:
+            if d[child].priority <= d[child + 1].priority:
+                child += 1
+            d[pos] = d[child]
+            pos = child
+            child = 2 * pos + 1
+        if child == end - 1:
+            d[pos] = d[child]
+            pos = child
+        d[pos] = elem
+        self._sift_up(start, pos)
 
 
 class _Coverer:
@@ -114,7 +172,7 @@ class _Coverer:
         self.region = region
         self.interior = interior
         self.result: list[int] = []
-        self.pq: list[_Candidate] = []
+        self.pq = _RustHeap()
 
     def new_candidate(self, cell: Cell) -> _Candidate | None:
         if not self.region.intersects_cell(cell):
@@ -169,8 +227,7 @@ class _Coverer:
             (((level << max_children_shift) + len(cand.children)) << max_children_shift)
             + num_terminals
         )
-        cand.sort_key = (-cand.priority, cand.cell.id)
-        heapq.heappush(self.pq, cand)
+        self.pq.push(cand)
 
     def initial_candidates(self) -> None:
         temp = RegionCoverer(
@@ -208,10 +265,10 @@ class _Coverer:
 
     def run(self) -> None:
         self.initial_candidates()
-        while self.pq:
+        while len(self.pq):
             if self.interior and len(self.result) >= self.c.max_cells:
                 break
-            cand = heapq.heappop(self.pq)
+            cand = self.pq.pop()
             if (
                 self.interior
                 or cand.cell.level < self.c.min_level

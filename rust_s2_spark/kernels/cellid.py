@@ -217,7 +217,11 @@ def advance_wrap(ids: np.ndarray, steps) -> np.ndarray:
     neg = steps < 0
     min_steps = -((ids >> shift).astype(np.int64))
     m = neg & (steps < min_steps)
-    steps[m] = steps[m] % wrap[m]
+    # Rust's % is truncated (remainder in (-wrap, 0] for negative steps);
+    # numpy's is floored (in [0, wrap)). Emulate: r_trunc = r_floor - wrap
+    # when r_floor != 0 (ref cellid.rs:510-518).
+    r = steps[m] % wrap[m]
+    steps[m] = np.where(r != 0, r - wrap[m], r)
     m2 = neg & (steps < min_steps)
     steps[m2] += wrap[m2]
     pos = ~neg

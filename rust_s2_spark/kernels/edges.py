@@ -257,23 +257,32 @@ def edge_or_vertex_crossing(a, b, c, d) -> np.ndarray:
 
 
 def interpolate(t, a, b):
-    """Point at fraction t along geodesic AB (ref edgeutil.rs:120-135)."""
+    """Point at fraction t along geodesic AB (ref edgeutil.rs:120-135).
+
+    Angle via atan2(‖a×b‖, a·b) — arccos of the dot loses ~half the
+    significant digits for tiny segments (caught by the reference-dumped
+    interpolate goldens on a 1e-6-degree segment)."""
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     b = np.atleast_2d(np.asarray(b, dtype=np.float64))
-    ab = np.arccos(np.clip(_dot(_normalize(a), _normalize(b)), -1, 1))
+    ab = np.arctan2(_norm(_cross(a, b)), _dot(a, b))
     return interpolate_at_distance(np.asarray(t) * ab, a, b)
 
 
 def interpolate_at_distance(ax_rad, a, b):
-    """Point at angle ax along geodesic AB (ref edgeutil.rs:137-148)."""
+    """Point at angle ax along geodesic AB (ref edgeutil.rs:137-148).
+
+    Tangent built as point_cross(a,b)×a — point_cross is (a+b)×(b−a),
+    numerically robust for nearly-identical a, b (ref point.rs:144-156) —
+    and scaled by sin/‖tangent‖ exactly as the reference does, so the
+    goldens match to the last compared digit."""
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     b = np.atleast_2d(np.asarray(b, dtype=np.float64))
     ax_rad = np.asarray(ax_rad, dtype=np.float64)
-    an = _normalize(a)
-    # unit tangent at a towards b
-    tangent = _normalize(_cross(_cross(an, b), an))
+    normal = _cross(a + b, b - a)
+    tangent = _cross(normal, a)
     return _normalize(
-        an * np.cos(ax_rad)[..., None] + tangent * np.sin(ax_rad)[..., None]
+        a * np.cos(ax_rad)[..., None]
+        + tangent * (np.sin(ax_rad) / _norm(tangent))[..., None]
     )
 
 
@@ -306,6 +315,14 @@ def dist2_point_segment(x, a, b) -> np.ndarray:
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     d = x - closest
     return np.minimum(4.0, _dot(d, d))
+
+
+def distance_from_segment(x, a, b) -> np.ndarray:
+    """Angle (radians) from x to segment AB — chord² converted via
+    2·asin(√d²/2), matching ref edgeutil.rs:224-228 (checked against
+    reference-dumped seg_dist goldens)."""
+    d2 = dist2_point_segment(x, a, b)
+    return 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(d2)))
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,12 @@ class Metric:
         return math.ldexp(self.deriv, -self.dim * level)
 
     def min_level(self, val: float) -> int:
-        if val < 0:
+        # Deliberate divergence from the reference: metric.rs:131 computes
+        # (-ilogb(x)) >> (dim-1), a precedence slip vs the C++ original's
+        # -(ilogb(x) >> (dim-1)); for dim=2 metrics with odd negative
+        # exponents the two differ by one level. We keep the C++ semantics
+        # (pinned by tests/test_kernels_golden.py metric goldens).
+        if val <= 0:
             return MAX_LEVEL
         level = -(_ilogb(val / self.deriv) >> (self.dim - 1))
         return max(0, min(MAX_LEVEL, level))

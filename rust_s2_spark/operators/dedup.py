@@ -13,6 +13,8 @@ every intermediate bit-for-bit.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +54,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket: int | None = 1_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash (b bands ×
     r rows): minhash h_i = min(md5('s{i}:' || shingle)); band
@@ -93,6 +96,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    sigs = _cap_buckets(sigs, ["band", "sig"], max_bucket)
     left = sigs.select(F.col(id_col).alias("a"), "band", "sig")
     right = sigs.select(F.col(id_col).alias("b"), "band", "sig")
     pairs = (
@@ -102,6 +106,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows whose bucket has more than ``max_bucket`` members.
+
+    A single degenerate bucket (empty/boilerplate docs sharing one band
+    signature) makes the LSH self-join O(n²) in that bucket; at 100 TB one
+    hot signature is enough to wedge a stage. The groupBy is a map-side
+    partial count over the same keys the join shuffles on, so the guard
+    costs one cheap pre-pass. Dropped buckets are (by construction) near-
+    duplicate *clusters* larger than max_bucket — callers that want those
+    should handle them via exact_dedup instead of pairwise output.
+    """
+    if max_bucket is None:
+        return df
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bucket_n"))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+    return df.join(counts, keys)
 
 
 def ngram_jaccard(
@@ -132,28 +158,72 @@ def ngram_jaccard(
     return out.select("a", "b", "jaccard")
 
 
-def phash_hamming_pairs(
-    df: DataFrame, id_col: str, phash_col: str = "phash", max_dist: int = 8,
-    block_bits: int = 16,
-) -> DataFrame:
-    """Near-dup images: hamming(phash_a, phash_b) <= max_dist.
+def _phash_band_plan(max_dist: int) -> tuple[int, int]:
+    """Pick (nblocks m, blocks-per-band c) so banding is EXACT for
+    max_dist: partition the 64 bits into m equal blocks and emit one band
+    per c-subset of blocks. A pair within hamming distance d has clean
+    (identical) blocks in all but ≤ d positions, so it shares ≥ C(m-d, c)
+    complete bands — ≥ 1 whenever m - c >= d (pigeonhole). The ladder
+    trades band count (C(m,c) candidate passes) against band width
+    (64·c/m bits of selectivity):
 
-    Banding trick on phash prefix blocks keeps the join from being a
-    cross product: two 62-bit hashes within hamming distance d share
-    at least one of ceil(64/block_bits) exact blocks when d < blocks.
+      d ≤ 3  → (4, 1):   4 bands × 16 bits
+      d ≤ 6  → (8, 2):  28 bands × 16 bits
+      d ≤ 14 → (16, 2): 120 bands × 8 bits
+      d ≤ 28 → (32, 4): ~36k bands — rejected; threshold is unusable
     """
-    nblocks = 4
-    blocked = None
-    for i in range(nblocks):
-        b = df.select(
-            F.col(id_col).alias("id"),
-            F.col(phash_col).alias("ph"),
-            F.lit(i).alias("blk"),
-            F.shiftrightunsigned(F.col(phash_col), i * block_bits)
-            .bitwiseAND(F.lit((1 << block_bits) - 1))
-            .alias("blk_val"),
+    for m, c in ((4, 1), (8, 2), (16, 2)):
+        if max_dist <= m - c:
+            return m, c
+    raise ValueError(
+        f"max_dist={max_dist} needs more than 120 bands for exact recall on "
+        "a 64-bit phash; thresholds above 14 bits are not meaningful "
+        "near-duplicate tests — lower max_dist or pre-cluster instead"
+    )
+
+
+def phash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_dist: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup images: ALL pairs with hamming(phash_a, phash_b) <= max_dist.
+
+    Exact multi-index banding (see _phash_band_plan): the 64-bit phash is
+    split into m blocks and every c-subset of blocks forms a band, which
+    guarantees every pair within max_dist shares at least one band — the
+    single-block scheme only guarantees d < nblocks, which silently drops
+    distant pairs. Verified against an exhaustive bit_count(xor) oracle
+    (driver query phash_recall). Bands ride one union + one self-join;
+    everything is native bit math in whole-stage codegen.
+    """
+    m, c = _phash_band_plan(max_dist)
+    block_bits = 64 // m
+    mask = (1 << block_bits) - 1
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(phash_col), i * block_bits).bitwiseAND(
+            F.lit(mask)
         )
-        blocked = b if blocked is None else blocked.unionByName(b)
+
+    combos = list(itertools.combinations(range(m), c))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("blk"),
+            F.concat_ws(
+                ":", *[block(i).cast("string") for i in combo]
+            ).alias("blk_val"),
+        )
+        for bi, combo in enumerate(combos)
+    ]
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(phash_col).alias("ph"),
+        F.explode(F.array(*band_structs)).alias("bv"),
+    ).select("id", "ph", F.col("bv.blk").alias("blk"), F.col("bv.blk_val").alias("blk_val"))
+    blocked = _cap_buckets(blocked, ["blk", "blk_val"], max_bucket)
     left = blocked.select(F.col("id").alias("a"), F.col("ph").alias("ph_a"), "blk", "blk_val")
     right = blocked.select(F.col("id").alias("b"), F.col("ph").alias("ph_b"), "blk", "blk_val")
     cand = (
@@ -171,26 +241,30 @@ def phash_hamming_pairs(
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit simhash over whitespace tokens (Spark-native bit math).
 
-    Token hash = first 16 hex chars of md5 → bigint via conv(); each
-    bit votes ±1; sign of the vote per bit forms the fingerprint.
+    Token hash = all 128 md5 bits folded to 64 via two 8-hex-char halves
+    (conv() on 16 hex chars would overflow the signed long in ANSI mode,
+    so the two 32-bit halves are combined with shiftleft/OR — exact);
+    each bit votes ±1; sign of the vote per bit forms the fingerprint.
     """
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    md5 = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
     tokens = tokens.withColumn("th", h)
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(60)
+        for b in range(64)
     ]
     agg = tokens.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(60):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        )
+    for b in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), sim.alias("simhash"))

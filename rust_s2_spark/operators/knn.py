@@ -32,7 +32,15 @@ from ..kernels import metric as metrics
 
 
 def _candidate_cells(lat: np.ndarray, lng: np.ndarray, level: int) -> list[np.ndarray]:
-    """Per-query candidate cells: own cell + all neighbors at level."""
+    """Per-query candidate cells: own cell + all neighbors at level.
+
+    At level 0 the 3×3 neighbor ring only reaches 5 of the 6 faces (the
+    antipodal face is two steps away), yet _safe_chord2(0) promises the
+    whole sphere — so level 0 uses all six face cells explicitly.
+    """
+    if level <= 0:
+        faces = k.from_face(np.arange(6, dtype=np.uint64))
+        return [faces.copy() for _ in range(len(lat))]
     ids = k.parent(k.cell_from_latlng(lat, lng), level)
     rings = k.all_neighbors(ids, level)
     return [

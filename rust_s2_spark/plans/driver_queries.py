@@ -609,31 +609,41 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM scored WHERE rank <= {SI
 """.strip()
 
 
+# d=14 exercises the (m=16, c=2) multi-index band plan AND yields real
+# matches: the synthetic phash derivation has no pairs below d=12, so a
+# smaller threshold would make the recall check vacuously green.
+PHASH_MAX_DIST = 14
+
+
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within hamming distance PHASH_MAX_DIST.
+
+    The oracle below is an EXHAUSTIVE bit_count(xor) pair scan — it shares
+    no algorithm with the banding implementation, so it verifies the
+    recall contract itself (every qualifying pair present), not an
+    implementation echo. Both sides restrict to image_id % 3 == 0 to keep
+    the oracle's all-pairs scan tractable at driver scale.
+    """
     from ..operators.dedup import phash_hamming_pairs
 
     img = _images(spark, sf_dir).select(
         F.col("image_id").cast("long").alias("img"), "phash"
     )
-    out = phash_hamming_pairs(img, "img", "phash", max_dist=30)
+    img = img.where(F.col("img") % 3 == 0)
+    out = phash_hamming_pairs(img, "img", "phash", max_dist=PHASH_MAX_DIST)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def o_phash_hamming() -> str:
-    blocks = " UNION ALL ".join(
-        f"SELECT CAST(image_id AS BIGINT) AS id, phash, {i} AS blk, "
-        f"(phash // {1 << (i * 16)}) % 65536 AS blk_val FROM img"
-        for i in range(4)
-    )
     return f"""
 WITH img AS ({oracle_images_sql()}),
-blocked AS ({blocks}),
-cand AS (
-  SELECT DISTINCT l.id AS a, r.id AS b, l.phash AS ph_a, r.phash AS ph_b
-  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.id < r.id
+pts AS (
+  SELECT CAST(image_id AS BIGINT) AS id, phash FROM img
+  WHERE CAST(image_id AS BIGINT) % 3 = 0
 )
-SELECT a, b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 30
+SELECT l.id AS a, r.id AS b, CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+FROM pts l JOIN pts r ON l.id < r.id
+WHERE bit_count(xor(l.phash, r.phash)) <= {PHASH_MAX_DIST}
 """.strip()
 
 
