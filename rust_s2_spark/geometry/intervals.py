@@ -81,6 +81,14 @@ class R1Interval:
             return self
         return R1Interval(self.lo - margin, self.hi + margin)
 
+    def directed_hausdorff_distance(self, o: "R1Interval") -> float:
+        """max_{p∈self} min_{q∈o} |p−q| (ref r1/interval.rs:191-199)."""
+        if self.is_empty():
+            return 0.0
+        if o.is_empty():
+            return math.inf
+        return max(0.0, max(self.hi - o.hi, o.lo - self.lo))
+
 
 @dataclass(frozen=True)
 class S1Interval:
@@ -131,6 +139,38 @@ class S1Interval:
 
     def is_empty(self) -> bool:
         return self.lo == PI and self.hi == -PI
+
+    def complement(self) -> "S1Interval":
+        """ref s1/interval.rs:353-363 (singleton → full)."""
+        if self.lo == self.hi:
+            return S1Interval.full()
+        return S1Interval(self.hi, self.lo)
+
+    def complement_center(self) -> float:
+        """ref s1/interval.rs:368-376."""
+        if self.lo != self.hi:
+            return self.complement().center()
+        if self.hi <= 0:
+            return self.hi + PI
+        return self.hi - PI
+
+    def directed_hausdorff_distance(self, y: "S1Interval") -> float:
+        """max_{p∈self} min_{q∈y} d(p,q) along S1, radians
+        (ref s1/interval.rs:382-406)."""
+        if y.contains_interval(self):
+            return 0.0  # includes self empty
+        if y.is_empty():
+            return PI
+        y_cc = y.complement_center()
+        if self.contains(y_cc):
+            return S1Interval._positive_distance(y.hi, y_cc)
+        hi_hi = 0.0
+        if S1Interval.new(y.hi, y_cc).contains(self.hi):
+            hi_hi = S1Interval._positive_distance(y.hi, self.hi)
+        lo_lo = 0.0
+        if S1Interval.new(y_cc, y.lo).contains(self.lo):
+            lo_lo = S1Interval._positive_distance(self.lo, y.lo)
+        return max(hi_hi, lo_lo)
 
     def is_inverted(self) -> bool:
         return self.lo > self.hi

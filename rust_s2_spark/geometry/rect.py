@@ -184,6 +184,113 @@ class Rect:
             best = min(best, pt.chord2_to_angle(d2))
         return best
 
+    # -- hausdorff (ref rect.rs:281-460) --------------------------------------
+
+    def hausdorff_distance(self, other: "Rect") -> float:
+        """Undirected Hausdorff distance (radians) along the sphere:
+        H(A,B) = max{h(A,B), h(B,A)} (ref rect.rs:285-288); verified
+        against 144 reference-dumped rect pairs."""
+        return max(
+            self.directed_hausdorff_distance(other),
+            other.directed_hausdorff_distance(self),
+        )
+
+    def directed_hausdorff_distance(self, other: "Rect") -> float:
+        """h(A,B) = max_{p∈A} min_{q∈B} d(p,q), radians
+        (ref rect.rs:295-303)."""
+        if self.is_empty():
+            return 0.0
+        if other.is_empty():
+            return math.pi
+        lng_distance = self.lng.directed_hausdorff_distance(other.lng)
+        return Rect._hausdorff_helper(lng_distance, self.lat, other.lat)
+
+    @staticmethod
+    def _hausdorff_helper(lng_diff: float, a: R1Interval, b: R1Interval) -> float:
+        """Directed Hausdorff from a longitudinal edge spanning lat range
+        `a` to one spanning `b`, lng_diff apart (ref rect.rs:310-402):
+        candidate maximizers are a's endpoints, the equator crossing
+        (lng_diff ≤ π/2), or the bisector/interior extrema (lng_diff >
+        π/2, Voronoi cases B2/B3)."""
+        assert 0.0 <= lng_diff <= math.pi
+        if lng_diff == 0.0:
+            return a.directed_hausdorff_distance(b)
+        b_lo = pt.latlng_rad_to_xyz(b.lo, lng_diff)
+        b_hi = pt.latlng_rad_to_xyz(b.hi, lng_diff)
+        a_lo = pt.latlng_rad_to_xyz(a.lo, 0.0)
+        a_hi = pt.latlng_rad_to_xyz(a.hi, 0.0)
+        max_distance = max(
+            Rect._seg_angle(a_lo, b_lo, b_hi), Rect._seg_angle(a_hi, b_lo, b_hi)
+        )
+        if lng_diff <= math.pi / 2:
+            if a.contains(0.0) and b.contains(0.0):
+                max_distance = max(max_distance, lng_diff)
+            return max_distance
+        # Case B2: intersection of longitude 0 with the bisector of b.
+        p = Rect._bisector_intersection(b, lng_diff)
+        p_lat = math.atan2(p[2], math.hypot(p[0], p[1]))
+        if a.contains(p_lat):
+            max_distance = max(max_distance, Rect._pt_angle(p, b_lo))
+        # Case B3: interior extrema of the lower/upper sub-segments.
+        if p_lat > a.lo:
+            d = Rect._interior_max_distance(
+                R1Interval(a.lo, min(p_lat, a.hi)), b_lo
+            )
+            if d is not None:
+                max_distance = max(max_distance, d)
+        if p_lat < a.hi:
+            d = Rect._interior_max_distance(
+                R1Interval(max(p_lat, a.lo), a.hi), b_hi
+            )
+            if d is not None:
+                max_distance = max(max_distance, d)
+        return max_distance
+
+    @staticmethod
+    def _seg_angle(x, a, b) -> float:
+        import numpy as np
+
+        from ..kernels import edges as ek
+
+        return float(
+            ek.distance_from_segment(
+                np.array([x]), np.array([a]), np.array([b])
+            )[0]
+        )
+
+    @staticmethod
+    def _pt_angle(p, q) -> float:
+        c = pt.cross(p, q)
+        return math.atan2(math.sqrt(pt.dot(c, c)), pt.dot(p, q))
+
+    @staticmethod
+    def _bisector_intersection(lat: R1Interval, lng: float):
+        """Intersection of longitude 0 with the bisector of the edge on
+        longitude `lng` spanning `lat` (ref rect.rs:404-427)."""
+        lng = abs(lng)
+        lat_center = lat.center()
+        if lat_center >= 0.0:
+            ortho_bisector = pt.latlng_rad_to_xyz(lat_center - math.pi / 2, lng)
+        else:
+            ortho_bisector = pt.latlng_rad_to_xyz(-lat_center - math.pi / 2, lng - math.pi)
+        ortho_lng = (0.0, -1.0, 0.0)
+        return pt.cross(ortho_lng, ortho_bisector)
+
+    @staticmethod
+    def _interior_max_distance(a_lat: R1Interval, b) -> float | None:
+        """Max distance from b to the longitude-0 segment spanning a_lat,
+        when attained in the interior (ref rect.rs:432-450)."""
+        if a_lat.is_empty() or b[0] >= 0.0:
+            return None
+        intersection = (-b[0], 0.0, -b[2])
+        intersection_lat = math.atan2(
+            intersection[2], math.hypot(intersection[0], intersection[1])
+        )
+        if a_lat.interior_contains(intersection_lat):
+            n = pt.normalize(intersection)
+            return Rect._pt_angle(b, n)
+        return None
+
     # -- region protocol -----------------------------------------------------
 
     def rect_bound(self) -> "Rect":

@@ -19,6 +19,8 @@ Conventions
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .hilbert import INVERT_MASK, LOOKUP_IJ, LOOKUP_POS, SWAP_MASK
@@ -254,6 +256,49 @@ def cell_area_exact(ids: np.ndarray) -> np.ndarray:
         corners.append(p)
     a, b, c, d = corners
     return ek.point_area(a, b, c) + ek.point_area(a, c, d)
+
+
+def bound_uv(ids: np.ndarray):
+    """(u_lo, u_hi, v_lo, v_hi) of each cell on its face
+    (ref cellid.rs bound_uv via ij_to_stmin)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    _, i, j, _ = to_face_ij_orientation(ids)
+    lvl = level(ids).astype(np.int64)
+    size = size_ij(lvl)
+    x_lo = i & (-size)
+    y_lo = j & (-size)
+    u_lo = st_to_uv(ij_to_stmin(x_lo))
+    u_hi = st_to_uv(ij_to_stmin(x_lo + size))
+    v_lo = st_to_uv(ij_to_stmin(y_lo))
+    v_hi = st_to_uv(ij_to_stmin(y_lo + size))
+    return u_lo, u_hi, v_lo, v_hi
+
+
+def _expand_endpoint(u, max_v, sin_dist):
+    """ref cellid.rs:691-695."""
+    sin_u_shift = sin_dist * np.sqrt((1.0 + u * u + max_v * max_v) / (1.0 + u * u))
+    cos_u_shift = np.sqrt(1.0 - sin_u_shift * sin_u_shift)
+    return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+
+def expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, distance_rad: float):
+    """Expand a (u,v)-rect so it contains all points within `distance_rad`
+    (on the sphere) of its boundary; negative distance shrinks
+    (ref cellid.rs:701-740, formula verbatim; verified against
+    reference-dumped expanded_uv goldens). Vectorized over rect arrays —
+    used for buffered point-radius joins without a covering pass."""
+    u_lo, u_hi, v_lo, v_hi = (
+        np.asarray(a, dtype=np.float64) for a in (u_lo, u_hi, v_lo, v_hi)
+    )
+    max_u = np.maximum(np.abs(u_lo), np.abs(u_hi))
+    max_v = np.maximum(np.abs(v_lo), np.abs(v_hi))
+    sin_dist = math.sin(distance_rad)
+    return (
+        _expand_endpoint(u_lo, max_v, -sin_dist),
+        _expand_endpoint(u_hi, max_v, sin_dist),
+        _expand_endpoint(v_lo, max_u, -sin_dist),
+        _expand_endpoint(v_hi, max_u, sin_dist),
+    )
 
 
 def cell_area_average(ids: np.ndarray) -> np.ndarray:

@@ -294,9 +294,13 @@ def project_to_segment(x, a, b):
     n = max(x.shape[0], a.shape[0], b.shape[0])
     x, a, b = (np.broadcast_to(v, (n, 3)) for v in (x, a, b))
     ab_normal = _cross(a, b)
-    # projection of x onto the great circle through a, b
+    # projection of x onto the great circle through a, b; for a == b the
+    # normal is zero — the guarded denominator yields p = x and the
+    # on_segment tests below fail, so the endpoint branch is taken (the
+    # reference handles A == B the same way, edgeutil.rs:224 doc)
+    nn = _dot(ab_normal, ab_normal)
     p = _normalize(
-        x - (ab_normal * (_dot(x, ab_normal) / _dot(ab_normal, ab_normal))[..., None])
+        x - (ab_normal * (_dot(x, ab_normal) / np.where(nn == 0.0, 1.0, nn))[..., None])
     )
     # within segment if p is between a and b along the circle
     da = _dot(x - a, x - a)

@@ -131,6 +131,78 @@ def test_interpolate_matches_reference():
             assert lng == pytest.approx(r["lng"], abs=1e-9), r
 
 
+def test_rect_hausdorff_matches_reference():
+    for d in _records("hausdorff"):
+        ra = Rect.from_degrees(*d["a"])
+        rb = Rect.from_degrees(*d["b"])
+        assert ra.directed_hausdorff_distance(rb) == pytest.approx(
+            d["directed"], abs=1e-13
+        ), d
+        assert ra.hausdorff_distance(rb) == pytest.approx(
+            d["undirected"], abs=1e-13
+        ), d
+
+
+def test_rect_bounder_matches_reference_bit_exact():
+    from rust_s2_spark.geometry import point as pt2
+    from rust_s2_spark.geometry.rect_bounder import RectBounder
+
+    for d in _records("rect_bounder"):
+        rb = RectBounder()
+        pts = d["points"]
+        for i in range(0, len(pts), 2):
+            rb.add_point(
+                pt2.latlng_rad_to_xyz(
+                    math.radians(pts[i]), math.radians(pts[i + 1])
+                )
+            )
+        b = rb.get_bound()
+        assert (b.lat.lo, b.lat.hi, b.lng.lo, b.lng.hi) == (
+            d["lat_lo"],
+            d["lat_hi"],
+            d["lng_lo"],
+            d["lng_hi"],
+        ), d["name"]
+
+
+def test_expand_for_subregions_reference_cases():
+    """Cases transcribed from the reference's inline test
+    (rect_bounder.rs:652-760): full-expansion triggers and the
+    9ε/π expansion arithmetic."""
+    from rust_s2_spark.geometry.rect_bounder import expand_for_subregions
+
+    eps = 2.220446049250313e-16
+
+    def bound(x_lat, x_lng, y_lat, y_lng):
+        from rust_s2_spark.geometry import point as pt2
+        from rust_s2_spark.geometry.rect_bounder import RectBounder
+
+        rb = RectBounder()
+        rb.add_point(pt2.latlng_rad_to_xyz(x_lat, x_lng))
+        rb.add_point(pt2.latlng_rad_to_xyz(y_lat, y_lng))
+        return expand_for_subregions(rb.get_bound())
+
+    # tiny rectangles near the antipodal axis expand to full
+    assert bound(3e-16, 0, 1e-14, math.pi).is_full()
+    assert bound(9e-16, 0, 1e-14, math.pi).is_full()
+    assert bound(1e-16, 7e-16, 1e-14, math.pi).is_full()
+    # and safely-separated ones do not
+    assert not bound(1e-11, 0, 1e-9, math.pi).is_full()
+    assert not bound(1e-11, 0, 1e-9, math.pi - 0.1).is_full()
+    # a normal rect stays a slightly-expanded normal rect
+    r = bound(0.1, 0.2, 0.3, 0.4)
+    assert not r.is_full() and not r.is_empty()
+    assert r.lat.hi >= 0.3 and r.lat.hi <= 0.3 + 100 * eps
+
+
+def test_expanded_by_distance_uv_matches_reference_bit_exact():
+    for d in _records("expanded_uv"):
+        got = k.expanded_by_distance_uv(
+            d["u_lo"], d["u_hi"], d["v_lo"], d["v_hi"], d["dist"]
+        )
+        assert [float(g) for g in got] == d["out"], d
+
+
 def test_interpolate_at_distance_matches_reference():
     segs = {s["seg"]: s for s in _records("seg_dist")}
     for r in _records("interpolate_at_distance"):
