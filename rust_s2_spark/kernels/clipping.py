@@ -1,14 +1,11 @@
 """Edge → face segments → cell covering (SURVEY.md §2.7 #52-54).
 
-Key geometric fact: a great circle lies in a plane n·p = 0 and the
-face chart p(u,v) = axis0 + u·u_axis + v·v_axis is affine in (u,v),
-so a geodesic is a straight LINE in each face's (u,v) chart. Face
-segmentation therefore reduces to plane/plane intersections, and the
-per-face cell rasterization to solving u(t)/v(t) = st_to_uv(grid)
-for t — exact monotone 1-D crossings (the reference's clip machinery,
-edge_clipping.rs, achieves the same with explicit error bounds; this
-implementation trades those last-ulp guarantees for a small overlap
-margin and is flagged for a bit-exactness pass in a later round).
+Face segmentation delegates to the exact port of the reference's clip
+machinery (kernels/edge_clipping.py — the sum_equal / exit_axis layer
+with the reference's error constants; tests/test_edge_clipping.py runs
+the reference's own property suite against it). The per-face cell
+rasterization solves u(t)/v(t) = st_to_uv(grid) for t — exact monotone
+1-D crossings in each face's affine (u,v) chart.
 
 Outputs feed the polyline→cell assignment operator (tight edge
 coverings, vs. the buffered-cap covering in operators/polyline.py).
@@ -19,19 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import cellid as k
-
-# face boundary planes: the 12 cube edges lie on these 6 planes
-_BOUNDARY_NORMALS = np.array(
-    [
-        [1.0, -1.0, 0.0],  # x = y
-        [1.0, 1.0, 0.0],  # x = -y
-        [1.0, 0.0, -1.0],  # x = z
-        [1.0, 0.0, 1.0],  # x = -z
-        [0.0, 1.0, -1.0],  # y = z
-        [0.0, 1.0, 1.0],  # y = -z
-    ]
-)
-
+from . import edge_clipping as ec
 
 def _norm(v):
     return v / np.linalg.norm(v)
@@ -41,61 +26,16 @@ def face_segments(a, b) -> list[tuple[int, float, float, float, float]]:
     """Subdivide geodesic AB at cube-face crossings.
 
     Returns [(face, u_a, v_a, u_b, v_b), ...] in order along the edge.
-    Scalar per edge (query-side artifact); assumes the edge spans less
-    than a half circle.
-    """
+    Exact machinery from kernels/edge_clipping.py (ref
+    edge_clipping.rs:602-680); uv values clamped to the biunit square
+    for the rasterizer."""
     a = _norm(np.asarray(a, dtype=np.float64))
     b = _norm(np.asarray(b, dtype=np.float64))
-    n = np.cross(a, b)
-    nn = np.linalg.norm(n)
-    if nn < 1e-300:
-        raise ValueError("degenerate edge")
-    n = n / nn
-
-    # parametrize p(t) = normalize(a*cos(θt) + w*sin(θt)); crossings found
-    # via intersection directions d = ±cross(n, boundary_normal)
-    w = _norm(np.cross(n, a))
-    theta = float(np.arctan2(np.dot(b, w), np.dot(b, a)))  # arc length to b
-
-    ts = [0.0, theta]
-    for bn in _BOUNDARY_NORMALS:
-        d = np.cross(n, bn)
-        dn = np.linalg.norm(d)
-        if dn < 1e-15:
-            continue
-        d = d / dn
-        for cand in (d, -d):
-            t = float(np.arctan2(np.dot(cand, w), np.dot(cand, a)))
-            if 1e-15 < t < theta - 1e-15:
-                ts.append(t)
-    ts = sorted(set(ts))
-
-    # the 6 planes also slice through face interiors (e.g. y=z crosses
-    # face 0 diagonally), so adjacent pieces on the same face are merged
-    segs: list[tuple[int, float, float, float, float]] = []
-    for t0, t1 in zip(ts[:-1], ts[1:]):
-        if t1 - t0 < 1e-15:
-            continue
-        tm = 0.5 * (t0 + t1)
-        pm = a * np.cos(tm) + w * np.sin(tm)
-        face = int(k.xyz_to_face(pm[0:1], pm[1:2], pm[2:3])[0])
-        p0 = a * np.cos(t0) + w * np.sin(t0)
-        p1 = a * np.cos(t1) + w * np.sin(t1)
-        u0, v0 = _face_uv_clamped(face, p0)
-        u1, v1 = _face_uv_clamped(face, p1)
-        if segs and segs[-1][0] == face:
-            pf, pu0, pv0, _, _ = segs[-1]
-            segs[-1] = (pf, pu0, pv0, u1, v1)
-        else:
-            segs.append((face, u0, v0, u1, v1))
-    return segs
-
-
-def _face_uv_clamped(face: int, p: np.ndarray) -> tuple[float, float]:
-    u, v = k.face_xyz_to_uv(
-        np.array([face]), p[0:1], p[1:2], p[2:3]
-    )
-    return float(np.clip(u[0], -1.0, 1.0)), float(np.clip(v[0], -1.0, 1.0))
+    segs = ec.face_segments(tuple(a), tuple(b))
+    cl = lambda x: min(1.0, max(-1.0, x))  # noqa: E731
+    return [
+        (s.face, cl(s.a[0]), cl(s.a[1]), cl(s.b[0]), cl(s.b[1])) for s in segs
+    ]
 
 
 def _st(x: float) -> float:

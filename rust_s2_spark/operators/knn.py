@@ -78,10 +78,13 @@ def knn_join(
     level = metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg))
     level = max(0, min(30, level))
 
-    # the final result is at most len(queries) × k rows — collect per
-    # attempt and assemble once at the end (no cached lineage to leak,
-    # no recompute)
-    final_rows: list[tuple] = []
+    # Distributed assembly: ranked rows never leave the executors. Per
+    # widening attempt the driver collects ONE aggregate row per pending
+    # query (n found, k-th distance) — the same cardinality as the
+    # query_points list the caller already holds — decides which queries
+    # are resolved, and keeps the resolved slice as a persisted DataFrame.
+    # The returned result is the lazy union of those slices.
+    resolved: DataFrame | None = None
     pending = np.arange(len(qids))
     attempt = 0
     while len(pending) > 0:
@@ -107,25 +110,35 @@ def knn_join(
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk)
             .select("query_id", "rank", id_col, "dist_chord2")
+            .persist()
         )
-        collected = ranked.collect()
         # a query is final when it found k results AND the k-th distance
         # is inside the ring's guaranteed coverage radius
         safe = _safe_chord2(lvl)
-        stats: dict[int, tuple[int, float]] = {}
-        for r in collected:
-            n, dmax = stats.get(r["query_id"], (0, 0.0))
-            stats[r["query_id"]] = (n + 1, max(dmax, r["dist_chord2"]))
         is_last = lvl == 0 or attempt >= max_widen
-        done_mask = []
-        for q in qids[pending]:
-            n, dmax = stats.get(int(q), (0, 0.0))
-            ok = n >= kk and dmax <= safe
-            done_mask.append(ok or is_last)
-        done_mask = np.array(done_mask, dtype=bool)
-        done_ids = {int(q) for q in qids[pending][done_mask]}
-        final_rows.extend(tuple(r) for r in collected if r["query_id"] in done_ids)
-        pending = pending[~done_mask]
+        if is_last:
+            done_ids = {int(q) for q in qids[pending]}
+        else:
+            stats = ranked.groupBy("query_id").agg(
+                F.count("*").alias("n"), F.max("dist_chord2").alias("dmax")
+            ).collect()  # ≤ |pending| rows — bounded by the driver-side query list
+            done_ids = {
+                int(r["query_id"])
+                for r in stats
+                if r["n"] >= kk and r["dmax"] <= safe
+            }
+        if done_ids:
+            done_df = spark.createDataFrame(
+                [(q,) for q in sorted(done_ids)], "query_id long"
+            )
+            slice_df = ranked.join(F.broadcast(done_df), "query_id", "left_semi")
+            resolved = slice_df if resolved is None else resolved.unionByName(slice_df)
+        pending = pending[[int(q) not in done_ids for q in qids[pending]]]
         attempt += 1
-    schema = f"query_id long, rank int, {id_col} string, dist_chord2 double"
-    return spark.createDataFrame(final_rows, schema)
+    assert resolved is not None
+    return resolved.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        id_col,
+        "dist_chord2",
+    )

@@ -70,15 +70,25 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     n_tables: int = 4,
+    planes: np.ndarray | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, n_tables
     independent tables; exact cosine re-rank within candidates.
 
     At 10^12 rows the bucket column is precomputed/partitioned; here
-    it is derived on the fly with a native SQL expression.
+    it is derived on the fly with a native SQL expression. ``planes``
+    overrides the Gaussian default ((n_tables, n_planes, dim)) — the
+    driver oracle passes md5-derived planes that DuckDB reproduces.
+    ``max_bucket`` drops degenerate buckets (e.g. the all-zeros-vector
+    bucket) that would otherwise make the candidate join quadratic.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        n_tables, n_planes, dim = planes.shape
 
     def bucket_expr(col, table: int):
         b = F.lit(0)
@@ -101,6 +111,10 @@ def lsh_bucket_topk(
         d = df.select(
             F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), t).alias("bkt")
         )
+        if max_bucket is not None:
+            from .dedup import _cap_buckets
+
+            d = _cap_buckets(d, ["bkt"], max_bucket)
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),

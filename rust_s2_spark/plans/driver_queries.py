@@ -819,33 +819,541 @@ FROM f GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
-# 23-24: geometry-only (rows-only checks)
+# 23+: geometry vs reference-dumped goldens (tools/refdump runs the actual
+# reference library; its JSONL output is the oracle — every VALUES row
+# below is reference truth, not an implementation echo)
+
+
+def _golden_records(kind: str) -> list[dict]:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "golden", "refdump.jsonl"
+    )
+    out = []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            if d["kind"] == kind:
+                out.append(d)
+    return out
+
+
+# covering cases cheap enough for the per-round driver gate (the full 459
+# are pytest-gated; deep max_level-30 interiors are minutes-slow in Python)
+def _covering_gate_cases() -> list[dict]:
+    out = []
+    for d in _golden_records("covering"):
+        if d["max_cells"] == 8 and d["level_mod"] == 1 and d["max_level"] <= 16:
+            out.append(d)
+        elif d["name"] in ("doc_example", "nyc_box") and d["max_level"] <= 16:
+            out.append(d)
+    return out
+
+
+def _covering_case_region(d: dict):
+    if d["region"] == "cap":
+        lat, lng = math.radians(d["lat"]), math.radians(d["lng"])
+        center = (
+            math.cos(lng) * math.cos(lat),
+            math.sin(lng) * math.cos(lat),
+            math.sin(lat),
+        )
+        return Cap.from_center_area(center, d["area"])
+    from ..geometry import Rect
+
+    return Rect.from_degrees(d["lat_lo"], d["lng_lo"], d["lat_hi"], d["lng_hi"])
 
 
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cap = Cap.from_center_area(
-        (
-            math.cos(math.radians(8.5)) * math.cos(math.radians(47.3)),
-            math.sin(math.radians(8.5)) * math.cos(math.radians(47.3)),
-            math.sin(math.radians(47.3)),
-        ),
-        0.05,
+    rows = []
+    for d in _covering_gate_cases():
+        rc = RegionCoverer(
+            min_level=d["min_level"],
+            max_level=d["max_level"],
+            level_mod=d["level_mod"],
+            max_cells=d["max_cells"],
+        )
+        region = _covering_case_region(d)
+        case = f"{d['region']}:{d['name']}:{d['min_level']}:{d['max_level']}:{d['level_mod']}:{d['max_cells']}"
+        for kind, fn in (
+            ("covering", rc.covering),
+            ("interior", rc.interior_covering),
+            ("fast", rc.fast_covering),
+        ):
+            for i, t in enumerate(fn(region).tokens()):
+                rows.append((case, kind, i, str(t)))
+    return spark.createDataFrame(
+        rows, "case string, kind string, ord int, token string"
     )
-    rc = RegionCoverer(min_level=4, max_level=16, level_mod=1, max_cells=8)
-    cov = rc.covering(cap)
-    toks = cov.tokens()
-    return spark.createDataFrame([(t,) for t in toks], "token string")
+
+
+def o_covering_tokens() -> str:
+    vals = []
+    for d in _covering_gate_cases():
+        case = f"{d['region']}:{d['name']}:{d['min_level']}:{d['max_level']}:{d['level_mod']}:{d['max_cells']}"
+        for kind in ("covering", "interior", "fast"):
+            for i, t in enumerate(d[kind]):
+                vals.append(f"('{case}', '{kind}', {i}, '{t}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(\"case\", kind, ord, token)"
+    )
 
 
 def q_tiling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    begin = int(k.range_min(np.array([PITTSBURG[0]], dtype=U64))[0])
-    end = int(k.range_max(np.array([PITTSBURG[3]], dtype=U64))[0]) + 2
-    tiles = k.cellunion_from_range(begin, end)
-    toks = k.to_token(tiles)
-    return spark.createDataFrame(
-        [(t, int(s)) for t, s in zip(toks, tiles.view(np.int64))],
-        "token string, cell_id long",
+    rows = []
+    for d in _golden_records("from_range"):
+        tiles = k.cellunion_from_range(d["begin"], d["end"])
+        for i, t in enumerate(k.to_token(tiles)):
+            rows.append((d["case"], i, str(t)))
+    return spark.createDataFrame(rows, "case int, ord int, token string")
+
+
+def o_tiling_range() -> str:
+    vals = []
+    for d in _golden_records("from_range"):
+        for i, t in enumerate(d["out"]):
+            vals.append(f"({d['case']}, {i}, '{t}')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(\"case\", ord, token)"
     )
+
+
+def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edge/vertex/all neighbors, computed through mapInPandas so the
+    kernel runs on executors; oracle = reference-dumped neighbor lists
+    (all_neighbors compared as a sorted set — the reference's list may
+    contain duplicates at low levels, cellid.rs:340-365)."""
+    import pandas as pd
+
+    inputs = (
+        [("edge", d["id"], -1) for d in _golden_records("edge_neighbors")]
+        + [("vertex", d["id"], d["level"]) for d in _golden_records("vertex_neighbors")]
+        + [("all", d["id"], d["level"]) for d in _golden_records("all_neighbors")]
+    )
+    src = spark.createDataFrame(
+        [(kind, _signed(i), lvl) for kind, i, lvl in inputs],
+        "kind string, id long, level int",
+    ).repartition(4)
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for kind, sid, lvl in zip(pdf["kind"], pdf["id"], pdf["level"]):
+                arr = np.array([sid], dtype=np.int64).view(np.uint64)
+                if kind == "edge":
+                    ns = [int(x) for x in k.edge_neighbors(arr)[0]]
+                elif kind == "vertex":
+                    ns = [int(x) for x in k.vertex_neighbors(arr, int(lvl))[0]]
+                else:
+                    ns = sorted({int(x) for x in k.all_neighbors(arr, int(lvl))[0]})
+                for i, King in enumerate(ns):
+                    out.append((kind, int(sid), int(lvl), i, _signed(King)))
+            yield pd.DataFrame(
+                out, columns=["kind", "id", "level", "ord", "neighbor"]
+            )
+
+    return src.mapInPandas(
+        compute, "kind string, id long, level int, ord int, neighbor long"
+    )
+
+
+def o_neighbors() -> str:
+    vals = []
+    for d in _golden_records("edge_neighbors"):
+        for i, King in enumerate(d["out"]):
+            vals.append(f"('edge', {_signed(d['id'])}, -1, {i}, {_signed(King)})")
+    for d in _golden_records("vertex_neighbors"):
+        for i, King in enumerate(d["out"]):
+            vals.append(
+                f"('vertex', {_signed(d['id'])}, {d['level']}, {i}, {_signed(King)})"
+            )
+    for d in _golden_records("all_neighbors"):
+        for i, King in enumerate(sorted(set(d["out"]))):
+            vals.append(
+                f"('all', {_signed(d['id'])}, {d['level']}, {i}, {_signed(King)})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(kind, id, level, ord, neighbor)"
+    )
+
+
+def q_cellunion_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..geometry.cellunion import CellUnion
+
+    rows = []
+    for d in _golden_records("cellunion_ops"):
+        a = CellUnion(k.from_token(np.array(d["a"])), normalized=True)
+        b = CellUnion(k.from_token(np.array(d["b"])), normalized=True)
+        for op, cu in (
+            ("union", a.union(b)),
+            ("intersection", a.intersection(b)),
+            ("difference", a.difference(b)),
+        ):
+            for i, t in enumerate(cu.tokens()):
+                rows.append((d["case"], op, i, str(t)))
+    return spark.createDataFrame(rows, "case int, op string, ord int, token string")
+
+
+def o_cellunion_algebra() -> str:
+    vals = []
+    for d in _golden_records("cellunion_ops"):
+        for op in ("union", "intersection", "difference"):
+            for i, t in enumerate(d[op]):
+                vals.append(f"({d['case']}, '{op}', {i}, '{t}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(\"case\", op, ord, token)"
+    )
+
+
+# --------------------------------------------------------------------------
+# polyline proximity: pandas-UDF geodesic kernel vs closed-form SQL oracle
+
+POLYLINE_LATLNGS = [(38.5, -76.5), (40.7, -74.0), (42.4, -71.1), (43.7, -70.3)]
+POLYLINE_RADIUS_RAD = 0.02
+
+
+def _polyline_verts() -> np.ndarray:
+    import math as _m
+
+    out = []
+    for lat, lng in POLYLINE_LATLNGS:
+        la, lo = _m.radians(lat), _m.radians(lng)
+        out.append(
+            (_m.cos(lo) * _m.cos(la), _m.sin(lo) * _m.cos(la), _m.sin(la))
+        )
+    return np.array(out, dtype=np.float64)
+
+
+def q_near_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images within POLYLINE_RADIUS_RAD of the polyline, with their
+    min squared-chord distance. Covering ranges prune the scan; the
+    numpy kernel scores candidates. The oracle re-derives the same
+    distances from closed-form per-segment SQL (projection onto the
+    great circle, wedge test, endpoint fallback) — an independent
+    formulation evaluated by a different engine."""
+    from ..operators.polyline import near_polyline
+
+    img = _images(spark, sf_dir).withColumn(
+        "cell_id_biased", s2_biased(s2_cell_from_latlng("lat", "lng"))
+    )
+    out = near_polyline(
+        img, POLYLINE_LATLNGS, math.degrees(POLYLINE_RADIUS_RAD)
+    )
+    return out.select(
+        F.col("image_id").cast("long").alias("img"),
+        F.round("dist_chord2", 9).alias("dist2"),
+    )
+
+
+def _segment_dist2_sql(px: str, py: str, pz: str, a, b) -> str:
+    """Closed-form chord² point-to-segment distance with the segment
+    constants inlined (matches kernels/edges.py project_to_segment
+    semantics: normalized great-circle projection when inside the
+    wedge, nearer endpoint otherwise)."""
+    ax, ay, az = a
+    bx, by, bz = b
+    nx, ny, nz = ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+    nn = nx * nx + ny * ny + nz * nz
+    # wedge normals: c1 = n × a, c2 = b × n
+    c1 = (ny * az - nz * ay, nz * ax - nx * az, nx * ay - ny * ax)
+    c2 = (by * nz - bz * ny, bz * nx - bx * nz, bx * ny - by * nx)
+
+    t = f"(({px})*{nx!r} + ({py})*{ny!r} + ({pz})*{nz!r}) / {nn!r}"
+    qx, qy, qz = (
+        f"(({px}) - {nx!r} * __t)",
+        f"(({py}) - {ny!r} * __t)",
+        f"(({pz}) - {nz!r} * __t)",
+    )
+    qn = f"sqrt({qx}*{qx} + {qy}*{qy} + {qz}*{qz})"
+    d2_in = (
+        f"(({px}) - {qx}/__qn)*(({px}) - {qx}/__qn)"
+        f" + (({py}) - {qy}/__qn)*(({py}) - {qy}/__qn)"
+        f" + (({pz}) - {qz}/__qn)*(({pz}) - {qz}/__qn)"
+    )
+    da = (
+        f"(({px}) - {ax!r})*(({px}) - {ax!r}) + (({py}) - {ay!r})*(({py}) - {ay!r})"
+        f" + (({pz}) - {az!r})*(({pz}) - {az!r})"
+    )
+    db = (
+        f"(({px}) - {bx!r})*(({px}) - {bx!r}) + (({py}) - {by!r})*(({py}) - {by!r})"
+        f" + (({pz}) - {bz!r})*(({pz}) - {bz!r})"
+    )
+    in_wedge = (
+        f"(({px})*{c1[0]!r} + ({py})*{c1[1]!r} + ({pz})*{c1[2]!r}) > 0e0"
+        f" AND (({px})*{c2[0]!r} + ({py})*{c2[1]!r} + ({pz})*{c2[2]!r}) > 0e0"
+    )
+    # __t / __qn are bound per-segment via a lateral-style subquery
+    return (
+        f"(SELECT CASE WHEN {in_wedge} THEN {d2_in} ELSE LEAST({da}, {db}) END "
+        f"FROM (SELECT {t} AS __t) tt, LATERAL (SELECT {qn} AS __qn) qq)"
+    )
+
+
+def o_near_polyline() -> str:
+    verts = _polyline_verts()
+    px = "sin(radians(90e0) - radians(lat)) * cos(radians(lng))"
+    py = "sin(radians(90e0) - radians(lat)) * sin(radians(lng))"
+    pz = "cos(radians(90e0) - radians(lat))"
+    # use plain spherical coords (identical formula to the Spark kernel:
+    # cos(lat)cos(lng), cos(lat)sin(lng), sin(lat))
+    px = "cos(radians(lat)) * cos(radians(lng))"
+    py = "cos(radians(lat)) * sin(radians(lng))"
+    pz = "sin(radians(lat))"
+    segs = [
+        _segment_dist2_sql("px", "py", "pz", tuple(verts[i]), tuple(verts[i + 1]))
+        for i in range(len(verts) - 1)
+    ]
+    least = "LEAST(" + ", ".join(segs) + ", 4e0)"
+    # mirror near_polyline's degrees→radians roundtrip so the threshold
+    # literal is bit-identical on both sides
+    r = math.radians(math.degrees(POLYLINE_RADIUS_RAD))
+    s = 2.0 * math.sin(0.5 * r)
+    chord2 = s * s
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (
+  SELECT CAST(image_id AS BIGINT) AS img, {px} AS px, {py} AS py, {pz} AS pz
+  FROM img
+),
+scored AS (SELECT img, {least} AS dist2 FROM pts)
+SELECT img, ROUND(dist2, 9) AS dist2 FROM scored WHERE dist2 <= {chord2!r}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# raster ↔ vector tile assignment
+
+RASTER_LEVEL = 6
+
+
+def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint-ring tile assignment against a cap covering at level 6:
+    (tile_token, n_images, id_sum). The oracle recomputes the image cell
+    ids with the pure-SQL Hilbert encoder and joins the same expanded
+    tile list (ring adjacency is symmetric at equal level, so expanding
+    the region side with all_neighbors — an operator itself gated by the
+    reference-dumped `neighbors` oracle — is equivalent to expanding
+    every image's footprint)."""
+    from ..operators.tiles import image_tiles
+
+    cap = Cap.from_center_area((1.0, 0.0, 0.0), 0.1)
+    rc = RegionCoverer(
+        min_level=RASTER_LEVEL, max_level=RASTER_LEVEL, level_mod=1, max_cells=10_000
+    )
+    cov = rc.covering(cap)
+    tiles = spark.createDataFrame(
+        [(int(c),) for c in cov.ids.view(np.int64)], "tile_cell long"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    pts = spark.sql(trig_free_xyz_sql())
+    enc = pts.select("key_id", s2_cell_from_xyz("x", "y", "z").alias("cell_id"))
+    tiled = image_tiles(enc, RASTER_LEVEL)
+    joined = tiled.join(F.broadcast(tiles), "tile_cell", "inner")
+    return joined.groupBy(
+        s2_cell_to_token("tile_cell").alias("tile_token")
+    ).agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.col("key_id") % F.lit(1000003)).cast("long").alias("id_sum"),
+    )
+
+
+def o_raster_vector() -> str:
+    cap = Cap.from_center_area((1.0, 0.0, 0.0), 0.1)
+    rc = RegionCoverer(
+        min_level=RASTER_LEVEL, max_level=RASTER_LEVEL, level_mod=1, max_cells=10_000
+    )
+    cov = rc.covering(cap)
+    rings = k.all_neighbors(cov.ids, RASTER_LEVEL)
+    pairs = []  # (member_cell, tile) — member matches an image center cell
+    for i, tile in enumerate(cov.ids):
+        members = set(int(x) for x in rings[i]) | {int(tile)}
+        tok = str(k.to_token(np.array([tile], dtype=U64))[0])
+        for m in members:
+            pairs.append((_signed(m), tok))
+    vals = ", ".join(f"({m}, '{t}')" for m, t in pairs)
+    lsb = 1 << (2 * (30 - RASTER_LEVEL))
+    base = hilbert_oracle_query()
+    return f"""
+WITH enc AS ({base}),
+tiles(member_cell, tile_token) AS (VALUES {vals}),
+parents AS (
+  SELECT key_id, ((cell_id & -{lsb}) | {lsb}) AS pcell FROM enc
+)
+SELECT tile_token, count(*) AS n_images,
+       CAST(sum(key_id % 1000003) AS BIGINT) AS id_sum
+FROM parents JOIN tiles ON pcell = member_cell
+GROUP BY tile_token
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# simhash + quality score over documents
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return simhash64(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def o_simhash() -> str:
+    votes = []
+    for b in range(64):
+        cidx = 16 - (b // 4)
+        sh = b % 4
+        bit = (
+            f"((strpos('0123456789abcdef', substr(h, {cidx}, 1)) - 1) >> {sh}) & 1"
+        )
+        votes.append(
+            f"SUM(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    terms = ["CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"]
+    for b in range(63):
+        terms.append(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM toks WHERE len(tok) > 0
+),
+votes AS (
+  SELECT doc_id, {", ".join(votes)} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
+""".strip()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = quality_score(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "alpha_ratio",
+        "stop_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+def o_quality_score() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+         n_alpha / greatest(n, 1) AS alpha_ratio,
+         n_punct / greatest(n, 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({stop}))) / greatest(len(toks), 1) AS stop_ratio,
+         CASE WHEN n >= 64 AND n <= 10000 THEN 1e0 ELSE 0e0 END AS length_ok
+  FROM base
+)
+SELECT doc_id,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(4e-1 * alpha_ratio + 3e-1 * least(stop_ratio * 4, 1e0)
+             + 2e-1 * length_ok
+             + 1e-1 * (1e0 - least(punct_ratio * 10, 1e0)), 6) AS quality
+FROM ratios
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# similarity LSH: md5-derived hyperplanes so DuckDB reproduces the buckets
+
+LSH_TABLES = 4
+LSH_PLANES = 12
+LSH_DIM = 64
+
+
+def _md5_planes() -> np.ndarray:
+    """Deterministic uniform(-1,1) hyperplanes both engines can derive."""
+    import hashlib
+
+    out = np.empty((LSH_TABLES, LSH_PLANES, LSH_DIM), dtype=np.float64)
+    for t in range(LSH_TABLES):
+        for p in range(LSH_PLANES):
+            for i in range(LSH_DIM):
+                h = hashlib.md5(f"pl:{t}:{p}:{i}".encode()).hexdigest()
+                out[t, p, i] = (int(h[:8], 16) / 4294967296.0) * 2.0 - 1.0
+    return out
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (md5-derived hyperplanes). The
+    oracle replicates buckets + re-rank in DuckDB; recall vs the exact
+    brute-force top-k is asserted in tests/test_similarity_recall.py."""
+    from ..operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucket_topk(
+        spark, emb, q, SIM_K, planes=_md5_planes(), max_bucket=None
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id"
+    )
+
+
+def o_lsh_recall() -> str:
+    planes = _md5_planes()
+
+    def bucket_sql(col: str, t: int) -> str:
+        parts = []
+        for p in range(LSH_PLANES):
+            coeffs = "[" + ", ".join(repr(c) for c in planes[t, p]) + "]"
+            parts.append(
+                f"CASE WHEN list_dot_product({col}, {coeffs}) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + " + ".join(parts) + ")"
+
+    tables = []
+    for t in range(LSH_TABLES):
+        tables.append(
+            f"SELECT e.vec_id, e.e, q.query_id, q.qe FROM emb e JOIN q "
+            f"ON {bucket_sql('e.e', t)} = q.b{t}"
+        )
+    unions = " UNION ".join(tables)  # UNION dedups (query_id, vec_id, vectors)
+    qb = ", ".join(f"{bucket_sql('e', t)} AS b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe, {qb} FROM emb WHERE vec_id < 8),
+cand AS ({unions}),
+scored AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM scored WHERE rank <= {SIM_K}
+""".strip()
 
 
 # --------------------------------------------------------------------------
@@ -878,6 +1386,13 @@ def queries():
         "stream_rollup": q_stream_rollup,
         "covering_tokens": q_covering_tokens,
         "tiling_range": q_tiling_range,
+        "neighbors": q_neighbors,
+        "cellunion_algebra": q_cellunion_algebra,
+        "near_polyline": q_near_polyline,
+        "raster_vector": q_raster_vector,
+        "simhash": q_simhash,
+        "quality_score": q_quality_score,
+        "lsh_recall": q_lsh_recall,
     }
 
 
@@ -905,5 +1420,13 @@ def oracle_sql():
         "cells_per_parent7": o_cells_per_parent7(),
         "tokens_scale": o_tokens_scale(),
         "stream_rollup": o_stream_rollup(),
-        # covering_tokens / tiling_range: geometry-only → rows-only checks
+        "covering_tokens": o_covering_tokens(),
+        "tiling_range": o_tiling_range(),
+        "neighbors": o_neighbors(),
+        "cellunion_algebra": o_cellunion_algebra(),
+        "near_polyline": o_near_polyline(),
+        "raster_vector": o_raster_vector(),
+        "simhash": o_simhash(),
+        "quality_score": o_quality_score(),
+        "lsh_recall": o_lsh_recall(),
     }

@@ -2,13 +2,17 @@
 (BASELINE.json north_rule: "resumable from checkpoint with
 per-partition lineage + metrics").
 
-The output table is written one Hilbert bucket at a time (bucket =
-parent cell at ``bucket_level``, computed natively). After each bucket
-lands, a lineage row (step, bucket, rows, bytes-proxy, min/max biased
-cell id, wall seconds) is appended to ``<base>/_lineage``. A restarted
-job calls ``pending_buckets`` and skips everything already recorded —
-partial bucket directories are simply overwritten (dynamic partition
-overwrite), so the resume is idempotent.
+The output table is written in ONE dynamic-partition-overwrite job,
+partitioned by Hilbert bucket (bucket = parent cell at ``bucket_level``,
+computed natively) — the upstream plan is computed exactly once no
+matter how many buckets there are; at 100 TB a per-bucket write loop
+would rescan the source once per bucket. Completed buckets are
+anti-joined away on resume, and dynamic overwrite only replaces the
+partitions present in the written frame, so a partially-written bucket
+from a crashed run is replaced wholesale — idempotent resume. Lineage
+stats (rows, min/max biased cell id per bucket) come from one cheap
+aggregate over the files just written (columnar scan of cell_id only,
+no upstream recompute) and are appended to ``<base>/_lineage``.
 """
 
 from __future__ import annotations
@@ -62,37 +66,63 @@ def write_with_lineage(
     bucket_level: int = 4,
 ) -> int:
     """Write df partitioned by Hilbert bucket with per-bucket lineage;
-    resumes past completed buckets on restart. Returns #buckets written
-    this invocation."""
-    df = df.withColumn("__bucket", s2_parent("cell_id", bucket_level))
-    todo = pending_buckets(spark, df, base, step, bucket_level)
-    written = 0
-    for bucket in todo:
-        t0 = time.time()
-        part = df.where(F.col("__bucket") == bucket).drop("__bucket").cache()
-        stats = part.agg(
+    resumes past completed buckets on restart (one Spark write job per
+    resume, not one per bucket). Returns #buckets written."""
+    t0 = time.time()
+    df = df.withColumn("bucket", s2_parent("cell_id", bucket_level))
+    done = completed_buckets(spark, base, step)
+    if done:
+        done_df = spark.createDataFrame(
+            [(int(b),) for b in sorted(done)], "bucket long"
+        )
+        df = df.join(F.broadcast(done_df), "bucket", "left_anti")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one job: dynamic overwrite replaces exactly the partitions
+        # present in df (a crashed run's partial bucket is rewritten
+        # wholesale); _lineage lives outside bucket=* and is untouched
+        df.write.mode("overwrite").partitionBy("bucket").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    wall = time.time() - t0
+    # stats from the files just written — columnar scan, no recompute
+    out = read_output(spark, base)
+    if done:
+        out = out.join(
+            F.broadcast(
+                spark.createDataFrame([(int(b),) for b in sorted(done)], "bucket long")
+            ),
+            "bucket",
+            "left_anti",
+        )
+    stats = (
+        out.groupBy("bucket")
+        .agg(
             F.count("*").alias("n"),
             F.min(s2_biased("cell_id")).alias("mn"),
             F.max(s2_biased("cell_id")).alias("mx"),
-        ).collect()[0]
-        part.write.mode("overwrite").parquet(f"{base}/bucket={bucket}")
-        part.unpersist()
-        row = [
-            (
-                step,
-                int(bucket),
-                int(stats["n"]),
-                int(stats["mn"]),
-                int(stats["mx"]),
-                float(time.time() - t0),
-                time.time(),
-            )
-        ]
-        spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
+        )
+        .collect()
+    )
+    now = time.time()
+    rows = [
+        (
+            step,
+            int(r["bucket"]),
+            int(r["n"]),
+            int(r["mn"]),
+            int(r["mx"]),
+            float(wall),  # wall of the shared single write job
+            now,
+        )
+        for r in stats
+    ]
+    if rows:
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
             _lineage_path(base)
         )
-        written += 1
-    return written
+    return len(rows)
 
 
 def read_output(spark: SparkSession, base: str) -> DataFrame:

@@ -87,3 +87,27 @@ def test_adaptive_split_bounds_work_units(images):
         ).count()
     )
     assert covered == orig
+
+
+def test_lsh_bucket_cap_kills_degenerate_bucket(spark):
+    """A boilerplate-heavy corpus (thousands of identical docs) must not
+    produce a quadratic LSH bucket: with max_bucket set, the degenerate
+    bucket is dropped (those docs are an exact-dedup cluster, not
+    pairwise-LSH work) while distinct near-dup pairs still come through."""
+    from rust_s2_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    n_same = 2000
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(n_same)]
+    rows += [(100000, "a genuinely unique document about spherical geometry"),
+             (100001, "a genuinely unique document about spherical geometry!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", n=5, bands=4, max_bucket=100)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # no pair from the degenerate cluster (dropped by the cap) …
+    assert all(a >= 100000 for a, _ in got), got
+    # … but the legit near-dup pair survives
+    assert (100000, 100001) in got
+    # the cluster itself is still recoverable via exact dedup
+    dups = exact_dedup(df, "text", "doc_id")
+    assert dups.where(F.col("dup_count") == n_same).count() == 1

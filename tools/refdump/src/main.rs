@@ -308,9 +308,105 @@ fn dump_edge_distances() {
     }
 }
 
+fn dump_neighbors() {
+    let lls = [
+        (49.703498679, 11.770681595),
+        (-30.694551352, -30.048758753),
+        (0.0, 0.0),
+        (89.9, 0.0),
+        (-89.9, 123.0),
+        (45.0, 45.0), // face corner area
+        (10.050986518, 78.293170610),
+        (-75.000000031, 0.000000133),
+    ];
+    let mut ids: Vec<CellID> = Vec::new();
+    for face in 0..6u64 {
+        ids.push(CellID::from_face(face));
+    }
+    for (lat, lng) in lls {
+        let leaf = CellID::from(LatLng::from_degrees(lat, lng));
+        for lvl in [1u64, 5, 12, 20, 30] {
+            ids.push(leaf.parent(lvl));
+        }
+    }
+    for id in &ids {
+        let en: Vec<String> = id.edge_neighbors().iter().map(|c| c.0.to_string()).collect();
+        println!(
+            "{{\"kind\":\"edge_neighbors\",\"id\":{},\"out\":[{}]}}",
+            id.0,
+            en.join(",")
+        );
+        let lvl = id.level();
+        for nl in [lvl, lvl + 1, lvl.saturating_sub(1).max(0)] {
+            if nl >= lvl.saturating_sub(1) && nl <= 30 && nl >= 1 {
+                let vn: Vec<String> = id.vertex_neighbors(nl).iter().map(|c| c.0.to_string()).collect();
+                println!(
+                    "{{\"kind\":\"vertex_neighbors\",\"id\":{},\"level\":{},\"out\":[{}]}}",
+                    id.0, nl, vn.join(",")
+                );
+            }
+            if nl >= lvl && nl <= 30 {
+                let an: Vec<String> = id.all_neighbors(nl).iter().map(|c| c.0.to_string()).collect();
+                println!(
+                    "{{\"kind\":\"all_neighbors\",\"id\":{},\"level\":{},\"out\":[{}]}}",
+                    id.0, nl, an.join(",")
+                );
+            }
+        }
+    }
+}
+
+fn dump_cellunion_ops() {
+    use s2::cellunion::CellUnion;
+    // two overlapping cap coverings at a few parameter combos
+    let rc = RegionCoverer { min_level: 0, max_level: 30, level_mod: 1, max_cells: 12 };
+    let regions = [
+        (47.3, 8.5, 0.05, 47.6, 9.0, 0.08),
+        (0.0, 0.0, 0.1, 0.5, 0.5, 0.1),
+        (10.0, 179.9, 0.2, 10.0, -179.5, 0.15),
+        (89.9, 45.0, 0.3, -89.9, 45.0, 0.3),
+        (40.7, -74.0, 0.01, 40.75, -73.95, 0.02),
+    ];
+    for (i, (lat1, lng1, a1, lat2, lng2, a2)) in regions.iter().enumerate() {
+        let c1 = Cap::from_center_area(&Point::from(LatLng::from_degrees(*lat1, *lng1)), *a1);
+        let c2 = Cap::from_center_area(&Point::from(LatLng::from_degrees(*lat2, *lng2)), *a2);
+        let u1 = rc.covering(&c1);
+        let u2 = rc.covering(&c2);
+        let un = CellUnion::union(&u1, &u2);
+        let ix = CellUnion::intersection(&u1, &u2);
+        let df = CellUnion::difference(&u1, &u2);
+        println!(
+            "{{\"kind\":\"cellunion_ops\",\"case\":{},\"a\":{},\"b\":{},\"union\":{},\"intersection\":{},\"difference\":{}}}",
+            i, tokens(&u1), tokens(&u2), tokens(&un), tokens(&ix), tokens(&df)
+        );
+    }
+}
+
+fn dump_from_range() {
+    use s2::cellunion::CellUnion;
+    let anchor = CellID::from(LatLng::from_degrees(40.0, -74.0));
+    let cases: Vec<(CellID, CellID)> = vec![
+        (anchor.parent(12).range_min(), anchor.parent(12).range_max()),
+        (anchor.parent(10).range_min(), CellID(anchor.parent(10).range_max().0.wrapping_add(2))),
+        (anchor.parent(8).range_min(), anchor.parent(4).range_max()),
+        (CellID::from_face(0).range_min(), CellID::from_face(2).range_max()),
+        (anchor.parent(20).range_min(), anchor.parent(6).child_end().range_min()),
+    ];
+    for (i, (b, e)) in cases.iter().enumerate() {
+        let cu = CellUnion::from_range(*b, *e);
+        println!(
+            "{{\"kind\":\"from_range\",\"case\":{},\"begin\":{},\"end\":{},\"out\":{}}}",
+            i, b.0, e.0, tokens(&cu)
+        );
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
+    dump_neighbors();
+    dump_cellunion_ops();
+    dump_from_range();
     dump_advance_wrap();
     dump_max_tile();
     dump_hausdorff();
