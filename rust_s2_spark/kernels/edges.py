@@ -349,30 +349,41 @@ def point_area(a, b, c) -> np.ndarray:
     sb = angle(c, a)
     sc = angle(a, b)
     s = 0.5 * (sa + sb + sc)
-    big = s >= 3e-4
-    out = np.zeros(n, dtype=np.float64)
 
-    # Girard for possibly-degenerate long-thin triangles
+    def pc(u, v):
+        # point_cross (a+b)×(b−a) = 2(a×b), robust near u≈±v
+        # (ref point.rs:144-156); the exact-zero ortho fallback is not
+        # needed here because Girard is only evaluated for s >= 3e-4
+        return _cross(u + v, v - u)
+
+    # Girard, evaluated only where it might be used (big skinny
+    # triangles); small triangles MUST use l'Huilier — Girard cancels
+    # catastrophically there (caught by reference-dumped cell_area
+    # goldens at deep levels)
     def girard(u, v, w):
-        ab_ = _cross(u, v)
-        bc_ = _cross(v, w)
-        ac_ = _cross(u, w)
+        ab_ = pc(u, v)
+        bc_ = pc(v, w)
+        ac_ = pc(u, w)
         with np.errstate(invalid="ignore"):
             aa = np.arctan2(_norm(_cross(ab_, ac_)), _dot(ab_, ac_))
             bb = np.arctan2(_norm(_cross(ab_, bc_)), _dot(ab_, bc_))
             cc = np.arctan2(_norm(_cross(ac_, bc_)), _dot(ac_, bc_))
         return np.maximum(0.0, aa - bb + cc)
 
+    # ref point.rs:270-303 control flow, vectorized: Girard only when the
+    # triangle is big (s >= 3e-4), skinny (dmin < 1e-2·s⁵), AND the
+    # computed area confirms the skinny regime (dmin < 0.1·s·area)
     dmin = s - np.maximum(sa, np.maximum(sb, sc))
-    use_girard = (~big) | (dmin < 1e-2 * s * s * s * s * s)
+    maybe_girard = (s >= 3e-4) & (dmin < 1e-2 * s * s * s * s * s)
+    g = girard(a, b, c)
+    use_girard = maybe_girard & (dmin < 0.1 * s * g)
 
     with np.errstate(invalid="ignore"):
         t = np.tan(0.5 * s) * np.tan(0.5 * (s - sa)) * np.tan(0.5 * (s - sb)) * np.tan(
             0.5 * (s - sc)
         )
         lh = 4.0 * np.arctan(np.sqrt(np.maximum(0.0, t)))
-    out = np.where(use_girard, girard(a, b, c), lh)
-    return out
+    return np.where(use_girard, g, lh)
 
 
 def regular_points(center, radius_rad: float, n: int) -> np.ndarray:

@@ -209,13 +209,17 @@ def phash_hamming_pairs(
         )
 
     combos = list(itertools.combinations(range(m), c))
+
+    def band_val(combo):
+        # fold the c blocks into ONE long (numeric group key — a string
+        # key costs ~3× in the explode+shuffle at 150k rows)
+        v = block(combo[0])
+        for i in combo[1:]:
+            v = F.shiftleft(v, block_bits).bitwiseOR(block(i))
+        return v
+
     band_structs = [
-        F.struct(
-            F.lit(bi).alias("blk"),
-            F.concat_ws(
-                ":", *[block(i).cast("string") for i in combo]
-            ).alias("blk_val"),
-        )
+        F.struct(F.lit(bi).alias("blk"), band_val(combo).alias("blk_val"))
         for bi, combo in enumerate(combos)
     ]
     blocked = df.select(
@@ -223,18 +227,32 @@ def phash_hamming_pairs(
         F.col(phash_col).alias("ph"),
         F.explode(F.array(*band_structs)).alias("bv"),
     ).select("id", "ph", F.col("bv.blk").alias("blk"), F.col("bv.blk_val").alias("blk_val"))
-    blocked = _cap_buckets(blocked, ["blk", "blk_val"], max_bucket)
-    left = blocked.select(F.col("id").alias("a"), F.col("ph").alias("ph_a"), "blk", "blk_val")
-    right = blocked.select(F.col("id").alias("b"), F.col("ph").alias("ph_b"), "blk", "blk_val")
-    cand = (
-        left.join(right, ["blk", "blk_val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ph_a", "ph_b")
-        .distinct()
+    # ONE shuffle (groupBy), then in-bucket pair generation via nested
+    # explode — ~1.8× faster than the two-sided self-join form at sf0.1.
+    # max_bucket bounds the collect_list buffer (10k structs ≈ 160 KB) and
+    # drops degenerate buckets that would otherwise be O(n²); dropped
+    # clusters belong to exact_dedup, not pairwise output.
+    buckets = (
+        blocked.groupBy("blk", "blk_val")
+        .agg(F.collect_list(F.struct("id", "ph")).alias("xs"))
+        .where(F.size("xs") > 1)
     )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_dist).select(
-        "a", "b", "hamming"
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("xs") <= max_bucket)
+    x = buckets.select(F.explode("xs").alias("x"), "xs").select(
+        "x", F.explode("xs").alias("y")
+    )
+    # hamming BEFORE distinct: one codegen bit-op per candidate copy vs a
+    # shuffle over all copies — dedup only the (tiny) surviving pair set
+    return (
+        x.where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.ph").bitwiseXOR(F.col("y.ph"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_dist)
+        .distinct()
     )
 
 

@@ -1013,6 +1013,36 @@ def o_cellunion_algebra() -> str:
     )
 
 
+def q_cell_area_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + average cell areas vs reference-dumped values: average is
+    compared bit-exactly (×1e18 to survive the driver's 9-decimal float
+    rounding), exact via log10 rounded to 6 decimals (cancellation in
+    l'Huilier amplifies last-ulp atan2 library differences)."""
+    rows = []
+    for d in _golden_records("cell_area"):
+        arr = np.array([d["id"]], dtype=U64)
+        ex = float(k.cell_area_exact(arr)[0])
+        av = float(k.cell_area_average(arr)[0])
+        rows.append((_signed(d["id"]), round(math.log10(ex), 6), av * 1e18))
+    return spark.createDataFrame(
+        rows, "id long, log10_exact double, avg_x18 double"
+    )
+
+
+def o_cell_area_golden() -> str:
+    vals = []
+    for d in _golden_records("cell_area"):
+        vals.append(
+            f"({_signed(d['id'])}, {round(math.log10(d['exact']), 6)!r}, "
+            f"{d['average'] * 1e18!r})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(id, log10_exact, avg_x18)"
+    )
+
+
 # --------------------------------------------------------------------------
 # polyline proximity: pandas-UDF geodesic kernel vs closed-form SQL oracle
 
@@ -1393,6 +1423,7 @@ def queries():
         "simhash": q_simhash,
         "quality_score": q_quality_score,
         "lsh_recall": q_lsh_recall,
+        "cell_area_golden": q_cell_area_golden,
     }
 
 
@@ -1429,4 +1460,5 @@ def oracle_sql():
         "simhash": o_simhash(),
         "quality_score": o_quality_score(),
         "lsh_recall": o_lsh_recall(),
+        "cell_area_golden": o_cell_area_golden(),
     }

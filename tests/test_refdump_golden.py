@@ -131,6 +131,17 @@ def test_interpolate_matches_reference():
             assert lng == pytest.approx(r["lng"], abs=1e-9), r
 
 
+def test_cell_areas_match_reference():
+    """average_area bit-exact; exact_area to 1e-8 relative (the l'Huilier
+    half-angle cancellation amplifies last-ulp atan2 differences between
+    numpy and the reference's libm at deep levels)."""
+    for d in _records("cell_area"):
+        arr = np.array([d["id"]], dtype=np.uint64)
+        assert float(k.cell_area_average(arr)[0]) == d["average"], d
+        got = float(k.cell_area_exact(arr)[0])
+        assert got == pytest.approx(d["exact"], rel=1e-8), d
+
+
 def test_rect_hausdorff_matches_reference():
     for d in _records("hausdorff"):
         ra = Rect.from_degrees(*d["a"])

@@ -401,12 +401,43 @@ fn dump_from_range() {
     }
 }
 
+fn dump_cell_areas() {
+    use s2::cell::Cell;
+    let lls = [
+        (49.703498679, 11.770681595),
+        (-30.694551352, -30.048758753),
+        (0.0, 0.0),
+        (89.9, 0.0),
+        (45.0, 45.0),
+        (-75.000000031, 0.000000133),
+        (10.050986518, 78.293170610),
+    ];
+    let mut ids: Vec<CellID> = (0..6u64).map(CellID::from_face).collect();
+    for (lat, lng) in lls {
+        let leaf = CellID::from(LatLng::from_degrees(lat, lng));
+        for lvl in [1u64, 3, 7, 12, 18, 25, 30] {
+            ids.push(leaf.parent(lvl));
+        }
+    }
+    for id in &ids {
+        let c = Cell::from(id);
+        println!(
+            "{{\"kind\":\"cell_area\",\"id\":{},\"exact\":{},\"approx\":{},\"average\":{}}}",
+            id.0,
+            f(c.exact_area()),
+            f(c.approx_area()),
+            f(c.average_area())
+        );
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
     dump_neighbors();
     dump_cellunion_ops();
     dump_from_range();
+    dump_cell_areas();
     dump_advance_wrap();
     dump_max_tile();
     dump_hausdorff();
