@@ -1043,6 +1043,72 @@ def o_cell_area_golden() -> str:
     )
 
 
+REGION_PRED_CAPS = [
+    (47.3, 8.5, 0.05),
+    (0.0, 0.0, 0.1),
+    (10.0, 179.9, 0.2),
+    (89.9, 45.0, 0.3),
+    (-33.86, 151.21, 0.004),
+]
+REGION_PRED_RECTS = [
+    (40.4, -74.5, 41.0, -73.5),
+    (-5.0, 178.0, 5.0, -178.0),
+    (80.0, -180.0, 90.0, 180.0),
+    (35.0, -10.0, 60.0, 30.0),
+]
+
+
+def q_region_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cap/rect contains_cell + intersects_cell (wrap- and pole-aware)
+    against reference-dumped truth for 304 (region, cell) pairs."""
+    from ..geometry.cell import Cell
+    from ..geometry.rect import Rect
+
+    rows = []
+    for d in _golden_records("region_pred"):
+        if d["region"] == "cap":
+            lat, lng, area = REGION_PRED_CAPS[d["ridx"]]
+            la, lo = math.radians(lat), math.radians(lng)
+            reg = Cap.from_center_area(
+                (
+                    math.cos(lo) * math.cos(la),
+                    math.sin(lo) * math.cos(la),
+                    math.sin(la),
+                ),
+                area,
+            )
+        else:
+            reg = Rect.from_degrees(*REGION_PRED_RECTS[d["ridx"]])
+        cell = Cell(d["cell"])
+        rows.append(
+            (
+                d["region"],
+                d["ridx"],
+                _signed(d["cell"]),
+                bool(reg.contains_cell(cell)),
+                bool(reg.intersects_cell(cell)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "region string, ridx int, cell long, contains_cell boolean, intersects_cell boolean",
+    )
+
+
+def o_region_predicates() -> str:
+    vals = []
+    for d in _golden_records("region_pred"):
+        vals.append(
+            f"('{d['region']}', {d['ridx']}, {_signed(d['cell'])}, "
+            f"{str(d['contains_cell']).upper()}, {str(d['intersects_cell']).upper()})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(region, ridx, cell, contains_cell, intersects_cell)"
+    )
+
+
 # --------------------------------------------------------------------------
 # polyline proximity: pandas-UDF geodesic kernel vs closed-form SQL oracle
 
@@ -1424,6 +1490,7 @@ def queries():
         "quality_score": q_quality_score,
         "lsh_recall": q_lsh_recall,
         "cell_area_golden": q_cell_area_golden,
+        "region_predicates": q_region_predicates,
     }
 
 
@@ -1461,4 +1528,5 @@ def oracle_sql():
         "quality_score": o_quality_score(),
         "lsh_recall": o_lsh_recall(),
         "cell_area_golden": o_cell_area_golden(),
+        "region_predicates": o_region_predicates(),
     }

@@ -226,3 +226,29 @@ def test_interpolate_at_distance_matches_reference():
         assert lat == pytest.approx(r["lat"], abs=1e-9), r
         if abs(abs(lat) - 90.0) > 1e-9:
             assert lng == pytest.approx(r["lng"], abs=1e-9), r
+
+
+def test_region_predicates_match_reference():
+    from rust_s2_spark.geometry.cell import Cell
+    from rust_s2_spark.plans.driver_queries import (
+        REGION_PRED_CAPS,
+        REGION_PRED_RECTS,
+    )
+
+    for d in _records("region_pred"):
+        if d["region"] == "cap":
+            lat, lng, area = REGION_PRED_CAPS[d["ridx"]]
+            la, lo = math.radians(lat), math.radians(lng)
+            reg = Cap.from_center_area(
+                (
+                    math.cos(lo) * math.cos(la),
+                    math.sin(lo) * math.cos(la),
+                    math.sin(la),
+                ),
+                area,
+            )
+        else:
+            reg = Rect.from_degrees(*REGION_PRED_RECTS[d["ridx"]])
+        cell = Cell(d["cell"])
+        assert bool(reg.contains_cell(cell)) == d["contains_cell"], d
+        assert bool(reg.intersects_cell(cell)) == d["intersects_cell"], d

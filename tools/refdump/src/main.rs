@@ -431,6 +431,71 @@ fn dump_cell_areas() {
     }
 }
 
+fn dump_region_predicates() {
+    use s2::cell::Cell;
+    use s2::region::Region as _;
+    // caps and rects from the covering fixture set; cells = each
+    // region's own covering cells plus parents/children/shifted ids
+    let caps: Vec<(f64, f64, f64)> = vec![
+        (47.3, 8.5, 0.05),
+        (0.0, 0.0, 0.1),
+        (10.0, 179.9, 0.2),
+        (89.9, 45.0, 0.3),
+        (-33.86, 151.21, 0.004),
+    ];
+    let rects: Vec<(f64, f64, f64, f64)> = vec![
+        (40.4, -74.5, 41.0, -73.5),
+        (-5.0, 178.0, 5.0, -178.0),
+        (80.0, -180.0, 90.0, 180.0),
+        (35.0, -10.0, 60.0, 30.0),
+    ];
+    let rc = RegionCoverer { min_level: 0, max_level: 30, level_mod: 1, max_cells: 8 };
+    let mut emit = |kind: &str, ridx: usize, cells: Vec<CellID>,
+                    cp: &dyn Fn(&Cell) -> bool, ic: &dyn Fn(&Cell) -> bool| {
+        for id in cells {
+            let cell = Cell::from(&id);
+            println!(
+                "{{\"kind\":\"region_pred\",\"region\":\"{}\",\"ridx\":{},\"cell\":{},\"contains_cell\":{},\"intersects_cell\":{}}}",
+                kind, ridx, id.0, cp(&cell), ic(&cell)
+            );
+        }
+    };
+    let variants = |cov: &s2::cellunion::CellUnion| -> Vec<CellID> {
+        let mut out = Vec::new();
+        for id in cov.0.iter().take(6) {
+            out.push(*id);
+            if id.level() >= 1 {
+                out.push(id.parent(id.level() - 1));
+                out.push(id.child_begin());
+            }
+            out.push(id.next_wrap());
+            out.push(id.next_wrap().next_wrap());
+        }
+        for face in 0..6u64 {
+            out.push(CellID::from_face(face));
+        }
+        out
+    };
+    for (i, (lat, lng, area)) in caps.iter().enumerate() {
+        let cap = Cap::from_center_area(&Point::from(LatLng::from_degrees(*lat, *lng)), *area);
+        let cov = rc.covering(&cap);
+        let c1 = cap.clone();
+        let c2 = cap.clone();
+        emit("cap", i, variants(&cov), &move |c| c1.contains_cell(c), &move |c| {
+            c2.intersects_cell(c)
+        });
+    }
+    for (i, r) in rects.iter().enumerate() {
+        let rect = Rect::from_degrees(r.0, r.1, r.2, r.3);
+        let cov = rc.covering(&rect);
+        let r1c = rect.clone();
+        let r2c = rect.clone();
+        emit("rect", i, variants(&cov), &move |c| r1c.contains_cell(c), &move |c| {
+            r2c.intersects_cell(c)
+        });
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
@@ -438,6 +503,7 @@ fn main() {
     dump_cellunion_ops();
     dump_from_range();
     dump_cell_areas();
+    dump_region_predicates();
     dump_advance_wrap();
     dump_max_tile();
     dump_hausdorff();
