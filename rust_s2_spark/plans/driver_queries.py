@@ -791,6 +791,52 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState first-seen
+    per phash) over the images table, run to completion with
+    availableNow; the oracle recomputes first-seen per key relationally
+    (min order-key per phash + duplicate count)."""
+    import tempfile
+
+    from ..streaming import streaming_first_seen
+
+    img = _images(spark, sf_dir).select(
+        "phash",
+        # deterministic per-row timestamp so "first" is well-defined
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("image_id").cast("long")
+        ).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamdedup_")
+    img.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
+    deduped = streaming_first_seen(stream, "phash", ts_col="ts")
+    name = "stream_dedup_q"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT key, date_format(first_ts, 'yyyy-MM-dd HH:mm:ss') AS first_ts, "
+        f"n_dups_in_batch AS n FROM {name}"
+    )
+
+
+def o_stream_dedup() -> str:
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT phash AS key,
+       strftime(to_timestamp(1700000000 + MIN(CAST(image_id AS BIGINT))), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       count(*) AS n
+FROM img GROUP BY phash
+""".strip()
+
+
 def o_stream_rollup() -> str:
     d = _derivation_sql("user_id")
     return f"""
@@ -1491,6 +1537,7 @@ def queries():
         "lsh_recall": q_lsh_recall,
         "cell_area_golden": q_cell_area_golden,
         "region_predicates": q_region_predicates,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1529,4 +1576,5 @@ def oracle_sql():
         "lsh_recall": o_lsh_recall(),
         "cell_area_golden": o_cell_area_golden(),
         "region_predicates": o_region_predicates(),
+        "stream_dedup": o_stream_dedup(),
     }

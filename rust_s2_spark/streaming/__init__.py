@@ -1,1 +1,5 @@
-from .cell_stream import assign_cells, windowed_cell_counts  # noqa: F401
+from .cell_stream import (  # noqa: F401
+    assign_cells,
+    streaming_first_seen,
+    windowed_cell_counts,
+)

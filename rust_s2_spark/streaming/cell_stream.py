@@ -32,6 +32,85 @@ def assign_cells(
     )
 
 
+def streaming_first_seen(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    state_ttl_hours: float | None = None,
+) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST occurrence of each
+    key (streaming exact-dedup — e.g. key = phash or md5(text)) via
+    applyInPandasWithState.
+
+    State per key is one timestamp (first_seen). At 100 TB-of-stream
+    scale the state store is partitioned by key hash across executors;
+    optional TTL bounds it for unbounded key spaces (keys recurring
+    after the TTL re-emit — the contract is at-most-once per TTL
+    window, which is what training-data ingest dedup needs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("n_dups_in_batch", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    ttl_ms = int(state_ttl_hours * 3_600_000) if state_ttl_hours else None
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: forget the key
+            return iter(())
+        n = 0
+        first_ts = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            batch_min = pdf[ts_col].min()
+            if first_ts is None or batch_min < first_ts:
+                first_ts = batch_min
+        if n == 0:
+            return iter(())
+        if state.exists:
+            # already emitted once — swallow duplicates
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return iter(())
+        state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        return iter(
+            [pd.DataFrame({"key": [key[0]], "first_ts": [first_ts], "n_dups_in_batch": [n]})]
+        )
+
+    marked = stream.withWatermark(ts_col, watermark)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return marked.groupBy(key_col).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def windowed_cell_counts(
     stream: DataFrame,
     ts_col: str = "ts",

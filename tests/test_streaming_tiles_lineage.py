@@ -132,3 +132,41 @@ def test_lineage_write_and_resume(spark, images):
         assert tot == df.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_first_seen_dedup(spark):
+    """applyInPandasWithState exact-dedup stream: each key is emitted
+    exactly once with its first timestamp, duplicates are swallowed."""
+    from rust_s2_spark.streaming import streaming_first_seen
+
+    tmp = tempfile.mkdtemp(prefix="s2state_")
+    try:
+        rows = []
+        # 200 keys, each appearing 1-5 times with increasing timestamps
+        for kk in range(200):
+            for rep in range(1 + kk % 5):
+                rows.append((kk, f"2026-01-01 0{rep}:00:00"))
+        df = spark.createDataFrame(rows, "phash long, ts_s string").select(
+            "phash", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.write.mode("overwrite").parquet(f"{tmp}/in")
+
+        stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+        deduped = streaming_first_seen(stream, "phash", ts_col="ts")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("first_seen")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT key, first_ts, n_dups_in_batch FROM first_seen")
+        rows_out = got.collect()
+        assert len(rows_out) == 200  # exactly once per key
+        byk = {r.key: r for r in rows_out}
+        assert all(str(byk[kk].first_ts).startswith("2026-01-01 00:") for kk in byk)
+        assert sum(r.n_dups_in_batch for r in rows_out) == len(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
