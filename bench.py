@@ -44,9 +44,18 @@ def make_spark(cpus: int):
 
 
 def timed(fn):
-    t0 = time.perf_counter()
-    out = fn()
-    return time.perf_counter() - t0, out
+    """min-of-N wall time (SPARK_GRAFT_REPEATS, default 2): this shared
+    sandbox swings 3-5x run-to-run; the min is the capability estimate
+    (BASELINE.md uses the same convention)."""
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    best, out = None, None
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    return best, out
 
 
 def spatial_pipeline(spark, img) -> int:

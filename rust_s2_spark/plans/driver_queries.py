@@ -996,8 +996,8 @@ def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ns = [int(x) for x in k.vertex_neighbors(arr, int(lvl))[0]]
                 else:
                     ns = sorted({int(x) for x in k.all_neighbors(arr, int(lvl))[0]})
-                for i, King in enumerate(ns):
-                    out.append((kind, int(sid), int(lvl), i, _signed(King)))
+                for i, nb in enumerate(ns):
+                    out.append((kind, int(sid), int(lvl), i, _signed(nb)))
             yield pd.DataFrame(
                 out, columns=["kind", "id", "level", "ord", "neighbor"]
             )
@@ -1010,17 +1010,17 @@ def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_neighbors() -> str:
     vals = []
     for d in _golden_records("edge_neighbors"):
-        for i, King in enumerate(d["out"]):
-            vals.append(f"('edge', {_signed(d['id'])}, -1, {i}, {_signed(King)})")
+        for i, nb in enumerate(d["out"]):
+            vals.append(f"('edge', {_signed(d['id'])}, -1, {i}, {_signed(nb)})")
     for d in _golden_records("vertex_neighbors"):
-        for i, King in enumerate(d["out"]):
+        for i, nb in enumerate(d["out"]):
             vals.append(
-                f"('vertex', {_signed(d['id'])}, {d['level']}, {i}, {_signed(King)})"
+                f"('vertex', {_signed(d['id'])}, {d['level']}, {i}, {_signed(nb)})"
             )
     for d in _golden_records("all_neighbors"):
-        for i, King in enumerate(sorted(set(d["out"]))):
+        for i, nb in enumerate(sorted(set(d["out"]))):
             vals.append(
-                f"('all', {_signed(d['id'])}, {d['level']}, {i}, {_signed(King)})"
+                f"('all', {_signed(d['id'])}, {d['level']}, {i}, {_signed(nb)})"
             )
     return (
         "SELECT * FROM (VALUES "

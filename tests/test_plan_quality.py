@@ -98,3 +98,42 @@ def test_regular_points():
     # and they form a loop that contains the center
     lp = Loop(pts)
     assert lp.contains_point((0.0, 0.0, 1.0))
+
+
+def test_phash_pairs_single_shuffle_no_python(stored):
+    """The exact multi-index banding must stay: one groupBy shuffle for
+    bucket assembly + one distinct on survivors, zero Python, map-side
+    partial aggregation (ObjectHashAggregate for collect_list)."""
+    from rust_s2_spark.operators.dedup import phash_hamming_pairs
+
+    df = stored.select(
+        F.col("image_id").cast("long").alias("img"), "phash"
+    )
+    plan = _plan(phash_hamming_pairs(df, "img", "phash", max_dist=6))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+    assert "ObjectHashAggregate" in plan
+    # no join at all — pair generation happens inside buckets
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_near_polyline_pushes_ranges(stored):
+    from rust_s2_spark.operators.polyline import near_polyline
+
+    out = near_polyline(
+        stored, [(38.5, -76.5), (40.7, -74.0), (42.4, -71.1)], 1.5
+    )
+    plan = _plan(out)
+    scan = plan[plan.find("PushedFilters") :][:200]
+    assert "PushedFilters: []" not in scan, scan
+
+
+def test_minhash_bucket_cap_adds_no_python(stored, spark):
+    from rust_s2_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, "text", "doc_id", bands=4))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
