@@ -28,13 +28,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, n: int, id_col: str | None = None) -> DataFrame:
-    """Distinct character n-gram md5s per row: (id cols..., shingle).
+def shingles(
+    df: DataFrame, text_col: str, n: int, id_col: str | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character n-gram md5s per row: (id cols..., shingle).
 
     explode(sequence) + top-level substring/md5 keeps the hashing in
     whole-stage codegen (a lambda inside transform() runs interpreted),
-    and the text column is PRUNED before the distinct shuffle — the
-    shuffle carries (id, 32-byte hash), never the documents themselves.
+    and the text column is PRUNED before any shuffle — downstream
+    carries (id, 32-byte hash), never the documents themselves.
+
+    ``distinct=False`` skips the dedup shuffle entirely — correct for
+    duplicate-insensitive consumers (minhash: min over dup shingles is
+    unchanged); Jaccard set sizes need distinct=True.
     """
     keys = [c for c in df.columns if c != text_col]
     pos = F.explode(
@@ -44,7 +51,8 @@ def shingles(df: DataFrame, text_col: str, n: int, id_col: str | None = None) ->
     ).alias("__pos")
     with_pos = df.select("*", pos)
     sh = F.md5(F.expr(f"substring({text_col}, __pos, {n})")).alias("shingle")
-    return with_pos.select(*keys, sh).dropDuplicates(keys + ["shingle"])
+    out = with_pos.select(*keys, sh)
+    return out.dropDuplicates(keys + ["shingle"]) if distinct else out
 
 
 def minhash_lsh_pairs(
@@ -66,7 +74,9 @@ def minhash_lsh_pairs(
     partial min aggregation).
     """
     nh = bands * rows_per_band
-    sh = shingles(df.select(id_col, text_col), text_col, n)
+    # min over duplicate shingles equals min over distinct shingles, so
+    # the dedup shuffle is skipped — partial min-agg absorbs dups map-side
+    sh = shingles(df.select(id_col, text_col), text_col, n, distinct=False)
     # minhash h_i: slice four independent 32-bit (8-hex) values out of
     # each md5 instead of hashing once per i — 128 bits of md5 feed 4
     # minhashes, so ceil(nh/4) md5 calls per shingle instead of nh

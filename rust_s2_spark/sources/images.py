@@ -139,16 +139,28 @@ def write_images_table(
     with_bytes: bool = True,
     partition_level: int = 5,
     n_buckets: int = 64,
+    two_phase: bool = False,
 ) -> None:
     """Materialize the images table the way the 100 TB Iceberg table
     would be laid out: range-partitioned AND sorted by the biased cell
     id, so every covering-join range predicate prunes files via parquet
     min/max stats and scans are Hilbert-clustered.
 
+    ``two_phase=True`` stages the encoded rows to parquet first and
+    range-lays-out from the materialized column — repartitionByRange's
+    sampling pass re-runs the whole upstream lineage (the encode UDF
+    evaluates twice); when the per-row encode is expensive (real image
+    decode + phash, not this synthetic derivation) the extra staging
+    write is cheaper than the second UDF pass.
+
     (Stand-in for Iceberg write with sort order cell_id_biased; plain
     parquet here because the sandbox has no Iceberg runtime.)
     """
     df = images_from_orders(spark, sf_dir, with_bytes, partition_level)
+    if two_phase:
+        staging = f"{out_path}__staging"
+        df.write.mode("overwrite").parquet(staging)
+        df = spark.read.parquet(staging)
     (
         df.repartitionByRange(n_buckets, "cell_id_biased")
         .sortWithinPartitions("cell_id_biased")
