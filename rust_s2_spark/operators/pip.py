@@ -27,10 +27,13 @@ from .covering_join import (
 PIP_COVERER = RegionCoverer(min_level=0, max_level=18, level_mod=1, max_cells=64)
 
 
-def loop_contains_expr(loop: Loop, lat_col: str, lng_col: str) -> Column:
-    """Exact PIP as an Arrow-batched pandas UDF (crossing parity)."""
-    verts = loop.vertices.copy()
-    anchor = loop.anchor.copy()
+def loop_contains_expr(region, lat_col: str, lng_col: str) -> Column:
+    """Exact PIP as an Arrow-batched pandas UDF: crossing parity per
+    loop, XORed across loops for polygons with holes. Accepts a Loop or
+    a Polygon (anything with ``.loops`` or ``.vertices``/``.anchor``)."""
+    loops = getattr(region, "loops", None) or [region]
+    loop_verts = [lp.vertices.copy() for lp in loops]
+    loop_anchors = [lp.anchor.copy() for lp in loops]
 
     @pandas_udf(BooleanType())
     def _pip(lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -41,26 +44,29 @@ def loop_contains_expr(loop: Loop, lat_col: str, lng_col: str) -> Column:
         cl = np.cos(la)
         p = np.stack([np.cos(lo) * cl, np.sin(lo) * cl, np.sin(la)], axis=1)
         n = len(p)
-        m = verts.shape[0]
-        a = np.repeat(verts, n, axis=0)
-        b = np.repeat(np.roll(verts, -1, axis=0), n, axis=0)
-        pp = np.tile(p, (m, 1))
-        q = np.broadcast_to(anchor, (m * n, 3))
-        crossings = np.asarray(ek.simple_crossing(q, pp, a, b)).reshape(m, n)
-        return pd.Series(crossings.sum(axis=0) % 2 == 1)
+        inside = np.zeros(n, dtype=bool)
+        for verts, anchor in zip(loop_verts, loop_anchors):
+            m = verts.shape[0]
+            a = np.repeat(verts, n, axis=0)
+            b = np.repeat(np.roll(verts, -1, axis=0), n, axis=0)
+            pp = np.tile(p, (m, 1))
+            q = np.broadcast_to(anchor, (m * n, 3))
+            crossings = np.asarray(ek.simple_crossing(q, pp, a, b)).reshape(m, n)
+            inside ^= crossings.sum(axis=0) % 2 == 1
+        return pd.Series(inside)
 
     return _pip(F.col(lat_col), F.col(lng_col))
 
 
 def pip_filter(
     df: DataFrame,
-    loop: Loop,
+    loop,
     coverer: RegionCoverer = PIP_COVERER,
     biased_col: str = "cell_id_biased",
     lat_col: str = "lat",
     lng_col: str = "lng",
 ) -> DataFrame:
-    """Rows of df inside the loop.
+    """Rows of df inside the region (a Loop, or a Polygon with holes).
 
     Two pushed-down scans unioned: interior-covering cells need no
     geometry at all; only boundary-cell rows pay the crossing-parity

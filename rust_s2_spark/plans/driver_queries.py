@@ -681,6 +681,38 @@ FROM img WHERE lat > 0 AND lng > 0 AND lng < 50
 """.strip()
 
 
+# polygon with a hole: northern lune triangles (equator base, meridian
+# sides, pole apex) — membership is EXACTLY lat/lng-decidable in SQL
+PIP_POLY_SHELL = [(0.0, 0.0), (0.0, 40.0), (90.0, 20.0)]
+PIP_POLY_HOLE = [(0.0, 10.0), (0.0, 30.0), (90.0, 20.0)]
+
+
+def q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon with a hole (shell lune minus inner lune):
+    XOR crossing parity across loops; covering pushdown + interior
+    short-circuit as in the single-loop plan. The oracle decides
+    membership exactly from lat/lng (meridian/equator edges)."""
+    from ..geometry.polygon import Polygon
+    from ..operators.pip import pip_filter
+
+    img = _images(spark, sf_dir)
+    poly = Polygon.from_latlng_degrees(PIP_POLY_SHELL, [PIP_POLY_HOLE])
+    hits = pip_filter(img, poly)
+    return hits.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("phash") % F.lit(1000003)).cast("long").alias("sum_phash_mod"),
+    )
+
+
+def o_pip_polygon() -> str:
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT count(*) AS n, CAST(sum(phash % 1000003) AS BIGINT) AS sum_phash_mod
+FROM img
+WHERE lat > 0 AND ((lng > 0 AND lng < 10) OR (lng > 30 AND lng < 40))
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # 19: cell areas
 
@@ -1424,6 +1456,73 @@ FROM ratios
 """.strip()
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + feature extraction via mapInPandas over
+    the synthetic raw 8×8 RGB rasters; the oracle re-derives every byte
+    from the md5 chain in SQL and recomputes the channel means / gray
+    std — pixels never touch a Spark column on either side."""
+    from ..operators.multimodal import image_features
+
+    img = images_from_orders(spark, sf_dir, with_bytes=True)
+    img = img.where(F.col("image_id").cast("long") % 5 == 0)
+    out = image_features(img)
+    return out.select(
+        "image_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        F.round("psnr_db", 1).alias("psnr_db"),
+    )
+
+
+def o_multimodal_features() -> str:
+    # bytes = unhex(md5(id) || md5(md5(id)) || ... 12 blocks); byte j is
+    # two hex digits of the 384-char concatenation
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        hi = digit.format(pos=2 * j + 1)
+        lo = digit.format(pos=2 * j + 2)
+        return f"({hi} * 16 + {lo})"
+
+    mean_r = " + ".join(byte(j) for j in range(0, 192, 3))
+    mean_g = " + ".join(byte(j) for j in range(1, 192, 3))
+    mean_b = " + ".join(byte(j) for j in range(2, 192, 3))
+    gray_sum = " + ".join(
+        f"(({byte(3 * p)} + {byte(3 * p + 1)} + {byte(3 * p + 2)}) / 3e0)"
+        for p in range(64)
+    )
+    gray_sq = " + ".join(
+        f"power(({byte(3 * p)} + {byte(3 * p + 1)} + {byte(3 * p + 2)}) / 3e0, 2)"
+        for p in range(64)
+    )
+    blocks = ["md5(image_id)"]
+    for _ in range(11):
+        blocks.append(f"md5({blocks[-1]})")
+    hx = " || ".join(blocks)
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+sel AS (
+  SELECT CAST(image_id AS BIGINT) AS id, image_id FROM img
+  WHERE CAST(image_id AS BIGINT) % 5 = 0
+),
+hexed AS (SELECT id, {hx} AS hx FROM sel),
+feats AS (
+  SELECT id AS image_id,
+         ({mean_r}) / 64e0 AS mean_r,
+         ({mean_g}) / 64e0 AS mean_g,
+         ({mean_b}) / 64e0 AS mean_b,
+         sqrt(({gray_sq}) / 64e0 - power(({gray_sum}) / 64e0, 2)) AS std_gray
+  FROM hexed
+)
+SELECT image_id, ROUND(mean_r, 6) AS mean_r, ROUND(mean_g, 6) AS mean_g,
+       ROUND(mean_b, 6) AS mean_b, ROUND(std_gray, 6) AS std_gray,
+       999.0 AS psnr_db
+FROM feats
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # similarity LSH: md5-derived hyperplanes so DuckDB reproduces the buckets
 
@@ -1538,6 +1637,8 @@ def queries():
         "cell_area_golden": q_cell_area_golden,
         "region_predicates": q_region_predicates,
         "stream_dedup": q_stream_dedup,
+        "multimodal_features": q_multimodal_features,
+        "pip_polygon": q_pip_polygon,
     }
 
 
@@ -1577,4 +1678,6 @@ def oracle_sql():
         "cell_area_golden": o_cell_area_golden(),
         "region_predicates": o_region_predicates(),
         "stream_dedup": o_stream_dedup(),
+        "multimodal_features": o_multimodal_features(),
+        "pip_polygon": o_pip_polygon(),
     }

@@ -182,3 +182,37 @@ def test_pip_filter_matches_brute_force(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_polygon_with_hole_contains():
+    import numpy as np
+
+    from rust_s2_spark.geometry import point as pt
+    from rust_s2_spark.geometry.polygon import Polygon
+
+    poly = Polygon.from_latlng_degrees(
+        [(0.0, 0.0), (0.0, 40.0), (90.0, 20.0)],
+        [[(0.0, 10.0), (0.0, 30.0), (90.0, 20.0)]],
+    )
+    cases = [
+        ((20.0, 5.0), True),    # in shell, west of hole
+        ((20.0, 35.0), True),   # in shell, east of hole
+        ((20.0, 20.0), False),  # inside the hole
+        ((20.0, 50.0), False),  # outside the shell
+        ((-20.0, 5.0), False),  # southern hemisphere
+        ((89.0, 5.0), True),    # near the apex, outside the hole wedge
+        ((89.0, 20.0), False),  # near the apex, inside the hole wedge
+    ]
+    for (lat, lng), want in cases:
+        p = pt.latlng_to_xyz(lat, lng)
+        assert poly.contains_point(p) == want, (lat, lng)
+    # area = shell minus hole (both lunes: fraction of sphere = width/360 * half)
+    import math
+    assert poly.area() == pytest.approx(poly.shell.area() / 2, rel=1e-9)
+    # region protocol is conservative
+    from rust_s2_spark.geometry import RegionCoverer
+    rc = RegionCoverer(max_level=8, max_cells=32)
+    cov = rc.covering(poly)
+    for lat, lng in [(20.0, 5.0), (20.0, 35.0), (89.0, 5.0)]:
+        x, y, z = pt.latlng_to_xyz(lat, lng)
+        assert cov.contains_point_xyz(x, y, z), (lat, lng)
