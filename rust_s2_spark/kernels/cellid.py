@@ -475,9 +475,47 @@ def from_face_ij(f, i, j) -> np.ndarray:
     return n * U(2) + U(1)
 
 
+_LOOKUP_IJ_LIST = None
+
+
+def _to_face_ij_orientation_scalar(cid: int):
+    """Pure-int fast path for single ids — same bit math as the
+    vectorized version below (the driver-side coverer constructs Cells
+    one at a time; numpy's per-call overhead dominates at ~150µs/cell,
+    this path is ~10µs). Bit-identical by construction (integer ops on
+    the same lookup table)."""
+    global _LOOKUP_IJ_LIST
+    if _LOOKUP_IJ_LIST is None:
+        _LOOKUP_IJ_LIST = LOOKUP_IJ.tolist()
+    f = cid >> POS_BITS
+    orient = f & SWAP_MASK
+    i = 0
+    j = 0
+    nbits = MAX_LEVEL - 7 * 4
+    for kk in range(7, -1, -1):
+        orient += ((cid >> (kk * 8 + 1)) & ((1 << (2 * nbits)) - 1)) << 2
+        orient = _LOOKUP_IJ_LIST[orient]
+        i += (orient >> 6) << (kk * 4)
+        j += ((orient >> 2) & 15) << (kk * 4)
+        orient &= SWAP_MASK | INVERT_MASK
+        nbits = 4
+    low = cid & ((1 << 64) - cid)  # lsb = cid & -cid (mod 2^64)
+    if low & 0x1111111111111110:
+        orient ^= SWAP_MASK
+    return f, i, j, orient
+
+
 def to_face_ij_orientation(ids: np.ndarray):
     """Inverse of from_face_ij: id -> (face, i, j, orientation)."""
     ids = np.asarray(ids, dtype=np.uint64)
+    if ids.size == 1:
+        f, i, j, o = _to_face_ij_orientation_scalar(int(ids.reshape(-1)[0]))
+        return (
+            np.full(ids.shape, f, dtype=np.uint64),
+            np.full(ids.shape, i, dtype=np.int64),
+            np.full(ids.shape, j, dtype=np.int64),
+            np.full(ids.shape, o, dtype=np.uint64),
+        )
     f = ids >> U(POS_BITS)
     orient = f & U(SWAP_MASK)
     i = np.zeros(ids.shape, dtype=np.uint64)

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from rust_s2_spark.geometry.cap import Cap
 from rust_s2_spark.geometry.coverer import RegionCoverer
