@@ -840,7 +840,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
     )
     tmp = tempfile.mkdtemp(prefix="s2streamdedup_")
-    img.write.mode("overwrite").parquet(f"{tmp}/in")
+    # one staged file → one availableNow micro-batch, so n_dups_in_batch
+    # counts every duplicate (later-batch dups are swallowed uncounted)
+    img.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
     stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
     deduped = streaming_first_seen(stream, "phash", ts_col="ts")
     name = "stream_dedup_q"
@@ -1544,10 +1546,14 @@ def _md5_planes() -> np.ndarray:
     return out
 
 
+LSH_MAX_BUCKET = 1000
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (md5-derived hyperplanes). The
-    oracle replicates buckets + re-rank in DuckDB; recall vs the exact
-    brute-force top-k is asserted in tests/test_similarity_recall.py."""
+    """LSH-bucketed approximate top-k (md5-derived hyperplanes) WITH the
+    bucket-size guard on. The oracle replicates buckets + cap + re-rank
+    in DuckDB; recall vs the exact brute-force top-k is asserted in
+    tests/test_similarity_recall.py."""
     from ..operators.similarity import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1555,7 +1561,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = lsh_bucket_topk(
-        spark, emb, q, SIM_K, planes=_md5_planes(), max_bucket=None
+        spark, emb, q, SIM_K, planes=_md5_planes(), max_bucket=LSH_MAX_BUCKET
     )
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "vec_id"
@@ -1577,13 +1583,21 @@ def o_lsh_recall() -> str:
     tables = []
     for t in range(LSH_TABLES):
         tables.append(
-            f"SELECT e.vec_id, e.e, q.query_id, q.qe FROM emb e JOIN q "
-            f"ON {bucket_sql('e.e', t)} = q.b{t}"
+            f"SELECT e.vec_id, e.e, q.query_id, q.qe FROM bkt{t} e JOIN q "
+            f"ON e.b = q.b{t}"
         )
     unions = " UNION ".join(tables)  # UNION dedups (query_id, vec_id, vectors)
     qb = ", ".join(f"{bucket_sql('e', t)} AS b{t}" for t in range(LSH_TABLES))
+    # replicate the max_bucket guard: rows in oversized buckets dropped
+    bucket_ctes = ", ".join(
+        f"bkt{t} AS (SELECT * FROM (SELECT vec_id, e, {bucket_sql('e', t)} AS b, "
+        f"count(*) OVER (PARTITION BY {bucket_sql('e', t)}) AS bn FROM emb) "
+        f"WHERE bn <= {LSH_MAX_BUCKET})"
+        for t in range(LSH_TABLES)
+    )
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{bucket_ctes},
 q AS (SELECT vec_id AS query_id, e AS qe, {qb} FROM emb WHERE vec_id < 8),
 cand AS ({unions}),
 scored AS (
