@@ -132,3 +132,86 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= kk)
         .select(query_id_col, "rank", id_col, F.round("cosine", 9).alias("cosine"))
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 11,
+    max_bucket: int | None = 10_000,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine >= threshold).
+
+    Scale path (exact=False): random-hyperplane buckets, in-bucket pair
+    generation (groupBy + nested explode — one shuffle, no self-join,
+    same shape as the phash banding), exact cosine on candidates only.
+    Recall is probabilistic: a pair at angle θ collides in one table
+    with prob (1−θ/π)^n_planes; n_tables independent tables drive the
+    miss rate down (see tests/test_similarity_recall.py).
+
+    exact=True is the all-pairs verifier (crossJoin) — O(n²), for
+    oracle checks and small candidate sets only.
+    """
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        left = d.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        right = d.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        pairs = left.crossJoin(right).where(F.col("a") < F.col("b"))
+        out = pairs.withColumn("cosine", cosine_cols(F.col("va"), F.col("vb")))
+        return (
+            out.where(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 9).alias("cosine"))
+        )
+
+    rng = np.random.default_rng(seed)
+    dim = len(d.first()["v"])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_expr(col, table: int):
+        b = F.lit(0)
+        for p in range(n_planes):
+            coeffs = planes[table, p]
+            dot = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(c)) for c in coeffs]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    bands = [
+        F.struct(F.lit(t).alias("tbl"), bucket_expr(F.col("v"), t).alias("bkt"))
+        for t in range(n_tables)
+    ]
+    blocked = d.select(
+        "id", "v", F.explode(F.array(*bands)).alias("tb")
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    buckets = (
+        blocked.groupBy("tbl", "bkt")
+        .agg(F.collect_list(F.struct("id", "v")).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("xs") <= max_bucket)
+    x = buckets.select(F.explode("xs").alias("x"), "xs").select(
+        "x", F.explode("xs").alias("y")
+    )
+    cand = x.where(F.col("x.id") < F.col("y.id")).select(
+        F.col("x.id").alias("a"),
+        F.col("y.id").alias("b"),
+        cosine_cols(F.col("x.v"), F.col("y.v")).alias("cosine"),
+    )
+    return (
+        cand.where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 9).alias("cosine"))
+        .distinct()
+    )

@@ -1611,6 +1611,32 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM scored WHERE rank <= {SI
 """.strip()
 
 
+
+
+COSINE_PAIR_THRESHOLD = 0.42
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact verifier path (the LSH
+    scale path's recall is pytest-gated in tests/test_similarity_recall
+    .py); oracle = exhaustive list_cosine_similarity pair scan."""
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup_pairs(emb, COSINE_PAIR_THRESHOLD, exact=True)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def o_cosine_near_dup() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_PAIR_THRESHOLD!r}
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1653,6 +1679,7 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "multimodal_features": q_multimodal_features,
         "pip_polygon": q_pip_polygon,
+        "cosine_near_dup": q_cosine_near_dup,
     }
 
 
@@ -1694,4 +1721,5 @@ def oracle_sql():
         "stream_dedup": o_stream_dedup(),
         "multimodal_features": o_multimodal_features(),
         "pip_polygon": o_pip_polygon(),
+        "cosine_near_dup": o_cosine_near_dup(),
     }

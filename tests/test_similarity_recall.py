@@ -60,3 +60,27 @@ def test_lsh_is_subset_of_bruteforce_scores(spark, emb):
         spark, emb, q, K, n_planes=4, n_tables=2, seed=7
     ).collect():
         assert truth[(r.query_id, r.vec_id)] == pytest.approx(r.cosine, abs=1e-9)
+
+
+def test_cosine_near_dup_lsh_recall(spark, emb):
+    """The LSH scale path must recover most pairs the exact verifier
+    finds (threshold chosen where the synthetic embeddings actually
+    have pairs)."""
+    from rust_s2_spark.operators.similarity import cosine_near_dup_pairs
+
+    t = 0.35
+    truth = {
+        (r.a, r.b) for r in cosine_near_dup_pairs(emb, t, exact=True).collect()
+    }
+    assert len(truth) >= 3, "threshold too high for this corpus"
+    approx = {
+        (r.a, r.b)
+        for r in cosine_near_dup_pairs(
+            emb, t, n_planes=3, n_tables=12, seed=3
+        ).collect()
+    }
+    assert approx <= truth | approx  # sanity
+    # every LSH pair is a true pair (cosine re-check is exact) ...
+    assert approx <= truth
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"recall = {recall:.2f} over {len(truth)} pairs"
