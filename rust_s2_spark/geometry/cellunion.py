@@ -247,6 +247,18 @@ class CellUnion:
             cap = cap.add_cap(Cell(int(cid)).cap_bound())
         return cap
 
+    # -- region protocol (coverable like any other region;
+    #    ref cellunion.rs:413-472) ------------------------------------------
+
+    def contains_cell(self, cell) -> bool:
+        return self.contains_id(int(cell.id))
+
+    def intersects_cell(self, cell) -> bool:
+        return self.intersects_id(int(cell.id))
+
+    def cell_union_bound(self) -> list[int]:
+        return self.cap_bound().cell_union_bound()
+
     def contains_point_xyz(self, x: float, y: float, z: float) -> bool:
         from .. import kernels
 

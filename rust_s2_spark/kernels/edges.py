@@ -329,6 +329,28 @@ def distance_from_segment(x, a, b) -> np.ndarray:
     return 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(d2)))
 
 
+def max_dist2_point_segment(x, a, b) -> np.ndarray:
+    """MAXIMUM squared chord distance from x to any point of segment AB
+    (ref edgeutil.rs:202-218 update_max_distance): the max is attained
+    at an endpoint unless it exceeds a right angle, in which case it is
+    the antipodal reflection of the min distance from −x
+    (max = STRAIGHT − min(−x))."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    n = max(x.shape[0], a.shape[0], b.shape[0])
+    x, a, b = (np.broadcast_to(v, (n, 3)) for v in (x, a, b))
+    da = _dot(x - a, x - a)
+    db = _dot(x - b, x - b)
+    d = np.maximum(da, db)
+    over_right = d > 2.0
+    if np.any(over_right):
+        d_anti = dist2_point_segment(-x[over_right], a[over_right], b[over_right])
+        d = d.copy()
+        d[over_right] = 4.0 - d_anti
+    return d
+
+
 # ---------------------------------------------------------------------------
 # areas / centroids
 

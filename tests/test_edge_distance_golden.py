@@ -46,3 +46,31 @@ def test_distance_golden(case):
         with np.errstate(invalid="ignore", divide="ignore"):
             cp = ek.project_to_segment(xx, aa, bb)[0]
         assert np.allclose(cp, norm(closest), atol=1e-14), (case, cp)
+
+
+def test_max_dist2_point_segment_vs_dense_sampling():
+    """max over the segment == max over a dense interpolation sample
+    (ref edgeutil.rs:202-218 semantics), including the antipodal
+    (> right angle) branch."""
+    import numpy as np
+
+    from rust_s2_spark.kernels import edges as ek
+
+    rng = np.random.default_rng(99)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    for _ in range(200):
+        a = unit(rng.normal(size=3))
+        b = unit(rng.normal(size=3))
+        x = unit(rng.normal(size=3))
+        got = float(
+            ek.max_dist2_point_segment(x[None], a[None], b[None])[0]
+        )
+        ts = np.linspace(0.0, 1.0, 400)
+        pts = ek.interpolate(ts, a[None], b[None])
+        d = pts - x[None]
+        dense = float(np.max(np.einsum("ij,ij->i", d, d)))
+        assert got >= dense - 1e-9
+        assert got <= dense + 2e-4  # sampling gap on the far side

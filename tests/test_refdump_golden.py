@@ -252,3 +252,33 @@ def test_region_predicates_match_reference():
         cell = Cell(d["cell"])
         assert bool(reg.contains_cell(cell)) == d["contains_cell"], d
         assert bool(reg.intersects_cell(cell)) == d["intersects_cell"], d
+
+
+def test_all_region_types_cover_like_reference():
+    """Coverings for Cell, Point, and CellUnion regions (the remaining
+    Region impls beyond Cap/Rect) match the reference cell-for-cell."""
+    from rust_s2_spark.geometry.cell import Cell
+    from rust_s2_spark.geometry.cellunion import CellUnion
+    from rust_s2_spark.geometry.point_region import PointRegion
+
+    n = 0
+    for d in _records("covering2"):
+        rc = RegionCoverer(
+            min_level=d["min_level"],
+            max_level=d["max_level"],
+            level_mod=d["level_mod"],
+            max_cells=d["max_cells"],
+        )
+        if d["region"] == "cell":
+            reg = Cell(d["id"])
+        elif d["region"] == "point":
+            reg = PointRegion.from_latlng_degrees(d["lat"], d["lng"])
+        else:
+            reg = CellUnion(
+                k.from_token(np.array(d["input"])), normalized=True
+            )
+        assert list(rc.covering(reg).tokens()) == d["covering"], d
+        assert list(rc.interior_covering(reg).tokens()) == d["interior"], d
+        assert list(rc.fast_covering(reg).tokens()) == d["fast"], d
+        n += 3
+    assert n == 240

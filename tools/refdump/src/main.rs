@@ -496,9 +496,67 @@ fn dump_region_predicates() {
     }
 }
 
+fn dump_extra_region_coverings() {
+    use s2::cell::Cell;
+    use s2::cellunion::CellUnion;
+    let params: Vec<(u8, u8, u8, usize)> = vec![
+        (0, 30, 1, 8),
+        (0, 30, 1, 4),
+        (4, 16, 1, 8),
+        (0, 30, 2, 8),
+    ];
+    let lls = [
+        (49.703498679, 11.770681595),
+        (0.0, 0.0),
+        (89.9, 45.0),
+        (-33.86, 151.21),
+    ];
+    for (min_level, max_level, level_mod, max_cells) in &params {
+        let rc = RegionCoverer {
+            min_level: *min_level,
+            max_level: *max_level,
+            level_mod: *level_mod,
+            max_cells: *max_cells,
+        };
+        // Cell regions at several levels
+        for (lat, lng) in lls {
+            for lvl in [2u64, 8, 14] {
+                let id = CellID::from(LatLng::from_degrees(lat, lng)).parent(lvl);
+                let cell = Cell::from(&id);
+                println!(
+                    "{{\"kind\":\"covering2\",\"region\":\"cell\",\"id\":{},\"min_level\":{},\"max_level\":{},\"level_mod\":{},\"max_cells\":{},\"covering\":{},\"interior\":{},\"fast\":{}}}",
+                    id.0, min_level, max_level, level_mod, max_cells,
+                    tokens(&rc.covering(&cell)), tokens(&rc.interior_covering(&cell)), tokens(&rc.fast_covering(&cell))
+                );
+            }
+        }
+        // Point regions
+        for (lat, lng) in lls {
+            let p = Point::from(LatLng::from_degrees(lat, lng));
+            println!(
+                "{{\"kind\":\"covering2\",\"region\":\"point\",\"lat\":{},\"lng\":{},\"min_level\":{},\"max_level\":{},\"level_mod\":{},\"max_cells\":{},\"covering\":{},\"interior\":{},\"fast\":{}}}",
+                f(lat), f(lng), min_level, max_level, level_mod, max_cells,
+                tokens(&rc.covering(&p)), tokens(&rc.interior_covering(&p)), tokens(&rc.fast_covering(&p))
+            );
+        }
+        // CellUnion regions (covering of a cap reused as the region)
+        for (i, (lat, lng)) in lls.iter().enumerate() {
+            let cap = Cap::from_center_area(&Point::from(LatLng::from_degrees(*lat, *lng)), 0.02);
+            let base = RegionCoverer { min_level: 0, max_level: 30, level_mod: 1, max_cells: 12 };
+            let cu: CellUnion = base.covering(&cap);
+            println!(
+                "{{\"kind\":\"covering2\",\"region\":\"cellunion\",\"case\":{},\"input\":{},\"min_level\":{},\"max_level\":{},\"level_mod\":{},\"max_cells\":{},\"covering\":{},\"interior\":{},\"fast\":{}}}",
+                i, tokens(&cu), min_level, max_level, level_mod, max_cells,
+                tokens(&rc.covering(&cu)), tokens(&rc.interior_covering(&cu)), tokens(&rc.fast_covering(&cu))
+            );
+        }
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
+    dump_extra_region_coverings();
     dump_neighbors();
     dump_cellunion_ops();
     dump_from_range();
