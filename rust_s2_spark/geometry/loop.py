@@ -75,53 +75,20 @@ class Loop:
     # -- bounds --------------------------------------------------------------
 
     def rect_bound(self) -> Rect:
-        """Conservative lat/lng bound: vertex extremes plus per-edge
-        interior latitude extremes (RectBounder's core rule,
-        ref rect_bounder.rs:83-220), expanded by a small margin."""
-        lats = np.arctan2(
-            self.vertices[:, 2],
-            np.hypot(self.vertices[:, 0], self.vertices[:, 1]),
-        )
-        lat = R1Interval(float(np.min(lats)), float(np.max(lats)))
+        """Conservative lat/lng bound via the reference-exact streaming
+        RectBounder (geometry/rect_bounder.py, bit-exact against
+        reference-dumped chains; was an inline edge-lat-extremes rule
+        in round 1), with the Loop's pole closure on top
+        (ref loop semantics: a loop containing a pole spans all
+        longitudes)."""
+        from .rect_bounder import RectBounder
 
-        lngs = np.arctan2(self.vertices[:, 1], self.vertices[:, 0])
-        lng = S1Interval(float(lngs[0]), float(lngs[0]))
-        for i in range(1, len(lngs)):
-            lng = lng.add_point(float(lngs[i]))
-
+        rb = RectBounder()
         m = self.vertices.shape[0]
-        for i in range(m):
-            a = self.vertices[i]
-            b = self.vertices[(i + 1) % m]
-            normal = np.cross(a, b)
-            nn = np.linalg.norm(normal)
-            if nn == 0:
-                continue
-            # the great circle through a,b attains |lat| = asin(hypot(nx,ny)/|n|)
-            max_abs_lat = np.arcsin(
-                min(1.0, np.hypot(normal[0], normal[1]) / nn)
-            )
-            # extreme points: where the circle's tangent is east-west
-            up = np.array([0.0, 0.0, 1.0])
-            east = np.cross(up, normal)
-            if np.linalg.norm(east) == 0:
-                continue
-            for sign in (1.0, -1.0):
-                ext = sign * np.cross(normal, east)
-                ne = np.linalg.norm(ext)
-                if ne == 0:
-                    continue
-                ext = ext / ne
-                # is the extreme point within the edge segment?
-                if (
-                    np.dot(np.cross(a, ext), normal) > 0
-                    and np.dot(np.cross(ext, b), normal) > 0
-                ):
-                    lat = lat.add_point(float(np.sign(ext[2]) * max_abs_lat))
-            # wide lng spans: edges crossing the anti-meridian are handled
-            # by S1Interval.add_point above (shortest-arc rule)
-        margin = 4.0 * pt.DBL_EPSILON
-        out = Rect(lat, lng).expanded(margin, margin)
+        for i in range(m + 1):
+            v = self.vertices[i % m]
+            rb.add_point((float(v[0]), float(v[1]), float(v[2])))
+        out = rb.get_bound()
         # if the loop contains a pole, the lng span must be full
         if self.contains_point((0.0, 0.0, 1.0)):
             out = Rect(R1Interval(out.lat.lo, PI / 2), S1Interval.full())
