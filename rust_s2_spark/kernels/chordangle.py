@@ -80,7 +80,8 @@ def cos(ca):
 
 
 def tan(ca):
-    return sin(ca) / cos(ca)
+    with np.errstate(divide="ignore"):
+        return sin(ca) / cos(ca)
 
 
 def expanded(ca, e):

@@ -450,3 +450,49 @@ def true_centroid(a, b, c) -> np.ndarray:
         out = out + unit * (0.5 * ang)[..., None]
     _ = ra
     return out
+
+
+def ortho(p) -> np.ndarray:
+    """Unit vector orthogonal to each p, with the reference's exact seed
+    vector (0.012, 0.0053, 0.00457) + largest-component rule
+    (ref r3/vector.rs:221-233) so frames match the reference."""
+    p = np.atleast_2d(np.asarray(p, dtype=np.float64))
+    ov = np.tile(np.array([0.012, 0.0053, 0.00457]), (p.shape[0], 1))
+    largest = np.argmax(np.abs(p), axis=1)
+    # X largest -> z=1, Y -> x=1, Z -> y=1
+    ov[largest == 0, 2] = 1.0
+    ov[largest == 1, 0] = 1.0
+    ov[largest == 2, 1] = 1.0
+    return _normalize(_cross(p, ov))
+
+
+def frame(p) -> np.ndarray:
+    """Orthonormal frame at each unit point: columns (c0, c1, c2=p)
+    with c1 = ortho(p), c0 = c1 × p (ref point.rs:185-191).
+    Returns (n, 3, 3) column-major-equivalent arrays (frame[i,:,k] is
+    column k)."""
+    p = np.atleast_2d(np.asarray(p, dtype=np.float64))
+    c1 = ortho(p)
+    c0 = _cross(c1, p)
+    return np.stack([c0, c1, p], axis=2)
+
+
+def from_frame(m: np.ndarray, q) -> np.ndarray:
+    """Standard coordinates of frame-local q: p = M·q (ref point.rs:198)."""
+    q = np.atleast_2d(np.asarray(q, dtype=np.float64))
+    return np.einsum("nij,nj->ni", np.atleast_3d(m).reshape(-1, 3, 3), q)
+
+
+def to_frame(m: np.ndarray, p) -> np.ndarray:
+    """Frame-local coordinates of p: q = Mᵀ·p (ref point.rs:206-209)."""
+    p = np.atleast_2d(np.asarray(p, dtype=np.float64))
+    return np.einsum("nji,nj->ni", np.atleast_3d(m).reshape(-1, 3, 3), p)
+
+
+def planar_centroid(a, b, c) -> np.ndarray:
+    """(a+b+c)/3 — centroid of the planar triangle through the sphere's
+    interior (ref point.rs:371-376; NOT projected to the surface)."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+    return (a + b + c) / 3.0

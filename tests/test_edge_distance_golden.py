@@ -74,3 +74,32 @@ def test_max_dist2_point_segment_vs_dense_sampling():
         dense = float(np.max(np.einsum("ij,ij->i", d, d)))
         assert got >= dense - 1e-9
         assert got <= dense + 2e-4  # sampling gap on the far side
+
+
+def test_frames_roundtrip_and_reference_identities():
+    """point.rs:885-905 frame identities: to_frame(m, column_k) = e_k,
+    from_frame(m, e_k) = column_k, and M is orthonormal."""
+    import numpy as np
+
+    from rust_s2_spark.kernels import edges as ek
+
+    rng = np.random.default_rng(17)
+    p = rng.normal(size=(20, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    m = ek.frame(p)
+    # column 2 is p itself
+    np.testing.assert_allclose(m[:, :, 2], p, atol=0)
+    # orthonormal: M^T M = I
+    mtm = np.einsum("nij,nik->njk", m, m)
+    np.testing.assert_allclose(mtm, np.tile(np.eye(3), (20, 1, 1)), atol=1e-14)
+    # to_frame(m, col_k) == e_k and from_frame inverts it
+    for kk in range(3):
+        ek_vec = np.zeros((20, 3))
+        ek_vec[:, kk] = 1.0
+        got = ek.to_frame(m, m[:, :, kk])
+        np.testing.assert_allclose(got, ek_vec, atol=1e-14)
+        back = ek.from_frame(m, ek_vec)
+        np.testing.assert_allclose(back, m[:, :, kk], atol=1e-14)
+    # planar centroid of a degenerate triangle is the point itself
+    pc = ek.planar_centroid(p, p, p)
+    np.testing.assert_allclose(pc, p, atol=0)
