@@ -161,28 +161,23 @@ class Rect:
         )
 
     def distance_to_latlng_rad(self, lat: float, lng: float) -> float:
-        """Distance (radians) from a point to the rect (0 if inside).
-
-        Approximation: treats the boundary as the 4 geodesic
-        corner-to-corner segments — exact on the meridian edges,
-        slightly conservative near the curved constant-latitude edges
-        (the reference's exact lat-edge handling, rect.rs:259-279, is
-        a round-2 refinement)."""
-        if self.contains_latlng_rad(lat, lng):
-            return 0.0
+        """EXACT min distance (radians) from a point to the rect
+        (boundary + interior; ref rect.rs:259-279): inside the lng span
+        it is pure latitude difference; outside, the nearest boundary is
+        the closer meridian edge, measured with the geodesic
+        point-to-segment kernel."""
+        if self.lng.contains(lng):
+            return max(lat - self.lat.hi, self.lat.lo - lat, 0.0)
+        i = S1Interval.new(self.lng.hi, self.lng.complement_center())
+        rect_lng = self.lng.hi if i.contains(lng) else self.lng.lo
         import numpy as np
 
         from ..kernels import edges as ek
 
         p = np.array(pt.latlng_rad_to_xyz(lat, lng))[None, :]
-        best = math.inf
-        corners = [self.vertex(i) for i in range(4)]
-        for i in range(4):
-            a = np.array(pt.latlng_rad_to_xyz(*corners[i]))[None, :]
-            b = np.array(pt.latlng_rad_to_xyz(*corners[(i + 1) % 4]))[None, :]
-            d2 = float(ek.dist2_point_segment(p, a, b)[0])
-            best = min(best, pt.chord2_to_angle(d2))
-        return best
+        lo = np.array(pt.latlng_rad_to_xyz(self.lat.lo, rect_lng))[None, :]
+        hi = np.array(pt.latlng_rad_to_xyz(self.lat.hi, rect_lng))[None, :]
+        return float(ek.distance_from_segment(p, lo, hi)[0])
 
     # -- hausdorff (ref rect.rs:281-460) --------------------------------------
 

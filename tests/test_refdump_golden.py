@@ -23,6 +23,7 @@ from rust_s2_spark.geometry.cap import Cap
 from rust_s2_spark.geometry.coverer import RegionCoverer
 from rust_s2_spark.geometry.rect import Rect
 from rust_s2_spark.kernels import cellid as k
+from rust_s2_spark.geometry import point as pt
 from rust_s2_spark.kernels import edges as ek
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "refdump.jsonl")
@@ -282,3 +283,83 @@ def test_all_region_types_cover_like_reference():
         assert list(rc.fast_covering(reg).tokens()) == d["fast"], d
         n += 3
     assert n == 240
+
+
+def _rand_rect(rng) -> Rect:
+    from rust_s2_spark.geometry.intervals import PI, R1Interval, S1Interval
+
+    lats = sorted(rng.uniform(-math.pi / 2, math.pi / 2, size=2))
+    lngs = rng.uniform(-math.pi, math.pi, size=2)
+    lng = S1Interval.from_point_pair(float(lngs[0]), float(lngs[1]))
+    return Rect(R1Interval(float(lats[0]), float(lats[1])), lng)
+
+
+def test_directed_hausdorff_random_pairs_vs_sampling():
+    """Port of rect.rs:2155-2220 verify_directed_hausdorff_distance:
+    sample rect a on a 0.1-rad grid; the directed hausdorff must be >=
+    every sampled point's exact distance to b (minus fp noise) and
+    within one grid resolution of the sampled max. Also exercises the
+    lng-complement rects the reference adds for topology coverage."""
+    from rust_s2_spark.geometry.intervals import R1Interval
+
+    rng = np.random.default_rng(20260818)
+    resolution = 0.1
+
+    def verify(a: Rect, b: Rect):
+        if a.is_empty() or b.is_empty():
+            return
+        n_lat = int(round(a.lat.length() / resolution)) + 1
+        n_lng = int(round(a.lng.length() / resolution)) + 1
+        d_lat = a.lat.length() / n_lat
+        d_lng = a.lng.length() / n_lng
+        max_d = 0.0
+        lng = a.lng.lo
+        for _ in range(n_lng + 1):
+            lat = a.lat.lo
+            for _ in range(n_lat + 1):
+                # normalize lng into [-pi, pi]
+                ln = math.atan2(math.sin(lng), math.cos(lng))
+                la = max(-math.pi / 2, min(math.pi / 2, lat))
+                max_d = max(max_d, b.distance_to_latlng_rad(la, ln))
+                lat += d_lat
+            lng += d_lng
+        got = a.directed_hausdorff_distance(b)
+        assert max_d <= got + 1e-10, (a, b, max_d, got)
+        assert max_d >= got - resolution, (a, b, max_d, got)
+
+    for _ in range(60):
+        a = _rand_rect(rng)
+        b = _rand_rect(rng)
+        a2 = Rect(R1Interval(a.lat.lo, a.lat.hi), a.lng.complement())
+        b2 = Rect(R1Interval(b.lat.lo, b.lat.hi), b.lng.complement())
+        verify(a, b)
+        verify(a2, b)
+        verify(a, b2)
+        verify(a2, b2)
+
+
+def test_distance_to_latlng_exact_vs_dense_boundary():
+    """Exact rect distance (ref rect.rs:259-279) vs a dense sample of
+    the rect's boundary + interior grid."""
+    rng = np.random.default_rng(4242)
+    for _ in range(60):
+        r = _rand_rect(rng)
+        lat = float(rng.uniform(-math.pi / 2, math.pi / 2))
+        lng = float(rng.uniform(-math.pi, math.pi))
+        got = r.distance_to_latlng_rad(lat, lng)
+        if r.contains_latlng_rad(lat, lng):
+            assert got == 0.0
+            continue
+        # dense grid over the rect
+        best = math.inf
+        for i in range(41):
+            for j in range(41):
+                la = r.lat.lo + (r.lat.hi - r.lat.lo) * i / 40
+                ln = r.lng.lo + r.lng.length() * j / 40
+                ln = math.atan2(math.sin(ln), math.cos(ln))
+                cosang = np.dot(
+                    pt.latlng_rad_to_xyz(lat, lng), pt.latlng_rad_to_xyz(la, ln)
+                )
+                best = min(best, math.acos(max(-1.0, min(1.0, cosang))))
+        assert got <= best + 1e-9
+        assert got >= best - 0.08  # grid resolution bound
