@@ -179,6 +179,42 @@ class Rect:
         hi = np.array(pt.latlng_rad_to_xyz(self.lat.hi, rect_lng))[None, :]
         return float(ek.distance_from_segment(p, lo, hi)[0])
 
+    def centroid(self) -> tuple[float, float, float]:
+        """True centroid scaled by the rect's area (ref rect.rs:741-805):
+        z from the equal-area-slices argument, radial distance from
+        integrating sin(α)/α over the z-interval."""
+        if self.is_empty():
+            return (0.0, 0.0, 0.0)
+        z1 = math.sin(self.lat.lo)
+        z2 = math.sin(self.lat.hi)
+        r1 = math.cos(self.lat.lo)
+        r2 = math.cos(self.lat.hi)
+        alpha = 0.5 * self.lng.length()
+        r = math.sin(alpha) * (r2 * z2 - r1 * z1 + self.lat.length())
+        lng = self.lng.center()
+        z = alpha * (z2 + z1) * (z2 - z1)  # scaled by the area
+        return (r * math.cos(lng), r * math.sin(lng), z)
+
+    def boundary_intersects(self, v0: pt.Vec, v1: pt.Vec) -> bool:
+        """Whether geodesic edge v0v1 crosses the rect boundary
+        (ref rect.rs:216-240)."""
+        if self.is_empty():
+            return False
+        if not self.lng.is_full():
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.lo):
+                return True
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.hi):
+                return True
+        if self.lat.lo != -PI / 2 and _intersects_lat_edge(
+            v0, v1, self.lat.lo, self.lng
+        ):
+            return True
+        if self.lat.hi != PI / 2 and _intersects_lat_edge(
+            v0, v1, self.lat.hi, self.lng
+        ):
+            return True
+        return False
+
     # -- hausdorff (ref rect.rs:281-460) --------------------------------------
 
     def hausdorff_distance(self, other: "Rect") -> float:

@@ -251,3 +251,89 @@ def test_interior_covering_contained():
     _check_covering(cap, inner, interior=True)
     outer = rc.covering(cap)
     assert outer.contains_union(inner)
+
+
+# -- Rect boundary_intersects + centroid (ported from rect.rs:1194-1275,
+#    2373-2460) ---------------------------------------------------------------
+
+
+def _bi_pt(lat, lng):
+    import math as _m
+
+    from rust_s2_spark.geometry import point as _pt
+
+    return _pt.latlng_to_xyz(float(lat), float(lng))
+
+
+def test_boundary_intersects_cases():
+    from rust_s2_spark.geometry.rect import Rect
+
+    empty = Rect.empty()
+    assert not empty.boundary_intersects(_bi_pt(0, 0), _bi_pt(1, 1))
+    full = Rect.full()
+    assert not full.boundary_intersects(_bi_pt(0, 0), _bi_pt(1, 1))
+
+    lune = Rect.from_degrees(-90, 100, 90, 120)
+    assert not lune.boundary_intersects(_bi_pt(60, 60), _bi_pt(90, 60))
+    assert not lune.boundary_intersects(_bi_pt(-60, 110), _bi_pt(60, 110))
+    assert lune.boundary_intersects(_bi_pt(60, 95), _bi_pt(60, 110))
+    assert lune.boundary_intersects(_bi_pt(60, 115), _bi_pt(80, 125))
+
+    north = Rect.from_degrees(0, -180, 90, 180)
+    assert not north.boundary_intersects(_bi_pt(60, -180), _bi_pt(90, -180))
+    assert not north.boundary_intersects(_bi_pt(60, -170), _bi_pt(60, 170))
+    assert north.boundary_intersects(_bi_pt(-10, -180), _bi_pt(10, -180))
+
+    south = Rect.from_degrees(-90, -180, 0, 180)
+    assert not south.boundary_intersects(_bi_pt(-90, -180), _bi_pt(-60, -180))
+    assert not south.boundary_intersects(_bi_pt(-60, -170), _bi_pt(-60, 170))
+    assert south.boundary_intersects(_bi_pt(-10, -180), _bi_pt(10, -180))
+
+    wrap = Rect.from_degrees(20, 170, 40, -170)
+    assert wrap.boundary_intersects(_bi_pt(25, 160), _bi_pt(25, 180))
+    assert wrap.boundary_intersects(_bi_pt(25, -160), _bi_pt(25, -180))
+    assert wrap.boundary_intersects(_bi_pt(15, 175), _bi_pt(30, 175))
+    assert wrap.boundary_intersects(_bi_pt(45, 175), _bi_pt(30, 175))
+    assert not wrap.boundary_intersects(_bi_pt(25, -20), _bi_pt(25, 0))
+    assert not wrap.boundary_intersects(_bi_pt(25, 20), _bi_pt(25, 0))
+    assert not wrap.boundary_intersects(_bi_pt(15, -5), _bi_pt(30, -5))
+    assert not wrap.boundary_intersects(_bi_pt(45, -5), _bi_pt(30, -5))
+
+
+def test_rect_centroid_properties():
+    """ref rect.rs:2424-2460: z-component of full-lng rects; additivity
+    under splitting (centroid is area-scaled, so it sums)."""
+    import math
+
+    import numpy as np
+
+    from rust_s2_spark.geometry.intervals import PI, R1Interval, S1Interval
+    from rust_s2_spark.geometry.rect import Rect
+
+    rng = np.random.default_rng(31)
+    # full longitude range: z = (sin(lat1)+sin(lat2))/2 * area
+    for _ in range(50):
+        lat1, lat2 = sorted(rng.uniform(-math.pi / 2, math.pi / 2, size=2))
+        r = Rect(R1Interval(lat1, lat2), S1Interval.full())
+        c = r.centroid()
+        want = 0.5 * (math.sin(lat1) + math.sin(lat2)) * r.area()
+        assert c[2] == pytest.approx(want, abs=1e-14)
+    # additivity: split a rect in lat or lng, centroids sum
+    for _ in range(50):
+        lat1, lat2 = sorted(rng.uniform(-math.pi / 2, math.pi / 2, size=2))
+        lng1 = float(rng.uniform(-math.pi, math.pi))
+        width = float(rng.uniform(0.1, 3.0))
+        lng2 = math.atan2(math.sin(lng1 + width), math.cos(lng1 + width))
+        r = Rect(R1Interval(lat1, lat2), S1Interval.new(lng1, lng2))
+        if rng.uniform() < 0.5:
+            mid = float(rng.uniform(lat1, lat2))
+            c0 = Rect(R1Interval(lat1, mid), r.lng).centroid()
+            c1 = Rect(R1Interval(mid, lat2), r.lng).centroid()
+        else:
+            midw = float(rng.uniform(0, width))
+            lngm = math.atan2(math.sin(lng1 + midw), math.cos(lng1 + midw))
+            c0 = Rect(r.lat, S1Interval.new(lng1, lngm)).centroid()
+            c1 = Rect(r.lat, S1Interval.new(lngm, lng2)).centroid()
+        c = r.centroid()
+        for kk in range(3):
+            assert c[kk] == pytest.approx(c0[kk] + c1[kk], abs=1e-10), kk
