@@ -274,6 +274,23 @@ def bound_uv(ids: np.ndarray):
     return u_lo, u_hi, v_lo, v_hi
 
 
+def ij_level_to_bound_uv(i, j, level: int):
+    """(u_lo, u_hi, v_lo, v_hi) of the level-L cell containing leaf
+    (i, j) — ij may be out of [0, 2^30) and is truncated by the cell
+    grid like the reference (ref cellid.rs:947-964)."""
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    cell_size = size_ij(np.int64(level))
+    x_lo = i & (-cell_size)
+    y_lo = j & (-cell_size)
+    return (
+        st_to_uv(ij_to_stmin(x_lo)),
+        st_to_uv(ij_to_stmin(x_lo + cell_size)),
+        st_to_uv(ij_to_stmin(y_lo)),
+        st_to_uv(ij_to_stmin(y_lo + cell_size)),
+    )
+
+
 def _expand_endpoint(u, max_v, sin_dist):
     """ref cellid.rs:691-695."""
     sin_u_shift = sin_dist * np.sqrt((1.0 + u * u + max_v * max_v) / (1.0 + u * u))

@@ -298,3 +298,39 @@ def _angle(p1, p2):
         [np.cos(b[0]) * np.cos(b[1]), np.cos(b[0]) * np.sin(b[1]), np.sin(b[0])]
     )
     return float(np.arccos(np.clip(np.dot(x1, x2), -1, 1)))
+
+
+def test_ij_level_to_bound_uv_reference_cases():
+    """ref cellid.rs:1264-1343, verbatim literal cases (approx to the
+    reference's 1e-14 epsilon), including out-of-range ij truncation."""
+    from rust_s2_spark.kernels.cellid import ij_level_to_bound_uv
+
+    MAX_IJ = (1 << 30) - 1
+    cases = [
+        # (i, j, level, (u_lo, u_hi, v_lo, v_hi) from the two corner pts)
+        (-1, -1, 0, (-5.0, -1.0, -5.0, -1.0)),
+        (-MAX_IJ, -MAX_IJ, 0, (-5.0, -1.0, -5.0, -1.0)),
+        (-1, -1, 30, (-1.0000000024835267, -1.0, -1.0000000024835267, -1.0)),
+        (0, 0, 0, (-1.0, 1.0, -1.0, 1.0)),
+        (0, 0, 15, (-1.0, -0.999918621033430099, -1.0, -0.999918621033430099)),
+        (0, 0, 30, (-1.0, -0.999999997516473060, -1.0, -0.999999997516473060)),
+        (1, 1, 0, (-1.0, 1.0, -1.0, 1.0)),
+        (1, 1, 15, (-1.0, -0.999918621033430099, -1.0, -0.999918621033430099)),
+        (1, 1, 30, (-0.9999999975164731, -0.9999999950329462,
+                    -0.9999999975164731, -0.9999999950329462)),
+        (MAX_IJ // 2, MAX_IJ // 2, 0, (-1.0, 1.0, -1.0, 1.0)),
+        (MAX_IJ // 2, MAX_IJ // 2, 15,
+         (-0.000040691345930099, 0.0, -0.000040691345930099, 0.0)),
+        (MAX_IJ // 2, MAX_IJ // 2, 30,
+         (-0.000000001241763433, 0.0, -0.000000001241763433, 0.0)),
+        (MAX_IJ, MAX_IJ, 0, (-1.0, 1.0, -1.0, 1.0)),
+        (MAX_IJ, MAX_IJ, 15,
+         (0.999918621033430099, 1.0, 0.999918621033430099, 1.0)),
+        (MAX_IJ, MAX_IJ, 30,
+         (0.999999997516473060, 1.0, 0.999999997516473060, 1.0)),
+    ]
+    for i, j, level, want in cases:
+        u_lo, u_hi, v_lo, v_hi = ij_level_to_bound_uv(i, j, level)
+        got = (float(u_lo), float(u_hi), float(v_lo), float(v_hi))
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, abs=1e-14), (i, j, level, got, want)

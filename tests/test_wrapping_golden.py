@@ -75,3 +75,39 @@ def test_advance_golden():
     big = k.advance(leaf_begin, 6 * (1 << 60))
     end_leaf = k.child_end_at_level(face(5), 30)
     assert big[0] == end_leaf[0]
+
+
+def test_cellid_continuity():
+    """ref cellid.rs:1656-1685: sequentially increasing cell ids form a
+    continuous path on the sphere (vectorized: the whole level-8 walk at
+    once), raw centers land on the (s,t) half-grid, and advance_wrap(±1)
+    matches next_wrap/prev_wrap."""
+    import numpy as np
+
+    from rust_s2_spark.kernels import cellid as k
+    from rust_s2_spark.kernels import metric as metrics
+
+    level = 8
+    max_dist = metrics.MAX_WIDTH.value(level)
+    begin = int(k.child_begin_at_level(np.array([k.from_face(np.array([0], dtype=np.uint64))[0]], dtype=np.uint64), level)[0])
+    # all cells at the level, in Hilbert order
+    n_cells = 6 * (1 << (2 * level))
+    step = 1 << (2 * (30 - level) + 1)
+    ids = (np.uint64(begin) + np.arange(n_cells, dtype=np.uint64) * np.uint64(step)).astype(np.uint64)
+    x, y, z = k.cell_to_xyz(ids)
+    p = np.stack([x, y, z], axis=1)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    nxt = np.roll(p, -1, axis=0)
+    ang = np.arccos(np.clip(np.einsum("ij,ij->i", p, nxt), -1, 1))
+    assert float(ang.max()) < max_dist
+    # advance_wrap(1) == next_wrap, advance_wrap(-1) inverts it
+    nw = k.next_wrap(ids)
+    np.testing.assert_array_equal(k.advance_wrap(ids, np.int64(1)), nw)
+    np.testing.assert_array_equal(k.advance_wrap(nw, np.int64(-1)), ids)
+    # centers on the half-grid in (s, t)
+    f, u, v = k.xyz_to_face_uv(x, y, z)
+    cell_size = 1.0 / (1 << level)
+    for coord in (k.uv_to_st(u), k.uv_to_st(v)):
+        r = np.remainder(coord, 0.5 * cell_size)
+        r = np.minimum(r, 0.5 * cell_size - r)
+        assert float(np.abs(r).max()) < 1e-12
