@@ -70,3 +70,29 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     whitespace-collapsed text (portable rolling-hash stand-in)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """BPE-ish regex token counting (native SQL, oracle-portable):
+    tokens are letter runs, digit runs, or single non-space symbols —
+    the pre-tokenization shape BPE vocabularies split on. Emits the
+    token count, distinct-token count, and subword-budget estimate
+    (letters/4 heuristic for letter runs, 1 per symbol/digit-run)."""
+    # pattern passed as a lit (not an expr string) — Spark SQL string
+    # literals escape-process backslashes, silently dropping the \s
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+    letter_runs = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    subword_est = F.aggregate(
+        F.transform(
+            letter_runs, lambda t: (F.length(t) + F.lit(3)).cast("long") / F.lit(4)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) + (F.size(toks) - F.size(letter_runs)).cast("double")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(subword_est, 6).alias("subword_estimate"),
+    )

@@ -1637,6 +1637,44 @@ WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_PAIR_THRESHOLD!r}
 """.strip()
 
 
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting over documents; the oracle replays
+    the same regex + subword arithmetic in DuckDB (k/4 quarters are
+    exact binary, so the sums hash-match)."""
+    from ..operators.text import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_token_stats(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bpe_tokens",
+        "n_distinct_tokens",
+        "subword_estimate",
+    )
+
+
+def o_bpe_tokens() -> str:
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '{pattern}') AS l
+  FROM documents
+)
+SELECT doc_id,
+       len(l) AS n_bpe_tokens,
+       len(list_distinct(l)) AS n_distinct_tokens,
+       ROUND(
+         coalesce(list_sum(list_transform(
+             list_filter(l, t -> regexp_full_match(t, '[A-Za-z]+')),
+             t -> (len(t) + 3) / 4)), 0)
+         + (len(l) - len(list_filter(l, t -> regexp_full_match(t, '[A-Za-z]+')))),
+         6) AS subword_estimate
+FROM toks
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1680,6 +1718,7 @@ def queries():
         "multimodal_features": q_multimodal_features,
         "pip_polygon": q_pip_polygon,
         "cosine_near_dup": q_cosine_near_dup,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -1722,4 +1761,5 @@ def oracle_sql():
         "multimodal_features": o_multimodal_features(),
         "pip_polygon": o_pip_polygon(),
         "cosine_near_dup": o_cosine_near_dup(),
+        "bpe_tokens": o_bpe_tokens(),
     }
