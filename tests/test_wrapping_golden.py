@@ -111,3 +111,50 @@ def test_cellid_continuity():
         r = np.remainder(coord, 0.5 * cell_size)
         r = np.minimum(r, 0.5 * cell_size - r)
         assert float(np.abs(r).max()) < 1e-12
+
+
+def test_distance_from_begin_reference_cases():
+    """ref cellid.rs:1406-1440: curve positions at both level extremes
+    plus the decode round trip (begin + distance at the same level ==
+    the id itself)."""
+    import numpy as np
+
+    from rust_s2_spark.kernels import cellid as k
+
+    def one(cid):
+        return np.array([cid], dtype=np.uint64)
+
+    f5 = int(k.from_face(np.array([5], dtype=np.uint64))[0])
+    f0 = int(k.from_face(np.array([0], dtype=np.uint64))[0])
+    end0 = int(k.child_end_at_level(one(f5), 0)[0])
+    assert int(k.distance_from_begin(one(end0))[0]) == 6
+    end30 = int(k.child_end_at_level(one(f5), 30)[0])
+    assert int(k.distance_from_begin(one(end30))[0]) == 6 * (1 << 60)
+    begin0 = int(k.child_begin_at_level(one(f0), 0)[0])
+    assert int(k.distance_from_begin(one(begin0))[0]) == 0
+    begin30 = int(k.child_begin_at_level(one(f0), 30)[0])
+    assert int(k.distance_from_begin(one(begin30))[0]) == 0
+    # round trip: begin.advance(distance(id)) == id
+    cid = int(k.parent(k.cell_from_latlng(np.array([5.0]), np.array([-120.0])), 12)[0])
+    d = int(k.distance_from_begin(one(cid))[0])
+    begin12 = int(k.child_begin_at_level(one(f0), 12)[0])
+    assert int(k.advance(one(begin12), np.int64(d))[0]) == cid
+
+
+def test_cell_contains_point_consistent_with_encode():
+    """ref cell.rs test: for random points, the leaf cell from the point
+    (and its ancestors) contain the point."""
+    import numpy as np
+
+    from rust_s2_spark.geometry.cell import Cell
+    from rust_s2_spark.kernels import cellid as k
+
+    rng = np.random.default_rng(77)
+    v = rng.normal(size=(40, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    leaf = k.cell_from_xyz(v[:, 0], v[:, 1], v[:, 2])
+    for i in range(40):
+        p = tuple(v[i])
+        for lvl in (30, 20, 10, 4):
+            cid = int(k.parent(leaf[i : i + 1], lvl)[0])
+            assert Cell(cid).contains_point(p), (i, lvl)
