@@ -58,6 +58,50 @@ def _safe_chord2(level: int) -> float:
     return s * s
 
 
+# Above this many merged ranges the OR-of-BETWEEN predicate stops paying
+# (plan bloat beats row-group pruning); the broadcast equi-join still
+# filters correctly without it.
+_MAX_PUSHED_RANGES = 256
+
+
+def _merged_biased_ranges(cells: np.ndarray) -> list[tuple[int, int]]:
+    """Biased [lo, hi] leaf ranges of the candidate cells, with adjacent
+    /overlapping ranges coalesced (cells of one attempt share a level, so
+    ranges are disjoint but frequently adjacent along the Hilbert curve)."""
+    cells = np.unique(cells.astype(np.uint64))
+    lo = k.bias_u64(k.range_min(cells)).astype(np.int64)
+    hi = k.bias_u64(k.range_max(cells)).astype(np.int64)
+    order = np.argsort(lo)
+    merged: list[tuple[int, int]] = []
+    for l, h in zip(lo[order], hi[order]):
+        if merged and int(l) <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], int(h)))
+        else:
+            merged.append((int(l), int(h)))
+    return merged
+
+
+def _pushdown_candidate_ranges(
+    df: DataFrame, cand: list[np.ndarray], lvl: int, biased_col: str
+) -> DataFrame:
+    """Restrict the attempt's scan to the candidate rings' leaf ranges.
+
+    The OR-of-BETWEEN on the biased column is a top-level conjunct, so it
+    reaches the parquet scan (PushedFilters → row-group min/max pruning on
+    the Hilbert-sorted table). Semantics-preserving: every row that can
+    match the ring equi-join lies inside its candidate cell's leaf range.
+    """
+    if biased_col not in df.columns or lvl <= 0:
+        return df
+    ranges = _merged_biased_ranges(np.concatenate(cand))
+    if len(ranges) > _MAX_PUSHED_RANGES:
+        return df
+    pred = F.lit(False)
+    for lo, hi in ranges:
+        pred = pred | F.col(biased_col).between(F.lit(lo), F.lit(hi))
+    return df.where(pred)
+
+
 def knn_join(
     spark: SparkSession,
     df: DataFrame,
@@ -68,9 +112,27 @@ def knn_join(
     lng_col: str = "lng",
     id_col: str = "image_id",
     max_widen: int = 12,
+    biased_col: str = "cell_id_biased",
 ) -> DataFrame:
     """(query_id, rank, image_id, dist_chord2) of the exact k nearest
-    rows per query point. Deterministic tie-break on id."""
+    rows per query point. Deterministic tie-break on id.
+
+    When ``biased_col`` exists on ``df``, each widening attempt pushes the
+    candidate rings' merged leaf ranges as an OR-of-BETWEEN top-level
+    conjunct, so the attempt reads only matching row groups of the
+    Hilbert-sorted table (PushedFilters) instead of rescanning it.
+
+    The returned DataFrame is eagerly materialized (localCheckpoint) —
+    at most ``len(query_points) * kk`` rows — so no intermediate caches
+    stay pinned in executor memory after the call returns.
+    """
+    if not query_points:
+        return df.select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.col(id_col),
+            F.lit(0.0).alias("dist_chord2"),
+        ).limit(0)
     qids = np.array([q[0] for q in query_points], dtype=np.int64)
     qlat = np.array([q[1] for q in query_points], dtype=np.float64)
     qlng = np.array([q[2] for q in query_points], dtype=np.float64)
@@ -85,6 +147,7 @@ def knn_join(
     # are resolved, and keeps the resolved slice as a persisted DataFrame.
     # The returned result is the lazy union of those slices.
     resolved: DataFrame | None = None
+    persisted: list[DataFrame] = []
     pending = np.arange(len(qids))
     attempt = 0
     while len(pending) > 0:
@@ -99,7 +162,8 @@ def knn_join(
         )
         qx, qy, qz = xyz_cols("qlat", "qlng")
         px, py, pz = xyz_cols(lat_col, lng_col)
-        j = df.withColumn("__pcell", s2_parent("cell_id", lvl)).join(
+        src = _pushdown_candidate_ranges(df, cand, lvl, biased_col)
+        j = src.withColumn("__pcell", s2_parent("cell_id", lvl)).join(
             F.broadcast(cand_df), F.col("__pcell") == F.col("cand_cell"), "inner"
         )
         scored = j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
@@ -112,6 +176,7 @@ def knn_join(
             .select("query_id", "rank", id_col, "dist_chord2")
             .persist()
         )
+        persisted.append(ranked)
         # a query is final when it found k results AND the k-th distance
         # is inside the ring's guaranteed coverage radius
         safe = _safe_chord2(lvl)
@@ -136,9 +201,12 @@ def knn_join(
         pending = pending[[int(q) not in done_ids for q in qids[pending]]]
         attempt += 1
     assert resolved is not None
-    return resolved.select(
+    out = resolved.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         id_col,
         "dist_chord2",
-    )
+    ).localCheckpoint(eager=True)  # ≤ |queries|·k rows, frees the caches below
+    for p in persisted:
+        p.unpersist()
+    return out

@@ -144,6 +144,7 @@ def cosine_near_dup_pairs(
     seed: int = 11,
     max_bucket: int | None = 10_000,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine >= threshold).
 
@@ -169,7 +170,17 @@ def cosine_near_dup_pairs(
         )
 
     rng = np.random.default_rng(seed)
-    dim = len(d.first()["v"])
+    if dim is None:
+        # Fallback only: costs an extra Spark job and fails on empty input —
+        # callers that know the embedding width should pass ``dim``.
+        first = d.first()
+        if first is None:
+            return d.select(
+                F.col("id").alias("a"),
+                F.col("id").alias("b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        dim = len(first["v"])
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
     def bucket_expr(col, table: int):

@@ -817,7 +817,9 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_rollup availableNow query did not finish in 300s")
     return spark.sql(
         f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS ws, face, n FROM {name}"
     )
@@ -854,7 +856,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{tmp}/ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup availableNow query did not finish in 300s")
     return spark.sql(
         f"SELECT key, date_format(first_ts, 'yyyy-MM-dd HH:mm:ss') AS first_ts, "
         f"n_dups_in_batch AS n FROM {name}"

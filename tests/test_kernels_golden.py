@@ -266,6 +266,24 @@ def test_metric_golden():
     assert m.AVG_AREA.value(0) == 4 * math.pi / 6
 
 
+def test_metric_min_level_dim2_semantics():
+    """Pin the intentional divergence from the reference for dim-2 metrics
+    (kernels/metric.py min_level): we keep the C++/Go `-(ilogb(x) >> 1)`,
+    the reference (metric.rs:131) has `(-ilogb(x)) >> 1` — they differ by
+    one level exactly when ilogb(val/deriv) is an odd negative number.
+    Contract check: min_level(v) is the SMALLEST level whose metric value
+    is <= v (Go MinLevel doc), which only the C++/Go form satisfies here.
+    """
+    for metric in (m.MIN_AREA, m.AVG_AREA, m.MAX_AREA):
+        for e in (-1, -3, -5, -7, -29):  # odd negative ilogb → forms differ
+            val = math.ldexp(metric.deriv, e) * 1.5  # ilogb(val/deriv) == e
+            lvl = metric.min_level(val)
+            assert lvl == -(e >> 1)  # C++/Go semantics
+            assert lvl != (-e) >> 1  # reference's precedence-slip form
+            assert metric.value(lvl) <= val  # the Go MinLevel contract...
+            assert metric.value(lvl - 1) > val  # ...and lvl is minimal
+
+
 def test_stuv_roundtrip_exact():
     # reference src/s2/stuv.rs:253-256
     assert k.st_to_uv(k.uv_to_st(np.array([0.125])))[0] == 0.125

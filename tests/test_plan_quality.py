@@ -128,6 +128,33 @@ def test_near_polyline_pushes_ranges(stored):
     assert "PushedFilters: []" not in scan, scan
 
 
+def test_knn_attempt_pushes_candidate_ranges(stored):
+    """Each kNN widening attempt must push its candidate rings' merged
+    leaf ranges to the scan — never rescan the full table per attempt."""
+    from rust_s2_spark.kernels import metric as metrics
+    from rust_s2_spark.operators.knn import (
+        _candidate_cells,
+        _merged_biased_ranges,
+        _pushdown_candidate_ranges,
+    )
+
+    lat = np.array([40.7128]); lng = np.array([-74.0060])
+    lvl = metrics.MIN_WIDTH.max_level(np.radians(2.0))
+    cand = _candidate_cells(lat, lng, lvl)
+    src = _pushdown_candidate_ranges(stored, cand, lvl, "cell_id_biased")
+    plan = _plan(src)
+    scan = plan[plan.find("PushedFilters") :][:200]
+    assert "PushedFilters: []" not in scan, scan
+    assert "Or(" in scan or "GreaterThan" in scan, scan
+    # ranges are merged: a 3x3 same-level ring yields far fewer than 9
+    # BETWEEN terms when cells are Hilbert-adjacent
+    ranges = _merged_biased_ranges(np.concatenate(cand))
+    assert 1 <= len(ranges) <= len(np.concatenate(cand))
+    # level 0 / missing column → no-op, never a wrong filter
+    assert _pushdown_candidate_ranges(stored, cand, 0, "cell_id_biased") is stored
+    assert _pushdown_candidate_ranges(stored, cand, lvl, "nope") is stored
+
+
 def test_minhash_bucket_cap_adds_no_python(stored, spark):
     from rust_s2_spark.operators.dedup import minhash_lsh_pairs
 
