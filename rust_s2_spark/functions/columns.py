@@ -112,6 +112,35 @@ def s2_child_position(cell_id, level: int) -> Column:
     return F.shiftrightunsigned(c, 2 * (30 - level) + 1).bitwiseAND(F.lit(3)).cast("int")
 
 
+# E5/E6/E7 integer angle encodings (ref s1/angle.rs:316-351 convert_i32!):
+# forward = round(value / MUL) with ties away from zero — Spark ROUND is
+# HALF_UP, identical to Rust f64::round over the angle domain (|deg·1e7|
+# < 2^51, where every .5 tie is exactly representable); backward =
+# int * MUL (multiplication, matching the reference bit-for-bit).
+_E_DEG_MUL = {5: 1.0 / 1e5, 6: 1.0 / 1e6, 7: 1.0 / 1e7}
+_E_RAD_MUL = {k: 3.141592653589793 / 180.0 * m for k, m in _E_DEG_MUL.items()}
+
+
+def s2_deg_to_e(deg, k: int) -> Column:
+    """Degrees → E{k} int32, native SQL (codegen, no Python)."""
+    return F.round(_as_col(deg) / F.lit(_E_DEG_MUL[k]), 0).cast("int")
+
+
+def s2_e_to_deg(e, k: int) -> Column:
+    """E{k} int → degrees (e * 10^-k, exactly the reference's expression)."""
+    return _as_col(e).cast("double") * F.lit(_E_DEG_MUL[k])
+
+
+def s2_rad_to_e(rad, k: int) -> Column:
+    """Radians → E{k} int32 (Angle-based conversion path)."""
+    return F.round(_as_col(rad) / F.lit(_E_RAD_MUL[k]), 0).cast("int")
+
+
+def s2_e_to_rad(e, k: int) -> Column:
+    """E{k} int → radians (e * pi/180/10^k)."""
+    return _as_col(e).cast("double") * F.lit(_E_RAD_MUL[k])
+
+
 def chord2_expr(x1, y1, z1, x2, y2, z2) -> Column:
     """Squared chord distance between unit vectors — the kNN distance
     column; pure SQL arithmetic (ref point.rs:378-381)."""

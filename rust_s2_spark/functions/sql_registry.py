@@ -70,6 +70,14 @@ _SQL_FUNCS = {
         "(id BIGINT, level INT) RETURNS INT",
         "CAST(shiftrightunsigned(id, 2 * (30 - level) + 1) & 3L AS INT)",
     ),
+    # E5/E6/E7 integer angle encodings (ref s1/angle.rs:316-351); see
+    # functions/columns.py for the ties-away / multiplication rationale
+    "s2_e5": ("(deg DOUBLE) RETURNS INT", f"CAST(round(deg / {1.0 / 1e5!r}, 0) AS INT)"),
+    "s2_e6": ("(deg DOUBLE) RETURNS INT", f"CAST(round(deg / {1.0 / 1e6!r}, 0) AS INT)"),
+    "s2_e7": ("(deg DOUBLE) RETURNS INT", f"CAST(round(deg / {1.0 / 1e7!r}, 0) AS INT)"),
+    "s2_e5_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e5!r}"),
+    "s2_e6_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e6!r}"),
+    "s2_e7_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e7!r}"),
 }
 
 

@@ -1679,6 +1679,48 @@ FROM toks
 """.strip()
 
 
+def q_angle_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6/E7 integer angle encodings at 15k rows (native SQL
+    round/cast, ref s1/angle.rs:316-351 convert_i32!): encode lat/lng,
+    and re-encode the decoded degrees — exact integer equality."""
+    from ..functions import s2_deg_to_e, s2_e_to_deg
+
+    img = _images(spark, sf_dir)
+    return img.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        s2_deg_to_e("lat", 5).alias("lat_e5"),
+        s2_deg_to_e("lat", 6).alias("lat_e6"),
+        s2_deg_to_e("lat", 7).alias("lat_e7"),
+        s2_deg_to_e("lng", 5).alias("lng_e5"),
+        s2_deg_to_e("lng", 7).alias("lng_e7"),
+        s2_deg_to_e(s2_e_to_deg(s2_deg_to_e("lat", 7), 7), 7).alias("lat_e7_rt"),
+        s2_deg_to_e(s2_e_to_deg(s2_deg_to_e("lng", 7), 7), 7).alias("lng_e7_rt"),
+    )
+
+
+def o_angle_encodings() -> str:
+    m5, m6, m7 = 1.0 / 1e5, 1.0 / 1e6, 1.0 / 1e7
+
+    def enc(col: str, mul: float) -> str:
+        return f"CAST(round({col} / {mul!r}, 0) AS INTEGER)"
+
+    def rt(col: str, mul: float) -> str:
+        return enc(f"(CAST({enc(col, mul)} AS DOUBLE) * {mul!r})", mul)
+
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       {enc('lat', m5)} AS lat_e5,
+       {enc('lat', m6)} AS lat_e6,
+       {enc('lat', m7)} AS lat_e7,
+       {enc('lng', m5)} AS lng_e5,
+       {enc('lng', m7)} AS lng_e7,
+       {rt('lat', m7)} AS lat_e7_rt,
+       {rt('lng', m7)} AS lng_e7_rt
+FROM img
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1723,6 +1765,7 @@ def queries():
         "pip_polygon": q_pip_polygon,
         "cosine_near_dup": q_cosine_near_dup,
         "bpe_tokens": q_bpe_tokens,
+        "angle_encodings": q_angle_encodings,
     }
 
 
@@ -1766,4 +1809,5 @@ def oracle_sql():
         "pip_polygon": o_pip_polygon(),
         "cosine_near_dup": o_cosine_near_dup(),
         "bpe_tokens": o_bpe_tokens(),
+        "angle_encodings": o_angle_encodings(),
     }

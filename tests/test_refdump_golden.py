@@ -363,3 +363,28 @@ def test_distance_to_latlng_exact_vs_dense_boundary():
                 best = min(best, math.acos(max(-1.0, min(1.0, cosang))))
         assert got <= best + 1e-9
         assert got >= best - 0.08  # grid resolution bound
+
+
+def test_angle_encodings_match_reference():
+    """E5/E6/E7 integer encodings bit-exact vs the reference dump
+    (s1/angle.rs convert_i32!): forward ints exactly equal, backward
+    degree/radian doubles bit-for-bit (pure * / by the same constants)."""
+    from rust_s2_spark.kernels import angle as ak
+
+    recs = list(_records("angle_encoding"))
+    assert len(recs) >= 30
+    degs = np.array([float(d["deg"]) for d in recs])
+    for kk in (5, 6, 7):
+        got = ak.deg_to_e(degs, kk)
+        want = np.array([int(d[f"e{kk}"]) for d in recs], dtype=np.int32)
+        assert (got == want).all(), kk
+        back = ak.e_to_deg(want, kk)
+        want_back = np.array([float(d[f"deg_from_e{kk}"]) for d in recs])
+        assert (back == want_back).all(), kk  # bit-for-bit
+    rad = ak.e_to_rad(np.array([int(d["e7"]) for d in recs], dtype=np.int32), 7)
+    want_rad = np.array([float(d["rad_from_e7"]) for d in recs])
+    assert (rad == want_rad).all()
+    # ties away from zero, not numpy's half-even
+    assert ak.deg_to_e(np.array([0.000005]), 5)[0] == 1
+    assert ak.deg_to_e(np.array([-0.000005]), 5)[0] == -1
+    assert ak.deg_to_e(np.array([0.000015]), 5)[0] == 2

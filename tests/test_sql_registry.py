@@ -87,3 +87,35 @@ def test_sql_latlng_encode_matches_column(spark, ids):
         """
     ).collect()[0]["n"]
     assert n == 0
+
+
+def test_angle_encoding_sql_equals_column_and_kernel(spark, ids):
+    """s2_e5/e6/e7 SQL == Column API == numpy kernel (ties-away), and the
+    int round-trip re-encodes to itself exactly."""
+    import numpy as np
+
+    from rust_s2_spark.functions import s2_deg_to_e, s2_e_to_deg
+    from rust_s2_spark.kernels import angle as ak
+
+    col_side = ids.select(
+        "lat",
+        s2_deg_to_e("lat", 5).alias("e5"),
+        s2_deg_to_e("lat", 6).alias("e6"),
+        s2_deg_to_e("lat", 7).alias("e7"),
+        s2_deg_to_e(s2_e_to_deg(s2_deg_to_e("lat", 7), 7), 7).alias("e7_rt"),
+    ).toPandas()
+    sql_side = spark.sql(
+        """
+        SELECT lat, s2_e5(lat) AS e5, s2_e6(lat) AS e6, s2_e7(lat) AS e7,
+               s2_e7(s2_e7_deg(s2_e7(lat))) AS e7_rt
+        FROM sqlreg_ids
+        """
+    ).toPandas()
+    col_side = col_side.sort_values("lat").reset_index(drop=True)
+    sql_side = sql_side.sort_values("lat").reset_index(drop=True)
+    for c in ("e5", "e6", "e7", "e7_rt"):
+        assert (col_side[c].to_numpy() == sql_side[c].to_numpy()).all(), c
+    lat = col_side["lat"].to_numpy(np.float64)
+    for kk in (5, 6, 7):
+        assert (ak.deg_to_e(lat, kk) == col_side[f"e{kk}"].to_numpy()).all(), kk
+    assert (col_side["e7"].to_numpy() == col_side["e7_rt"].to_numpy()).all()

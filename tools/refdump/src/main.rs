@@ -553,6 +553,35 @@ fn dump_extra_region_coverings() {
     }
 }
 
+fn dump_angle_encodings() {
+    // reference semantics: s1/angle.rs convert_i32! macro —
+    // E{k} = round(deg * 1e{k}) as i32 (f64::round = half away from zero);
+    // back: Deg = e / 1e{k}, Angle(rad) = e * (PI/180/1e{k}).
+    use s2::s1::angle::{E5, E6, E7};
+    let degs: Vec<f64> = vec![
+        0.0, -0.0, 1.0, -1.0, 180.0, -180.0, 90.0, -90.0,
+        47.3, 8.5, 40.7128, -74.0060, -33.8688, 151.2093,
+        1e-9, -1e-9, 1e-5, -1e-5, 0.000005, -0.000005, 0.000015, -0.000015,
+        0.0000005, -0.0000005, 0.00000005, -0.00000005,
+        12.3456789, -12.3456789, 89.99999995, -89.99999995,
+        179.99999999, -179.99999999, 0.1, 0.2, 0.3, 1.0 / 3.0, 2.0 / 3.0,
+    ];
+    for (i, d) in degs.iter().enumerate() {
+        let deg = Deg(*d);
+        let e5 = E5::from(deg.clone());
+        let e6 = E6::from(deg.clone());
+        let e7 = E7::from(deg.clone());
+        let back5 = Deg::from(e5.clone());
+        let back6 = Deg::from(e6.clone());
+        let back7 = Deg::from(e7.clone());
+        let rad7: Angle = e7.clone().into();
+        println!(
+            "{{\"kind\":\"angle_encoding\",\"case\":{},\"deg\":{},\"e5\":{},\"e6\":{},\"e7\":{},\"deg_from_e5\":{},\"deg_from_e6\":{},\"deg_from_e7\":{},\"rad_from_e7\":{}}}",
+            i, f(*d), e5.0, e6.0, e7.0, f(back5.0), f(back6.0), f(back7.0), f(rad7.rad())
+        );
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
@@ -568,4 +597,5 @@ fn main() {
     dump_rect_bounder();
     dump_expanded_by_distance_uv();
     dump_edge_distances();
+    dump_angle_encodings();
 }
