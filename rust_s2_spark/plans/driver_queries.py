@@ -1679,6 +1679,60 @@ FROM toks
 """.strip()
 
 
+def _many_region_caps(n: int = 1000):
+    """Deterministic cap fleet for the many-region containment join."""
+    from ..geometry import Cap
+
+    caps, ids = [], []
+    for i in range(n):
+        lat = (i * 2654435761 % 4294967296) / 4294967296 * 140 - 70
+        lng = (i * 40503 % 4294967296) / 4294967296 * 360 - 180
+        caps.append(Cap.from_latlng_degrees(lat, lng, 0.3 + (i % 17) * 0.1))
+        ids.append(i)
+    return caps, ids
+
+
+def q_region_join_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1,000-region containment join via the ancestor-expansion EQUI-join
+    (operators/covering_join.region_join_ancestors; semantics = reference
+    range containment cellid.rs:393-410). The fact table explodes into
+    ancestors at the coverings' level histogram (native bit arithmetic)
+    and hash-joins on the ancestor key — no BroadcastNestedLoopJoin.
+    Aggregates per region; exact cap membership is a native chord² filter
+    carried as columns of the covering table."""
+    from ..operators.covering_join import region_join_ancestors
+
+    caps, ids = _many_region_caps()
+    img = _images(spark, sf_dir)
+    joined = region_join_ancestors(spark, img, caps, ids)
+    return joined.groupBy("region_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("phash") % F.lit(1000003)).cast("long").alias("sum_phash_mod"),
+    )
+
+
+def o_region_join_1k() -> str:
+    caps, ids = _many_region_caps()
+    vals = ",".join(
+        f"({rid}, {c.center[0]!r}, {c.center[1]!r}, {c.center[2]!r}, {c.radius2!r})"
+        for rid, c in zip(ids, caps)
+    )
+    d2 = (
+        "(pow(cos(radians(img.lng))*cos(radians(img.lat)) - r.cx, 2)"
+        " + pow(sin(radians(img.lng))*cos(radians(img.lat)) - r.cy, 2)"
+        " + pow(sin(radians(img.lat)) - r.cz, 2))"
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+regions(region_id, cx, cy, cz, r2) AS (VALUES {vals})
+SELECT r.region_id, count(*) AS n,
+       CAST(sum(img.phash % 1000003) AS BIGINT) AS sum_phash_mod
+FROM img, regions r
+WHERE {d2} <= r.r2
+GROUP BY 1
+""".strip()
+
+
 def q_angle_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E6/E7 integer angle encodings at 15k rows (native SQL
     round/cast, ref s1/angle.rs:316-351 convert_i32!): encode lat/lng,
@@ -1766,6 +1820,7 @@ def queries():
         "cosine_near_dup": q_cosine_near_dup,
         "bpe_tokens": q_bpe_tokens,
         "angle_encodings": q_angle_encodings,
+        "region_join_1k": q_region_join_1k,
     }
 
 
@@ -1810,4 +1865,5 @@ def oracle_sql():
         "cosine_near_dup": o_cosine_near_dup(),
         "bpe_tokens": o_bpe_tokens(),
         "angle_encodings": o_angle_encodings(),
+        "region_join_1k": o_region_join_1k(),
     }

@@ -128,6 +128,59 @@ def test_near_polyline_pushes_ranges(stored):
     assert "PushedFilters: []" not in scan, scan
 
 
+def _many_caps(n: int):
+    caps, ids = [], []
+    for i in range(n):
+        lat = (i * 2654435761 % 4294967296) / 4294967296 * 140 - 70
+        lng = (i * 40503 % 4294967296) / 4294967296 * 360 - 180
+        caps.append(Cap.from_latlng_degrees(lat, lng, 0.3 + (i % 17) * 0.1))
+        ids.append(i)
+    return caps, ids
+
+
+def test_region_join_ancestors_is_equi_join(stored, spark):
+    """Many-region containment must be a hash/sort-merge EQUI-join on the
+    ancestor key — never a BroadcastNestedLoopJoin (which tests every fact
+    row against every region's ranges)."""
+    from rust_s2_spark.operators.covering_join import region_join_ancestors
+
+    caps, ids = _many_caps(40)
+    out = region_join_ancestors(spark, stored, caps, ids)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, "ancestor join degenerated"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # ancestor explode is native (Generate over bit arithmetic), no Python
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_region_join_ancestors_matches_range_join(stored, spark):
+    """The equi-join form must produce row-for-row the same result as the
+    broadcast range-join form (same exact post-filter semantics)."""
+    from rust_s2_spark.operators.covering_join import (
+        region_join,
+        region_join_ancestors,
+    )
+
+    caps, ids = _many_caps(60)
+    cols = ["region_id", "image_id"]
+    a = {
+        tuple(r) for r in region_join(spark, stored, caps, ids)
+        .select(*cols).collect()
+    }
+    b = {
+        tuple(r) for r in region_join_ancestors(spark, stored, caps, ids)
+        .select(*cols).collect()
+    }
+    c = {
+        tuple(r)
+        for r in region_join_ancestors(spark, stored, caps, ids, fast=False)
+        .select(*cols).collect()
+    }
+    assert len(a) > 0, "test caps matched nothing — widen them"
+    assert a == b
+    assert a == c
+
+
 def test_knn_attempt_pushes_candidate_ranges(stored):
     """Each kNN widening attempt must push its candidate rings' merged
     leaf ranges to the scan — never rescan the full table per attempt."""
