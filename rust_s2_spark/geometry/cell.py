@@ -99,16 +99,22 @@ class Cell:
     __slots__ = ("id", "face", "level", "orientation", "u_lo", "u_hi", "v_lo", "v_hi", "__dict__")
 
     def __init__(self, cell_id: int):
-        self.id = int(cell_id)
-        arr = np.array([self.id], dtype=np.uint64)
-        f, i, j, o = k.to_face_ij_orientation(arr)
-        lvl = int(k.level(arr)[0])
-        self.face = int(f[0])
+        # pure-int fast path: the coverer constructs tens of thousands of
+        # Cells per deep covering; numpy per-call overhead here used to
+        # dominate the whole coverer (~150µs/cell vs ~6µs now)
+        cid = int(cell_id)
+        self.id = cid
+        f, i, j, o = k._to_face_ij_orientation_scalar(cid)
+        low = cid & -cid
+        lvl = 30 - ((low.bit_length() - 1) >> 1)
+        self.face = int(f)
         self.level = lvl
-        self.orientation = int(o[0])
+        self.orientation = int(o)
         size = 1 << (30 - lvl)
-        x_lo = int(i[0]) & -size
-        y_lo = int(j[0]) & -size
+        self._i = int(i)
+        self._j = int(j)
+        x_lo = int(i) & -size
+        y_lo = int(j) & -size
         self.u_lo = _st_to_uv(x_lo / float(1 << 30))
         self.u_hi = _st_to_uv((x_lo + size) / float(1 << 30))
         self.v_lo = _st_to_uv(y_lo / float(1 << 30))
@@ -145,8 +151,19 @@ class Cell:
 
     @cached_property
     def center(self) -> pt.Vec:
-        x, y, z = k.cell_to_xyz(np.array([self.id], dtype=np.uint64))
-        return pt.normalize((float(x[0]), float(y[0]), float(z[0])))
+        # scalar mirror of kernels.cellid.cell_to_xyz (face_siti delta rule,
+        # cellid.rs:413-433) — same IEEE ops, no numpy per-call overhead
+        cid = self.id
+        if cid & 1:
+            delta = 1
+        elif (self._i ^ (cid >> 2)) & 1:
+            delta = 2
+        else:
+            delta = 0
+        max_siti = float(2 << 30)
+        u = _st_to_uv((2 * self._i + delta) / max_siti)
+        v = _st_to_uv((2 * self._j + delta) / max_siti)
+        return pt.normalize(_face_uv_to_xyz(self.face, u, v))
 
     def contains_point(self, p: pt.Vec) -> bool:
         uv = _face_xyz_to_uv(self.face, p)
@@ -221,14 +238,16 @@ class Cell:
         return self.cap_bound().cell_union_bound()
 
     def contains_cell(self, other: "Cell") -> bool:
-        a = np.array([self.id], dtype=np.uint64)
-        b = np.array([other.id], dtype=np.uint64)
-        return bool(k.contains(a, b)[0])
+        w = (self.id & -self.id) - 1
+        return self.id - w <= other.id <= self.id + w
 
     def intersects_cell(self, other: "Cell") -> bool:
-        a = np.array([self.id], dtype=np.uint64)
-        b = np.array([other.id], dtype=np.uint64)
-        return bool(k.intersects(a, b)[0])
+        wa = (self.id & -self.id) - 1
+        wb = (other.id & -other.id) - 1
+        return other.id - wb <= self.id + wa and other.id + wb >= self.id - wa
 
     def children_ids(self) -> list[int]:
-        return [int(c) for c in k.children(np.array([self.id], dtype=np.uint64))[0]]
+        b = self.id & -self.id
+        c0 = self.id - b + (b >> 2)
+        half = b >> 1
+        return [c0, c0 + half, c0 + 2 * half, c0 + 3 * half]

@@ -705,6 +705,113 @@ def vertex_neighbors(ids: np.ndarray, lvl) -> list[np.ndarray]:
     return out
 
 
+def _vertex_neighbors_padded(ids: np.ndarray, lvl: int):
+    """(n,4) uint64 + per-row count (3 or 4): vertex_neighbors without the
+    per-row list assembly (missing 4th slot = sentinel 2^64-1)."""
+    lvl = int(lvl)
+    half = size_ij(lvl + 1)
+    size = half << I(1)
+    f, i, j, _ = to_face_ij_orientation(ids)
+    i_hi = (i & half) != 0
+    isame = np.where(i_hi, i + size < MAX_SIZE, i - size >= 0)
+    ioffset = np.where(i_hi, size, -size)
+    j_hi = (j & half) != 0
+    jsame = np.where(j_hi, j + size < MAX_SIZE, j - size >= 0)
+    joffset = np.where(j_hi, size, -size)
+    n0 = parent(from_face_ij(f, i, j), lvl)
+    n1 = parent(from_face_ij_same(f, i + ioffset, j, isame), lvl)
+    n2 = parent(from_face_ij_same(f, i, j + joffset, jsame), lvl)
+    n3 = parent(from_face_ij_same(f, i + ioffset, j + joffset, isame & jsame), lvl)
+    keep3 = isame | jsame
+    pad = np.full((len(ids), 4), SENTINEL, dtype=np.uint64)
+    pad[:, 0], pad[:, 1], pad[:, 2] = n0, n1, n2
+    pad[keep3, 3] = n3[keep3]
+    return pad, np.where(keep3, 4, 3).astype(np.int64)
+
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def cap_fast_covering(lat_deg, lng_deg, radius_deg):
+    """Batched fast_covering of per-row caps (SURVEY.md §2.5 #41) at
+    RegionCoverer defaults (min_level=0, max_level=30, level_mod=1,
+    max_cells>=4) — the per-row image-footprint covering path, fully
+    vectorized (no Python per row).
+
+    Bit-parity contract: per row this equals
+    ``RegionCoverer().fast_covering(Cap.from_latlng_degrees(...)).ids``
+    (cap.rs:341-356 cell_union_bound + region.rs:504-549 normalize;
+    pinned by tests/test_functions_extra.py against the scalar path,
+    which itself matches tests/golden/refdump.jsonl cell-for-cell).
+
+    Returns (padded (n,6) uint64 with SENTINEL fill, counts (n,)).
+    Rows are sorted unsigned, deduped, 4-sibling-collapsed — i.e. each
+    row is a normalized CellUnion.
+    """
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lng = np.asarray(lng_deg, dtype=np.float64)
+    rad = np.radians(np.asarray(radius_deg, dtype=np.float64))
+    # Cap.from_latlng_degrees stores chord², cell_union_bound re-derives
+    # the angle — replicate the round trip so ilogb sees the same double.
+    s = 2.0 * np.sin(0.5 * np.minimum(np.maximum(rad, 0.0), math.pi))
+    c2 = s * s
+    rr = np.where(rad < 0.0, -1.0, 2.0 * np.arcsin(0.5 * np.sqrt(c2)))
+    # MIN_WIDTH.max_level (dim=1): ilogb(deriv/val), clamped; val<=0 -> 30
+    deriv = 2.0 * math.sqrt(2.0) / 3.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = deriv / rr
+    _, e = np.frexp(q)
+    lvl = np.where(rr <= 0.0, 30, np.clip(e - 1, 0, 30)).astype(np.int64)
+
+    n = len(lat)
+    out = np.full((n, 6), SENTINEL, dtype=np.uint64)
+    counts = np.zeros(n, dtype=np.int64)
+    face_rows = lvl == 0
+    if face_rows.any():
+        faces = from_face(np.arange(6))
+        out[face_rows, :] = faces[None, :]
+        counts[face_rows] = 6
+    rest = ~face_rows
+    if rest.any():
+        ids = cell_from_xyz(*latlng_to_xyz(lat[rest], lng[rest]))
+        sub_lvl = lvl[rest]
+        sub_out = np.full((len(ids), 4), SENTINEL, dtype=np.uint64)
+        sub_cnt = np.zeros(len(ids), dtype=np.int64)
+        for L in np.unique(sub_lvl):
+            m = sub_lvl == L
+            pad, cnt = _vertex_neighbors_padded(ids[m], int(L) - 1)
+            sub_out[m] = pad
+            sub_cnt[m] = cnt
+        # normalize each row: sort unsigned (sentinel sorts last), dedup,
+        # collapse 4 distinct siblings into the parent
+        sub_out.sort(axis=1)
+        dup = np.zeros_like(sub_out, dtype=bool)
+        dup[:, 1:] = sub_out[:, 1:] == sub_out[:, :-1]
+        if dup.any():
+            sub_out[dup] = SENTINEL
+            sub_cnt = sub_cnt - dup.sum(axis=1)
+            sub_out.sort(axis=1)
+        # faces (neighbor level 0, i.e. seed level 1) never collapse —
+        # CellUnion.normalize's is_face guard
+        four = (sub_cnt == 4) & (sub_lvl >= 2)
+        if four.any():
+            p = immediate_parent(sub_out[four])
+            collapse = (
+                (p[:, 0] == p[:, 1]) & (p[:, 1] == p[:, 2]) & (p[:, 2] == p[:, 3])
+            )
+            # (cells at level >= 1 here, so the parent always exists;
+            # 4 distinct same-parent cells are exactly the 4 children)
+            rows4 = np.flatnonzero(four)[collapse]
+            if len(rows4):
+                parent_ids = p[collapse, 0]
+                sub_out[rows4, :] = SENTINEL
+                sub_out[rows4, 0] = parent_ids
+                sub_cnt[rows4] = 1
+        out[rest, :4] = sub_out
+        counts[rest] = sub_cnt
+    return out, counts
+
+
 def all_neighbors(ids: np.ndarray, lvl) -> list[np.ndarray]:
     """Per-row array of all neighbors (including diagonal) at lvl >= level."""
     lvl = int(lvl)

@@ -924,16 +924,12 @@ def _golden_records(kind: str) -> list[dict]:
     return out
 
 
-# covering cases cheap enough for the per-round driver gate (the full 459
-# are pytest-gated; deep max_level-30 interiors are minutes-slow in Python)
+# ALL 153 dumped cases — including max_level-30 deep interiors and
+# min_level-7 hemisphere coverings (~50k cells each). Round 3 made the
+# coverer scalar-int/vectorized (Cell pure-int ctor, scalar center,
+# vectorized denormalize), so the full triple run takes ~12s, not minutes.
 def _covering_gate_cases() -> list[dict]:
-    out = []
-    for d in _golden_records("covering"):
-        if d["max_cells"] == 8 and d["level_mod"] == 1 and d["max_level"] <= 16:
-            out.append(d)
-        elif d["name"] in ("doc_example", "nyc_box") and d["max_level"] <= 16:
-            out.append(d)
-    return out
+    return _golden_records("covering")
 
 
 def _covering_case_region(d: dict):
@@ -951,6 +947,9 @@ def _covering_case_region(d: dict):
 
 
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering/interior/fast for EVERY dumped case; the engine's token
+    sequence is digested by Spark's md5 (one row per case×kind — the
+    deep cases produce ~50-100k cells, far too many for VALUES rows)."""
     rows = []
     for d in _covering_gate_cases():
         rc = RegionCoverer(
@@ -966,24 +965,26 @@ def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("interior", rc.interior_covering),
             ("fast", rc.fast_covering),
         ):
-            for i, t in enumerate(fn(region).tokens()):
-                rows.append((case, kind, i, str(t)))
-    return spark.createDataFrame(
-        rows, "case string, kind string, ord int, token string"
-    )
+            toks = [str(t) for t in fn(region).tokens()]
+            rows.append((case, kind, len(toks), ",".join(toks)))
+    df = spark.createDataFrame(rows, "case string, kind string, n int, toks string")
+    return df.select("case", "kind", "n", F.md5("toks").alias("digest"))
 
 
 def o_covering_tokens() -> str:
+    import hashlib
+
     vals = []
     for d in _covering_gate_cases():
         case = f"{d['region']}:{d['name']}:{d['min_level']}:{d['max_level']}:{d['level_mod']}:{d['max_cells']}"
         for kind in ("covering", "interior", "fast"):
-            for i, t in enumerate(d[kind]):
-                vals.append(f"('{case}', '{kind}', {i}, '{t}')")
+            joined = ",".join(d[kind])  # reference truth from refdump
+            digest = hashlib.md5(joined.encode()).hexdigest()
+            vals.append(f"('{case}', '{kind}', {len(d[kind])}, '{digest}')")
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(vals)
-        + ") AS t(\"case\", kind, ord, token)"
+        + ") AS t(\"case\", kind, n, digest)"
     )
 
 

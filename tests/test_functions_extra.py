@@ -17,7 +17,10 @@ def images(spark, sf_dir):
     return df
 
 
-def test_per_row_cap_covering(spark, images):
+def test_per_row_cap_covering_fast_default(spark, images):
+    """Default = VECTORIZED batch fast covering: per-row output equals the
+    scalar RegionCoverer.fast_covering bit-for-bit (which is itself
+    refdump-pinned), and the covering contains its own center leaf."""
     out = (
         images.limit(50)
         .withColumn(
@@ -27,20 +30,66 @@ def test_per_row_cap_covering(spark, images):
         .collect()
     )
     from rust_s2_spark.geometry import Cap, CellUnion, RegionCoverer
+    from rust_s2_spark.kernels import cellid as k
+
+    rc = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=8)
+    for r in out:
+        assert 1 <= len(r.cov) <= 6
+        want = rc.fast_covering(Cap.from_latlng_degrees(r.lat, r.lng, 0.5))
+        got = np.array(r.cov, dtype=np.int64).view(np.uint64)
+        assert np.array_equal(got, want.ids)
+        cu = CellUnion(got, normalized=True)
+        leaf = k.cell_from_latlng(np.array([r.lat]), np.array([r.lng]))
+        assert cu.contains_ids(leaf)[0]
+
+
+def test_per_row_cap_covering_exact(spark, images):
+    out = (
+        images.limit(20)
+        .withColumn(
+            "cov",
+            s2_cap_covering("lat", "lng", F.lit(0.5), max_cells=8, exact=True),
+        )
+        .select("lat", "lng", "cov")
+        .collect()
+    )
+    from rust_s2_spark.geometry import Cap, CellUnion, RegionCoverer
+    from rust_s2_spark.kernels import cellid as k
 
     rc = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=8)
     for r in out:
         assert 1 <= len(r.cov) <= 8
-        # matches the driver-side coverer exactly
         want = rc.covering(Cap.from_latlng_degrees(r.lat, r.lng, 0.5))
         got = np.array(r.cov, dtype=np.int64).view(np.uint64)
         assert np.array_equal(np.sort(got), np.sort(want.ids))
-        # and the covering contains its own center
         cu = CellUnion(got, normalized=True)
-        from rust_s2_spark.kernels import cellid as k
-
         leaf = k.cell_from_latlng(np.array([r.lat]), np.array([r.lng]))
         assert cu.contains_ids(leaf)[0]
+
+
+def test_batch_fast_covering_kernel_parity():
+    """cap_fast_covering == scalar fast_covering over a broad random mix
+    of radii (tiny, metro, continental, >=hemisphere) and positions."""
+    from rust_s2_spark.geometry import Cap, RegionCoverer
+    from rust_s2_spark.kernels import cellid as k
+
+    rng = np.random.default_rng(123)
+    n = 600
+    lat = rng.uniform(-89.99, 89.99, n)
+    lng = rng.uniform(-180, 180, n)
+    rad = np.concatenate(
+        [
+            rng.uniform(1e-9, 1e-3, n // 4),
+            rng.uniform(1e-3, 5.0, n // 4),
+            rng.uniform(5.0, 100.0, n // 4),
+            rng.uniform(100.0, 180.0, n - 3 * (n // 4)),
+        ]
+    )
+    pad, cnt = k.cap_fast_covering(lat, lng, rad)
+    rc = RegionCoverer()
+    for i in range(n):
+        want = rc.fast_covering(Cap.from_latlng_degrees(lat[i], lng[i], rad[i])).ids
+        assert np.array_equal(pad[i, : cnt[i]], want), (lat[i], lng[i], rad[i])
 
 
 def test_simhash_similar_docs_close(spark):
