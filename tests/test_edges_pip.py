@@ -216,3 +216,42 @@ def test_polygon_with_hole_contains():
     for lat, lng in [(20.0, 5.0), (20.0, 35.0), (89.0, 5.0)]:
         x, y, z = pt.latlng_to_xyz(lat, lng)
         assert cov.contains_point_xyz(x, y, z), (lat, lng)
+
+
+def test_pip_indexed_equals_fullscan_big_polygon(spark, sf_dir):
+    """Per-cell-edge-index PIP (the 100 TB shape: O(batch x edges-per-cell)
+    memory) must agree row-for-row with the all-edges kernel on a
+    1000-vertex polygon; and the index must actually localize edges."""
+    import numpy as np
+
+    from rust_s2_spark.geometry.loop import Loop
+    from rust_s2_spark.operators.pip import (
+        PIP_COVERER,
+        _build_edge_index,
+        pip_filter,
+    )
+    from rust_s2_spark.sources import images_from_orders
+
+    img = images_from_orders(spark, sf_dir, with_bytes=False)
+    t = np.linspace(0, 2 * np.pi, 1001)[:-1]
+    coords = [
+        (
+            40.0 + 3.0 * np.cos(x) + 0.4 * np.sin(7 * x),
+            -74.0 + 4.0 * np.sin(x) + 0.5 * np.cos(5 * x),
+        )
+        for x in t
+    ]
+    big = Loop.from_latlng_degrees(coords)
+    a = sorted(r.image_id for r in pip_filter(img, big, indexed=True).collect())
+    b = sorted(r.image_id for r in pip_filter(img, big, indexed=False).collect())
+    assert len(a) > 0
+    assert a == b
+
+    # index locality: mean edges-per-cell must be far below the total
+    outer = PIP_COVERER.covering(big)
+    inner = PIP_COVERER.interior_covering(big)
+    boundary = outer.ids[~inner.contains_ids(outer.ids)]
+    A, B, centers, state, indptr, edge_ids = _build_edge_index([big], boundary)
+    per_cell = np.diff(indptr)
+    assert per_cell.max() < len(A) / 2  # no cell sees most of the boundary
+    assert per_cell.mean() < len(A) / 5
