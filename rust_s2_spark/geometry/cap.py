@@ -38,6 +38,12 @@ class Cap:
         return Cap(center, pt.angle_to_chord2(rad))
 
     @staticmethod
+    def from_center_chordangle(center: pt.Vec, radius2: float) -> "Cap":
+        """Radius given as squared chord length (ref cap.rs:108-111) —
+        the preferred constructor: exact and trig-free."""
+        return Cap(center, radius2)
+
+    @staticmethod
     def from_center_height(center: pt.Vec, height: float) -> "Cap":
         return Cap(center, 2.0 * height)
 
@@ -89,6 +95,15 @@ class Cap:
         if self.is_empty() or other.is_empty():
             return False
         return pt.chord2_add(self.radius2, other.radius2) >= pt.chord2(
+            self.center, other.center
+        )
+
+    def interior_intersects(self, other: "Cap") -> bool:
+        """Interior of this cap intersects the other (ref cap.rs:201-209):
+        requires a real interior here and a non-empty other."""
+        if self.radius2 <= 0.0 or other.is_empty():
+            return False
+        return pt.chord2_add(self.radius2, other.radius2) > pt.chord2(
             self.center, other.center
         )
 

@@ -13,6 +13,7 @@ import math
 from dataclasses import dataclass
 
 PI = math.pi
+EPSILON = 1e-14  # ref consts.rs:8 — noise level for approx_eq
 
 
 @dataclass(frozen=True)
@@ -52,6 +53,20 @@ class R1Interval:
         if o.is_empty():
             return True
         return o.lo > self.lo and o.hi < self.hi
+
+    def approx_eq(self, o: "R1Interval") -> bool:
+        return self.approx_eq_by(o, EPSILON)
+
+    def approx_eq_by(self, o: "R1Interval", max_error: float) -> bool:
+        """Equal up to moving each endpoint by max_error; the empty
+        interval matches anything short enough (ref r1/interval.rs:169-186)."""
+        if self.is_empty():
+            return o.length() < 2.0 * max_error
+        if o.is_empty():
+            return self.length() < 2.0 * max_error
+        return (
+            abs(self.lo - o.lo) <= max_error and abs(self.hi - o.hi) <= max_error
+        )
 
     def intersects(self, o: "R1Interval") -> bool:
         if self.lo <= o.lo:
@@ -226,6 +241,26 @@ class S1Interval:
         if o.is_inverted():
             return self.is_full() or o.is_empty()
         return (o.lo > self.lo and o.hi < self.hi) or self.is_full()
+
+    def approx_eq(self, o: "S1Interval") -> bool:
+        return self.approx_eq_by(o, EPSILON)
+
+    def approx_eq_by(self, o: "S1Interval", max_error: float) -> bool:
+        """ref s1/interval.rs:408-432 — truncated remainder (fmod), and a
+        length check so moving endpoints cannot invert the interval."""
+        if self.is_empty():
+            return o.length() < 2.0 * max_error
+        if o.is_empty():
+            return self.length() < 2.0 * max_error
+        if self.is_full():
+            return o.length() >= 2.0 * (PI - max_error)
+        if o.is_full():
+            return self.length() >= 2.0 * (PI - max_error)
+        return (
+            abs(math.fmod(o.lo - self.lo, 2.0 * PI)) <= max_error
+            and abs(math.fmod(o.hi - self.hi, 2.0 * PI)) <= max_error
+            and abs(self.length() - o.length()) <= 2.0 * max_error
+        )
 
     def intersects(self, o: "S1Interval") -> bool:
         if self.is_empty() or o.is_empty():

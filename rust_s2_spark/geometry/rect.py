@@ -125,6 +125,29 @@ class Rect:
     def intersects_rect(self, o: "Rect") -> bool:
         return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
 
+    def interior_contains_latlng_rad(self, lat: float, lng: float) -> bool:
+        """Strict interior membership (ref rect.rs:718-721)."""
+        return self.lat.interior_contains(lat) and self.lng.interior_contains(lng)
+
+    def interior_contains_point(self, p: pt.Vec) -> bool:
+        lat, lng = pt.xyz_to_latlng_rad(p)
+        return self.interior_contains_latlng_rad(lat, lng)
+
+    def interior_contains_rect(self, o: "Rect") -> bool:
+        """Interior contains all of ``o`` incl. its boundary (ref rect.rs:710-713)."""
+        return self.lat.interior_contains_interval(
+            o.lat
+        ) and self.lng.interior_contains_interval(o.lng)
+
+    def approx_eq(self, o: "Rect") -> bool:
+        """Equal up to moving each endpoint by EPSILON (ref rect.rs:246-248)."""
+        return self.lat.approx_eq(o.lat) and self.lng.approx_eq(o.lng)
+
+    def approx_eq_by(self, o: "Rect", max_error_lat: float, max_error_lng: float) -> bool:
+        return self.lat.approx_eq_by(o.lat, max_error_lat) and self.lng.approx_eq_by(
+            o.lng, max_error_lng
+        )
+
     def expanded(self, lat_margin: float, lng_margin: float) -> "Rect":
         lat = self.lat.expanded(lat_margin)
         lng = self.lng.expanded(lng_margin)

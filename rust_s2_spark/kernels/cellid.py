@@ -577,6 +577,31 @@ def from_face(f) -> np.ndarray:
     return (np.asarray(f, dtype=np.uint64) << U(POS_BITS)) + lsb_for_level(0)
 
 
+def from_face_pos_level(f, p, lvl) -> np.ndarray:
+    """Cell at ``lvl`` containing Hilbert position ``p`` on face ``f``
+    (ref cellid.rs:91-93: ``CellID((face << POS_BITS) + (pos | 1)).parent(level)``)."""
+    ids = (np.asarray(f, dtype=np.uint64) << U(POS_BITS)) + (
+        np.asarray(p, dtype=np.uint64) | U(1)
+    )
+    return parent(ids, lvl)
+
+
+def child_iter(cid: int, lvl: int | None = None):
+    """Hilbert-order iterator over the children (or level-``lvl``
+    descendants) of a cell (ref cellid.rs:847-860). Scalar generator —
+    set-oriented code should use ``children``/``child_begin_at_level``."""
+    cid = int(cid)
+    low = cid & -cid
+    cur_lvl = 30 - ((low.bit_length() - 1) >> 1)
+    target = cur_lvl + 1 if lvl is None else int(lvl)
+    lsb_t = 1 << (2 * (30 - target))
+    cur = cid - low + lsb_t
+    end = cid + low + lsb_t
+    while cur != end:
+        yield cur
+        cur += 2 * lsb_t
+
+
 # ---------------------------------------------------------------------------
 # lat/lng <-> cell id
 
@@ -618,6 +643,10 @@ def cell_to_xyz(ids: np.ndarray):
     u = st_to_uv(siti_to_st(si))
     v = st_to_uv(siti_to_st(ti))
     return face_uv_to_xyz(f.astype(np.int64), u, v)
+
+
+# reference name for the non-normalized center (cellid.rs:426-433)
+raw_point = cell_to_xyz
 
 
 def cell_to_latlng(ids: np.ndarray):

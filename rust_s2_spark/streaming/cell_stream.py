@@ -48,6 +48,12 @@ def streaming_first_seen(
     optional TTL bounds it for unbounded key spaces (keys recurring
     after the TTL re-emit — the contract is at-most-once per TTL
     window, which is what training-data ingest dedup needs).
+
+    ⚠ With a TTL set, use a processingTime trigger: availableNow never
+    terminates once ProcessingTimeTimeout is armed (the engine keeps
+    scheduling state-cleanup batches — observed on Spark 4.1; pinned by
+    tests/test_streaming_tiles_lineage.py::test_streaming_first_seen_ttl_expiry,
+    which also covers the hasTimedOut expiry/re-emit path).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

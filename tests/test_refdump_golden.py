@@ -388,3 +388,88 @@ def test_angle_encodings_match_reference():
     assert ak.deg_to_e(np.array([0.000005]), 5)[0] == 1
     assert ak.deg_to_e(np.array([-0.000005]), 5)[0] == -1
     assert ak.deg_to_e(np.array([0.000015]), 5)[0] == 2
+
+
+def test_cap_pair_predicates_match_reference():
+    """contains/intersects/interior_intersects over all dumped cap pairs
+    (ref cap.rs:181-209)."""
+    params = [
+        (0.0, 0.0, 0.5), (0.0, 0.0, 2.0), (1.0, 1.0, 0.5), (10.0, 10.0, 1.0),
+        (0.0, 180.0, 2.0), (90.0, 0.0, 0.3), (-90.0, 0.0, 0.3), (47.3, 8.5, 5.0),
+        (0.0, 0.1, 1e-12), (0.0, 0.0, 12.56), (45.0, 45.0, 3.0), (-45.0, 135.0, 0.05),
+    ]
+    caps = [
+        Cap.from_center_area(pt.latlng_to_xyz(la, ln), ar) for la, ln, ar in params
+    ]
+    recs = list(_records("cap_pair"))
+    assert len(recs) == len(caps) ** 2
+    for d in recs:
+        a, b = caps[d["i"]], caps[d["j"]]
+        assert a.contains_cap(b) == d["contains"], (d["i"], d["j"])
+        assert a.intersects_cap(b) == d["intersects"], (d["i"], d["j"])
+        assert a.interior_intersects(b) == d["interior_intersects"], (d["i"], d["j"])
+    # from_center_chordangle is the identity constructor on chord²
+    c = Cap.from_center_chordangle((1.0, 0.0, 0.0), 0.25)
+    assert c.radius2 == 0.25 and c.center == (1.0, 0.0, 0.0)
+
+
+def _api_rects():
+    return [
+        Rect.from_degrees(10.0, 20.0, 30.0, 40.0),
+        Rect.from_degrees(10.0, 20.0, 30.0, 40.0),
+        Rect.from_degrees(10.000000000000002, 20.0, 30.0, 40.0),
+        Rect.from_degrees(10.1, 20.0, 30.0, 40.0),
+        Rect.from_degrees(15.0, 25.0, 25.0, 35.0),
+        Rect.from_degrees(10.0, 170.0, 30.0, -170.0),
+        Rect.from_degrees(12.0, 175.0, 28.0, -175.0),
+        Rect.empty(),
+        Rect.full(),
+        Rect.from_degrees(-90.0, -180.0, 90.0, 180.0),
+    ]
+
+
+def test_rect_approx_eq_and_interior_match_reference():
+    rects = _api_rects()
+    lls = [
+        (10.0, 20.0), (20.0, 30.0), (10.000001, 30.0), (29.999999, 39.999999),
+        (0.0, 0.0), (20.0, 180.0), (20.0, -178.0),
+    ]
+    for d in _records("rect_pair"):
+        a, b = rects[d["i"]], rects[d["j"]]
+        assert a.approx_eq(b) == d["approx_eq"], (d["i"], d["j"])
+        assert a.contains_rect(b) == d["contains"], (d["i"], d["j"])
+        assert a.interior_contains_rect(b) == d["interior_contains"], (d["i"], d["j"])
+    for d in _records("rect_ll"):
+        a = rects[d["i"]]
+        la, ln = lls[d["m"]]
+        lar, lnr = math.radians(la), math.radians(ln)
+        assert a.contains_latlng_rad(lar, lnr) == d["contains_ll"], (d["i"], d["m"])
+        assert (
+            a.interior_contains_latlng_rad(lar, lnr) == d["interior_contains_ll"]
+        ), (d["i"], d["m"])
+
+
+def test_from_face_pos_level_and_raw_point_match_reference():
+    for d in _records("fpl"):
+        got = k.from_face_pos_level(
+            np.array([d["face"]], dtype=np.uint64),
+            np.array([d["pos"]], dtype=np.uint64),
+            d["level"],
+        )
+        assert int(got[0]) == d["id"], d
+        x, y, z = k.raw_point(got)
+        assert (float(x[0]), float(y[0]), float(z[0])) == (
+            float(d["raw_x"]),
+            float(d["raw_y"]),
+            float(d["raw_z"]),
+        ), d  # bit-for-bit
+
+
+def test_child_iter_matches_reference():
+    for d in _records("child_iter"):
+        cid = int(d["id"])
+        assert list(k.child_iter(cid)) == [int(x) for x in d["children"]]
+        lvl = 30 - (((cid & -cid).bit_length() - 1) >> 1)
+        assert list(k.child_iter(cid, lvl + 2)) == [
+            int(x) for x in d["grandchildren"]
+        ]

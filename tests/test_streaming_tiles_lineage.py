@@ -172,6 +172,76 @@ def test_streaming_first_seen_dedup(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_first_seen_ttl_expiry(spark):
+    """TTL path of streaming_first_seen (cell_stream.py hasTimedOut
+    branch): a key re-emits after its state expires, and the timed-out
+    invocation swallows nothing. Three availableNow runs over one
+    checkpoint: (1) key A emits and arms a short TTL; (2) after sleeping
+    past the TTL, an unrelated key's batch triggers the timeout
+    invocation for A (state.remove); (3) key A arrives again and
+    re-emits. Control: key B recurs in run 3 BEFORE any expiry gap for
+    it could be processed... instead the no-TTL contract is pinned by
+    test_streaming_first_seen_dedup above."""
+    import datetime
+    import time
+
+    from rust_s2_spark.streaming import streaming_first_seen
+
+    tmp = tempfile.mkdtemp(prefix="s2ttl_")
+    q = None
+    try:
+        schema = "phash long, ts timestamp"
+        t0 = datetime.datetime(2026, 1, 1)
+
+        def stage(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+
+        def wait_rows(n: int, timeout_s: float = 60.0):
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                rows = spark.sql("SELECT key FROM ttl_sink").collect()
+                if len(rows) >= n:
+                    return rows
+                time.sleep(0.3)
+            raise AssertionError(
+                f"sink never reached {n} rows: "
+                f"{spark.sql('SELECT * FROM ttl_sink').collect()}"
+            )
+
+        stage([(1, t0)])
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        deduped = streaming_first_seen(
+            stream, "phash", ts_col="ts", state_ttl_hours=1.0 / 3600.0
+        )
+        # one continuous query: with ProcessingTimeTimeout armed the
+        # engine keeps running state-cleanup batches, which is exactly
+        # what fires the hasTimedOut branch between our stages
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("ttl_sink")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        rows = wait_rows(1)
+        assert {r.key for r in rows} == {1}  # first emit arms the ~1s TTL
+
+        time.sleep(3.0)  # TTL fires in a cleanup batch -> state removed
+        stage([(1, t0), (3, t0)])
+        rows = wait_rows(3)
+        keys = sorted(r.key for r in rows)
+        # key 1 RE-emitted after expiry; the timed-out invocation itself
+        # emitted nothing (exactly 3 rows: 1, then 1 again, and 3)
+        assert keys == [1, 1, 3], keys
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_two_phase_ingest_same_rows(spark, sf_dir):
     """two_phase=True (stage encoded rows, range-layout from the
     materialized column) must produce the identical table."""

@@ -582,6 +582,84 @@ fn dump_angle_encodings() {
     }
 }
 
+fn dump_api_extras() {
+    // Cap.interior_intersects / from_center_chordangle parity
+    let params: Vec<(f64, f64, f64)> = vec![
+        (0.0, 0.0, 0.5), (0.0, 0.0, 2.0), (1.0, 1.0, 0.5), (10.0, 10.0, 1.0),
+        (0.0, 180.0, 2.0), (90.0, 0.0, 0.3), (-90.0, 0.0, 0.3), (47.3, 8.5, 5.0),
+        (0.0, 0.1, 1e-12), (0.0, 0.0, 12.56), (45.0, 45.0, 3.0), (-45.0, 135.0, 0.05),
+    ];
+    let caps: Vec<Cap> = params
+        .iter()
+        .map(|(la, ln, ar)| Cap::from_center_area(&Point::from(LatLng::from_degrees(*la, *ln)), *ar))
+        .collect();
+    for (i, a) in caps.iter().enumerate() {
+        for (j, b) in caps.iter().enumerate() {
+            println!(
+                "{{\"kind\":\"cap_pair\",\"i\":{},\"j\":{},\"contains\":{},\"intersects\":{},\"interior_intersects\":{}}}",
+                i, j, a.contains(b), a.intersects(b), a.interior_intersects(b)
+            );
+        }
+    }
+    // Rect approx_eq + interior_contains family
+    let rects: Vec<Rect> = vec![
+        Rect::from_degrees(10.0, 20.0, 30.0, 40.0),
+        Rect::from_degrees(10.0, 20.0, 30.0, 40.0),
+        Rect::from_degrees(10.000000000000002, 20.0, 30.0, 40.0),
+        Rect::from_degrees(10.1, 20.0, 30.0, 40.0),
+        Rect::from_degrees(15.0, 25.0, 25.0, 35.0),
+        Rect::from_degrees(10.0, 170.0, 30.0, -170.0),
+        Rect::from_degrees(12.0, 175.0, 28.0, -175.0),
+        Rect::empty(),
+        Rect::full(),
+        Rect::from_degrees(-90.0, -180.0, 90.0, 180.0),
+    ];
+    let lls: Vec<(f64, f64)> = vec![
+        (10.0, 20.0), (20.0, 30.0), (10.000001, 30.0), (29.999999, 39.999999),
+        (0.0, 0.0), (20.0, 180.0), (20.0, -178.0),
+    ];
+    for (i, a) in rects.iter().enumerate() {
+        for (j, b) in rects.iter().enumerate() {
+            println!(
+                "{{\"kind\":\"rect_pair\",\"i\":{},\"j\":{},\"approx_eq\":{},\"contains\":{},\"interior_contains\":{}}}",
+                i, j, a.approx_eq(b), a.contains(b), a.interior_contains(b)
+            );
+        }
+        for (m, (la, ln)) in lls.iter().enumerate() {
+            let ll = LatLng::from_degrees(*la, *ln);
+            println!(
+                "{{\"kind\":\"rect_ll\",\"i\":{},\"m\":{},\"contains_ll\":{},\"interior_contains_ll\":{}}}",
+                i, m, a.contains_latlng(&ll), a.interior_contains_latlng(&ll)
+            );
+        }
+    }
+    // CellID from_face_pos_level / raw_point / child_iter
+    let fpl_cases: Vec<(u64, u64, u64)> = vec![
+        (3, 0x12345678, 26), (0, 0, 0), (5, 0, 30), (2, 0x0fedcba987654321, 15),
+        (4, 0x1fffffffffffffff, 30), (1, 0x123456789abcdef0 >> 3, 7), (0, 1, 1),
+    ];
+    for (i, (fc, p, l)) in fpl_cases.iter().enumerate() {
+        let id = CellID::from_face_pos_level(*fc, *p, *l);
+        let rp = id.raw_point();
+        println!(
+            "{{\"kind\":\"fpl\",\"case\":{},\"face\":{},\"pos\":{},\"level\":{},\"id\":{},\"raw_x\":{},\"raw_y\":{},\"raw_z\":{}}}",
+            i, fc, p, l, id.0, f(rp.x), f(rp.y), f(rp.z)
+        );
+    }
+    let iter_cells: Vec<CellID> = vec![
+        CellID::from_face_pos_level(3, 0x12345678, 27),
+        CellID::from(LatLng::from_degrees(40.7128, -74.0060)).parent(28),
+    ];
+    for (i, c) in iter_cells.iter().enumerate() {
+        let kids: Vec<String> = c.child_iter().map(|x| format!("{}", x.0)).collect();
+        let kids2: Vec<String> = c.child_iter_at_level(c.level() + 2).map(|x| format!("{}", x.0)).collect();
+        println!(
+            "{{\"kind\":\"child_iter\",\"case\":{},\"id\":{},\"children\":[{}],\"grandchildren\":[{}]}}",
+            i, c.0, kids.join(","), kids2.join(",")
+        );
+    }
+}
+
 fn main() {
     let _ = Deg(0.0); // keep import used
     dump_coverings();
@@ -598,4 +676,5 @@ fn main() {
     dump_expanded_by_distance_uv();
     dump_edge_distances();
     dump_angle_encodings();
+    dump_api_extras();
 }
