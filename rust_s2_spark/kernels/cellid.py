@@ -783,8 +783,18 @@ def cap_fast_covering(lat_deg, lng_deg, radius_deg):
     # Cap.from_latlng_degrees stores chord², cell_union_bound re-derives
     # the angle — replicate the round trip so ilogb sees the same double.
     s = 2.0 * np.sin(0.5 * np.minimum(np.maximum(rad, 0.0), math.pi))
-    c2 = s * s
-    rr = np.where(rad < 0.0, -1.0, 2.0 * np.arcsin(0.5 * np.sqrt(c2)))
+    c2 = np.where(rad < 0.0, -1.0, s * s)
+    x, y, z = latlng_to_xyz(lat, lng)
+    return cap_fast_covering_xyz(x, y, z, c2)
+
+
+def cap_fast_covering_xyz(x, y, z, radius2):
+    """cap_fast_covering for caps given as (center xyz, squared-chord
+    radius) — the exact Cap representation, so this is bit-identical to
+    ``RegionCoverer().fast_covering(Cap(center, radius2))`` for ANY cap."""
+    c2 = np.asarray(radius2, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        rr = np.where(c2 < 0.0, -1.0, 2.0 * np.arcsin(0.5 * np.sqrt(np.abs(c2))))
     # MIN_WIDTH.max_level (dim=1): ilogb(deriv/val), clamped; val<=0 -> 30
     deriv = 2.0 * math.sqrt(2.0) / 3.0
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -792,7 +802,7 @@ def cap_fast_covering(lat_deg, lng_deg, radius_deg):
     _, e = np.frexp(q)
     lvl = np.where(rr <= 0.0, 30, np.clip(e - 1, 0, 30)).astype(np.int64)
 
-    n = len(lat)
+    n = len(c2)
     out = np.full((n, 6), SENTINEL, dtype=np.uint64)
     counts = np.zeros(n, dtype=np.int64)
     face_rows = lvl == 0
@@ -802,7 +812,11 @@ def cap_fast_covering(lat_deg, lng_deg, radius_deg):
         counts[face_rows] = 6
     rest = ~face_rows
     if rest.any():
-        ids = cell_from_xyz(*latlng_to_xyz(lat[rest], lng[rest]))
+        ids = cell_from_xyz(
+            np.asarray(x, dtype=np.float64)[rest],
+            np.asarray(y, dtype=np.float64)[rest],
+            np.asarray(z, dtype=np.float64)[rest],
+        )
         sub_lvl = lvl[rest]
         sub_out = np.full((len(ids), 4), SENTINEL, dtype=np.uint64)
         sub_cnt = np.zeros(len(ids), dtype=np.int64)
