@@ -296,3 +296,65 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bit = F.shiftleft(F.lit(1).cast("long"), b)
         sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the cluster
+    step of dedup (each component keeps one canonical doc = the min id).
+
+    Hash-to-min label propagation: every vertex starts labeled with
+    itself; each round takes the min label over itself and its
+    neighbors; converges in O(graph diameter) rounds (near-dup clusters
+    are star/clique-like, so 2-4 rounds in practice — labels only
+    decrease, so convergence is guaranteed and detected exactly).
+
+    At scale each round is one equi-join + groupBy shuffle keyed on the
+    vertex id — no driver-side graph state; labels are
+    localCheckpoint'ed per round to truncate the lineage chain (an
+    iterative plan otherwise grows O(rounds) deep and recomputes from
+    round 0 at every action).
+
+    Returns (v, component): one row per vertex that appears in ``pairs``
+    (isolated docs have no pair rows and stay out, by construction).
+    """
+    # materialize the pair graph ONCE — the upstream pair pipeline
+    # (minhash shingles etc.) must not be recomputed every round
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["v"], "inner")
+            .select(F.col("src").alias("v"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

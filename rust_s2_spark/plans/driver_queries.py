@@ -1734,6 +1734,42 @@ GROUP BY 1
 """.strip()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (hash-to-min label
+    propagation, operators/dedup.connected_components) over the
+    minhash-LSH pair graph; component label = min doc_id = the canonical
+    doc to keep. The oracle computes the same components via a recursive
+    transitive-closure CTE over the identical pair set."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
+    comp = connected_components(pairs, "a", "b")
+    return comp.select(
+        F.col("v").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def o_dedup_clusters() -> str:
+    cand = o_minhash_pairs()
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+edges AS (
+  SELECT a AS src, b AS dst FROM cand
+  UNION ALL
+  SELECT b AS src, a AS dst FROM cand
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY v
+""".strip()
+
+
 def q_angle_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E6/E7 integer angle encodings at 15k rows (native SQL
     round/cast, ref s1/angle.rs:316-351 convert_i32!): encode lat/lng,
@@ -1822,6 +1858,7 @@ def queries():
         "bpe_tokens": q_bpe_tokens,
         "angle_encodings": q_angle_encodings,
         "region_join_1k": q_region_join_1k,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1867,4 +1904,5 @@ def oracle_sql():
         "bpe_tokens": o_bpe_tokens(),
         "angle_encodings": o_angle_encodings(),
         "region_join_1k": o_region_join_1k(),
+        "dedup_clusters": o_dedup_clusters(),
     }

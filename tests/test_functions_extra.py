@@ -135,3 +135,23 @@ def test_lsh_bucket_topk_recall(spark, sf_dir):
     approx_set = {(r.query_id, r.vec_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.35  # ANN: partial recall expected, not exactness
+
+
+def test_connected_components(spark):
+    """Hash-to-min components: a path graph (needs multiple propagation
+    rounds), a clique, and a separate pair — labels = min id per
+    component; vertices not in any pair stay out."""
+    from rust_s2_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "a long, b long",
+    )
+    got = {(r.v, r.component) for r in connected_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
