@@ -176,6 +176,34 @@ class Cell:
             and self.v_lo - DBL_EPSILON <= v <= self.v_hi + DBL_EPSILON
         )
 
+    def contains_points_array(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized contains_point over an (n,3) array — same face
+        projection and closed-cell epsilon as the scalar path (one numpy
+        pass instead of n Python calls; the Loop coverer predicates test
+        every polygon vertex against every candidate cell)."""
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        f = self.face
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if f == 0:
+                valid, u, v = x > 0, y / x, z / x
+            elif f == 1:
+                valid, u, v = y > 0, -x / y, z / y
+            elif f == 2:
+                valid, u, v = z > 0, -x / z, -y / z
+            elif f == 3:
+                valid, u, v = x < 0, z / x, y / x
+            elif f == 4:
+                valid, u, v = y < 0, z / y, -x / y
+            else:
+                valid, u, v = z < 0, -y / z, -x / z
+        return (
+            valid
+            & (u >= self.u_lo - DBL_EPSILON)
+            & (u <= self.u_hi + DBL_EPSILON)
+            & (v >= self.v_lo - DBL_EPSILON)
+            & (v <= self.v_hi + DBL_EPSILON)
+        )
+
     def _latitude(self, i: int, j: int) -> float:
         u, v = self.uv_vertex(i, j)
         x, y, z = _face_uv_to_xyz(self.face, u, v)

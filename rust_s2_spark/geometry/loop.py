@@ -105,24 +105,48 @@ class Loop:
     # -- region protocol for the coverer --------------------------------------
 
     def _cell_relation(self, cell):
+        # the coverer asks intersects_cell then contains_cell for the
+        # same candidate — memoize per cell id (a 10k-vertex loop pays
+        # O(m) per relation; recomputing doubles the coverer cost)
+        cache = getattr(self, "_rel_cache", None)
+        if cache is None:
+            cache = {}
+            self._rel_cache = cache
+        hit = cache.get(cell.id)
+        if hit is not None:
+            return hit
         verts = self.vertices
         m = verts.shape[0]
         cell_verts = np.array(cell.vertices)
         inside = self.contains_points(
             cell_verts[:, 0], cell_verts[:, 1], cell_verts[:, 2]
         )
-        # any loop vertex inside the cell?
-        any_loop_vertex_in_cell = any(
-            cell.contains_point(tuple(v)) for v in verts
-        )
-        # boundary crossings between loop edges and cell edges — one
-        # batched robust call over all (m × 4) edge pairs
-        a = np.repeat(verts, 4, axis=0)
-        b = np.repeat(np.roll(verts, -1, axis=0), 4, axis=0)
-        c = np.tile(cell_verts, (m, 1))
-        d = np.tile(np.roll(cell_verts, -1, axis=0), (m, 1))
-        crossing = bool(np.any(ek.crossing_sign(a, b, c, d) >= 0))
-        return inside, any_loop_vertex_in_cell, crossing
+        # any loop vertex inside the cell? (vectorized over all m verts)
+        any_loop_vertex_in_cell = bool(cell.contains_points_array(verts).any())
+        # boundary crossings between loop edges and cell edges. Cheap
+        # conservative prefilter first: an edge can only cross the cell
+        # if its min chord² distance to the cell's bounding-cap center is
+        # within the cap radius (the crossing point would lie in the
+        # cell ⊆ cap) — drops the robust crossing_sign call from all m
+        # edges to the few near the cell (10k-vertex coverings: ~4×).
+        va, vb = verts, np.roll(verts, -1, axis=0)
+        cap = cell.cap_bound()
+        center = np.broadcast_to(np.asarray(cap.center, dtype=np.float64), (m, 3))
+        d2 = ek.dist2_point_segment(center, va, vb)
+        near = d2 <= cap.radius2 * (1.0 + 1e-9) + 1e-12
+        if near.any():
+            na, nb = va[near], vb[near]
+            mn = na.shape[0]
+            a = np.repeat(na, 4, axis=0)
+            b = np.repeat(nb, 4, axis=0)
+            c = np.tile(cell_verts, (mn, 1))
+            d = np.tile(np.roll(cell_verts, -1, axis=0), (mn, 1))
+            crossing = bool(np.any(ek.crossing_sign(a, b, c, d) >= 0))
+        else:
+            crossing = False
+        out = (inside, any_loop_vertex_in_cell, crossing)
+        cache[cell.id] = out
+        return out
 
     def intersects_cell(self, cell) -> bool:
         inside, loop_v_in_cell, crossing = self._cell_relation(cell)
