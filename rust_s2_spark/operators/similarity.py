@@ -226,3 +226,98 @@ def cosine_near_dup_pairs(
         .select("a", "b", F.round("cosine", 9).alias("cosine"))
         .distinct()
     )
+
+
+def ivf_flat_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    kk: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the coarse-quantizer scale path next
+    to the LSH tables (SURVEY.md similarity row).
+
+    Every vector is assigned to its nearest centroid (argmax cosine,
+    ties to the lowest centroid id) with PURE native SQL — one
+    zip_with/aggregate dot product per centroid, argmax via
+    greatest+CASE, so assignment is a map-only pass (no shuffle, no
+    Python; at 100 TB the assignment is computed once at ingest and
+    stored as a partition column). Queries probe their ``nprobe``
+    nearest centroids; candidates = vectors in probed cells; exact
+    cosine re-rank; window top-k.
+
+    ``centroids``: (n_centroids, dim) float64 — deterministic (e.g.
+    sampled vectors or offline k-means); passed in so engine and oracle
+    share literals.
+    """
+    nc = centroids.shape[0]
+
+    def cos_exprs(col):
+        out = []
+        for i in range(nc):
+            c = centroids[i]
+            # sequential accumulation (not numpy pairwise sum) so the
+            # norm is bit-identical to a SQL list_dot_product(c, c)
+            acc = 0.0
+            for x in c:
+                acc += float(x) * float(x)
+            cn = float(np.sqrt(acc))
+            dot = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            out.append(dot / (_norm(F.transform(col, lambda x: x.cast("double"))) * F.lit(cn)))
+        return out
+
+    def argmax_cid(col):
+        cs = cos_exprs(col)
+        best = F.greatest(*cs) if len(cs) > 1 else cs[0]
+        cid = F.lit(None).cast("int")
+        # first match wins -> ties resolve to the LOWEST centroid id
+        for i in range(nc - 1, -1, -1):
+            cid = F.when(cs[i] == best, F.lit(i)).otherwise(cid)
+        return cid
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), argmax_cid(F.col(vec_col)).alias("cid")
+    )
+
+    # queries probe their nprobe nearest centroids: sort (−cos, cid)
+    qcs = cos_exprs(F.col(vec_col))
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct((-qcs[i]).alias("neg"), F.lit(i).alias("cid"))
+                    for i in range(nc)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    qprobe = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_arr).alias("p"),
+    ).select(query_id_col, "__qvec", F.col("p.cid").alias("cid"))
+
+    cand = assigned.join(F.broadcast(qprobe), "cid").drop("cid")
+    scored = cand.withColumn("cosine", cosine_cols(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col)
+    )

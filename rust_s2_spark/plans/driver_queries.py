@@ -1770,6 +1770,84 @@ FROM reach GROUP BY v
 """.strip()
 
 
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(sf_dir: str) -> "np.ndarray":
+    """Deterministic IVF centroids: the first 16 vectors, read straight
+    from parquet (both engines see the identical float32→double values)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {IVF_N_CENTROIDS} ORDER BY vec_id"
+    ).fetchall()
+    return np.array([list(r[0]) for r in rows], dtype=np.float64)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators/similarity.ivf_flat_topk): coarse
+    quantizer = argmax-cosine over 16 sampled centroids (pure native SQL
+    map pass — the at-scale assignment is an ingest-time partition
+    column), nprobe=4 probing, exact cosine re-rank. The oracle
+    replicates assignment/probing/re-rank relationally in DuckDB with
+    the same centroid literals."""
+    from ..operators.similarity import ivf_flat_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _ivf_centroids(sf_dir)
+    return ivf_flat_topk(emb, q, SIM_K, cents, nprobe=IVF_NPROBE)
+
+
+def o_ivf_topk() -> str:
+    # centroid literals are built lazily inside oracle_sql() (needs the
+    # sf_dir-agnostic 'embeddings' view instead): compute cosine against
+    # VALUES-inlined centroid arrays read from the same parquet the view
+    # wraps — the driver registers views on the same files.
+    qids = ",".join(str(i) for i in SIM_QUERY_IDS)
+    # NOTE: the oracle reads centroids from the registered view itself,
+    # keeping the SQL self-contained and sf-correct.
+    cos = (
+        "list_dot_product(x.embedding::DOUBLE[], c.c)"
+        " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * c.cn)"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+),
+ascore AS (
+  SELECT x.vec_id, x.embedding, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn
+  FROM embeddings x, cents c
+),
+assigned AS (SELECT vec_id, embedding, cid FROM ascore WHERE rn = 1),
+qscore AS (
+  SELECT x.vec_id AS query_id, x.embedding, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn
+  FROM embeddings x, cents c WHERE x.vec_id IN ({qids})
+),
+probes AS (SELECT query_id, embedding, cid FROM qscore WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], p.embedding::DOUBLE[]) AS cos
+  FROM assigned a JOIN probes p USING (cid)
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SIM_K}
+""".strip()
+
+
 def q_angle_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E6/E7 integer angle encodings at 15k rows (native SQL
     round/cast, ref s1/angle.rs:316-351 convert_i32!): encode lat/lng,
@@ -1859,6 +1937,7 @@ def queries():
         "angle_encodings": q_angle_encodings,
         "region_join_1k": q_region_join_1k,
         "dedup_clusters": q_dedup_clusters,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1905,4 +1984,5 @@ def oracle_sql():
         "angle_encodings": o_angle_encodings(),
         "region_join_1k": o_region_join_1k(),
         "dedup_clusters": o_dedup_clusters(),
+        "ivf_topk": o_ivf_topk(),
     }

@@ -84,3 +84,36 @@ def test_cosine_near_dup_lsh_recall(spark, emb):
     assert approx <= truth
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.7, f"recall = {recall:.2f} over {len(truth)} pairs"
+
+
+def test_ivf_flat_recall(spark, emb):
+    """IVF-flat with 16 sampled centroids: recall vs brute force must be
+    high at nprobe=4 and reach 1.0 at nprobe=16 (probing all cells ==
+    exact search by construction)."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.similarity import brute_force_topk, ivf_flat_topk
+
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, 8).collect()}
+    a4 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_flat_topk(emb, q, 8, cents, nprobe=4).collect()
+    }
+    assert len(exact & a4) / len(exact) >= 0.6
+    a16 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_flat_topk(emb, q, 8, cents, nprobe=16).collect()
+    }
+    assert a16 == exact  # all cells probed == exact
