@@ -1770,6 +1770,40 @@ FROM reach GROUP BY v
 """.strip()
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py):
+    per-language keep fractions, keep-decision a pure md5 function of
+    doc_id — reproducible across engines/runs/cluster sizes. The oracle
+    replicates the draw exactly in DuckDB."""
+    from ..operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "lang", SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+def o_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {f!r}" for s, f in SAMPLE_FRACTIONS.items()
+    )
+    u = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0"
+    return f"""
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE {u} < (CASE {cases} ELSE {SAMPLE_DEFAULT!r} END)
+GROUP BY lang
+""".strip()
+
+
 IVF_N_CENTROIDS = 16
 IVF_NPROBE = 4
 
@@ -1938,6 +1972,7 @@ def queries():
         "region_join_1k": q_region_join_1k,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1985,4 +2020,5 @@ def oracle_sql():
         "region_join_1k": o_region_join_1k(),
         "dedup_clusters": o_dedup_clusters(),
         "ivf_topk": o_ivf_topk(),
+        "stratified_sample": o_stratified_sample(),
     }
