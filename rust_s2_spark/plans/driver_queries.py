@@ -1770,6 +1770,49 @@ FROM reach GROUP BY v
 """.strip()
 
 
+PACK_BUDGET = 600
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): per-source docs
+    ordered by doc_id packed into <=600-token packs (tokens = ceil
+    (n_chars/4)); deterministic, so the oracle walks the identical
+    order with a recursive CTE."""
+    from ..operators.packing import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "doc_id",
+        F.floor((F.col("n_chars") + F.lit(3)) / F.lit(4)).cast("long").alias("n_tokens"),
+    )
+    return pack_documents(docs, PACK_BUDGET)
+
+
+def o_pack_documents() -> str:
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id, CAST(floor((n_chars + 3) / 4) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk(source, rn, doc_id, n_tokens, acc, pack_id, pack_pos) AS (
+  SELECT source, rn, doc_id, n_tokens, n_tokens,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.acc + d.n_tokens > {PACK_BUDGET} THEN d.n_tokens
+              ELSE w.acc + d.n_tokens END,
+         CASE WHEN w.acc + d.n_tokens > {PACK_BUDGET} THEN w.pack_id + 1
+              ELSE w.pack_id END,
+         CASE WHEN w.acc + d.n_tokens > {PACK_BUDGET} THEN 0
+              ELSE w.pack_pos + 1 END
+  FROM walk w JOIN docs d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, pack_id, pack_pos FROM walk
+""".strip()
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
 SAMPLE_DEFAULT = 0.05
 
@@ -1973,6 +2016,7 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -2021,4 +2065,5 @@ def oracle_sql():
         "dedup_clusters": o_dedup_clusters(),
         "ivf_topk": o_ivf_topk(),
         "stratified_sample": o_stratified_sample(),
+        "pack_documents": o_pack_documents(),
     }

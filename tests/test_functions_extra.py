@@ -155,3 +155,36 @@ def test_connected_components(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_pack_documents_invariants(spark):
+    """Greedy packing: per-pack token totals never exceed the budget
+    (except single oversized docs, which pack alone), packs are
+    contiguous in doc order, and every doc appears exactly once."""
+    from rust_s2_spark.operators.packing import pack_documents
+
+    rows = [("s", i, t) for i, t in enumerate([100, 250, 300, 700, 50, 50, 650, 10])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_documents(df, 600).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == list(range(8))
+    # budget 600: [100,250] (350), [300] then 700 overflows -> 700 alone...
+    # walk: 100+250=350, +300=650>600 -> pack1 starts at 300; 300+700>600
+    # -> pack2 = [700] (oversized alone since next also overflows);
+    # 700+50>600 -> pack3 = [50,50]; +650>600 -> pack4 = [650]; 650+10>600
+    # -> pack5 = [10]
+    assert [(r.pack_id, r.pack_pos) for r in out] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (3, 0), (3, 1), (4, 0), (5, 0)
+    ]
+    # invariant over the real corpus shape: totals within budget unless solo
+    import itertools
+
+    big = spark.createDataFrame(
+        [("g", i, 37 + (i * 97) % 400) for i in range(200)],
+        "source string, doc_id long, n_tokens long",
+    )
+    packed = pack_documents(big, 512).collect()
+    key = lambda r: r.pack_id
+    for pid, grp in itertools.groupby(sorted(packed, key=key), key=key):
+        grp = list(grp)
+        total = sum(r.n_tokens for r in grp)
+        assert total <= 512 or len(grp) == 1
