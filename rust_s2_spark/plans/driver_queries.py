@@ -1770,6 +1770,50 @@ FROM reach GROUP BY v
 """.strip()
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/similarity.py):
+    per-vector scale = max|v|, q = round(v/scale·127) — native SQL
+    map pass; oracle recomputes every quantized value in DuckDB and
+    compares integer checksums exactly."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r9"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "qnorm2"
+        ),
+        F.array_min("q").cast("int").alias("qmin"),
+        F.array_max("q").cast("int").alias("qmax"),
+    )
+
+
+def o_quantize_embeddings() -> str:
+    return """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(x / scale * 127.0) AS INT))
+         END AS q
+  FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale_r9,
+       CAST(list_sum(q) AS BIGINT) AS qsum,
+       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm2,
+       CAST(list_min(q) AS INT) AS qmin,
+       CAST(list_max(q) AS INT) AS qmax
+FROM qq
+""".strip()
+
+
 PACK_BUDGET = 600
 
 
@@ -2017,6 +2061,7 @@ def queries():
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2066,4 +2111,5 @@ def oracle_sql():
         "ivf_topk": o_ivf_topk(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
+        "quantize_embeddings": o_quantize_embeddings(),
     }
