@@ -154,6 +154,20 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
     line = [(38.0, -76.0), (40.7, -74.0), (43.0, -72.0), (45.0, -70.0)]
     out["polyline"], _ = timed(lambda: near_polyline(img, line, 1.0).count())
 
+    # 1000-region containment join via the ancestor-expansion equi-join
+    # (round 3): batched vectorized coverings + hash join on the ancestor
+    # key — the many-region shape that replaced BroadcastNestedLoopJoin
+    from rust_s2_spark.plans.driver_queries import _many_region_caps
+
+    def q_region_1k():
+        from rust_s2_spark.operators.covering_join import region_join_ancestors
+
+        caps, ids = _many_region_caps()
+        joined = region_join_ancestors(spark, img, caps, ids)
+        return joined.groupBy("region_id").count().count()
+
+    out["region_join_1k"], _ = timed(q_region_1k)
+
     # per-row footprint coverings (vectorized batch fast_covering — the
     # round-3 fix for the last per-row-Python hot path); images/sec =
     # n_images / this time

@@ -208,6 +208,36 @@ def test_knn_attempt_pushes_candidate_ranges(stored):
     assert _pushdown_candidate_ranges(stored, cand, lvl, "nope") is stored
 
 
+def test_new_embedding_ops_stay_native(spark, sf_dir):
+    """IVF assignment/probing, int8 quantization, and stratified
+    sampling are pure native SQL — no Python anywhere in their plans
+    (the 100 TB contract: map-only scan-speed passes)."""
+    import numpy as np
+
+    from rust_s2_spark.operators.sampling import stratified_sample
+    from rust_s2_spark.operators.similarity import ivf_flat_topk, quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = np.array(
+        [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).collect()],
+        dtype=np.float64,
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for df in (
+        ivf_flat_topk(emb, q, 5, cents, nprobe=2),
+        quantize_embeddings(emb),
+        stratified_sample(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "lang",
+            {"en": 0.5},
+        ),
+    ):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_minhash_bucket_cap_adds_no_python(stored, spark):
     from rust_s2_spark.operators.dedup import minhash_lsh_pairs
 
