@@ -44,6 +44,13 @@ def shingles(
     unchanged); Jaccard set sizes need distinct=True.
     """
     keys = [c for c in df.columns if c != text_col]
+    # the shingle explode multiplies rows ~1000x and every shingle pays
+    # an md5 — if the input arrives as a handful of file-partitions
+    # (benchmark corpora are often one parquet file), that CPU runs on
+    # one core; spread the docs first (tiny shuffle, rows are pre-explode)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, *keys) if keys else df.repartition(par)
     pos = F.explode(
         F.sequence(
             F.lit(1), F.greatest(F.length(text_col) - F.lit(n - 1), F.lit(1))
@@ -63,6 +70,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket: int | None = 1_000,
+    materialize_sigs: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash (b bands ×
     r rows): minhash h_i = min(md5('s{i}:' || shingle)); band
@@ -72,6 +80,13 @@ def minhash_lsh_pairs(
     become candidate pairs (a < b). All portable SQL (DuckDB
     oracle-able); one shingle pass computes every minhash (map-side
     partial min aggregation).
+
+    ``materialize_sigs`` (default): the per-doc signature table (one
+    row per doc — ~1000× smaller than the shingle stream) is
+    localCheckpoint'ed before the bucket self-join, so the shingle +
+    minhash pipeline runs ONCE instead of once per join side (~6×
+    end-to-end at sf0.1). Pass False to keep the plan fully lazy
+    (plan-inspection tests).
     """
     nh = bands * rows_per_band
     # min over duplicate shingles equals min over distinct shingles, so
@@ -95,6 +110,8 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     wide = wide.select(id_col, *band_sigs)
+    if materialize_sigs:
+        wide = wide.localCheckpoint(eager=True)
     sigs = wide.select(
         id_col,
         F.explode(

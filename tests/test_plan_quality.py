@@ -245,5 +245,7 @@ def test_minhash_bucket_cap_adds_no_python(stored, spark):
         [(i, f"document number {i} with some shared text") for i in range(50)],
         "doc_id long, text string",
     )
-    plan = _plan(minhash_lsh_pairs(docs, "text", "doc_id", bands=4))
+    plan = _plan(
+        minhash_lsh_pairs(docs, "text", "doc_id", bands=4, materialize_sigs=False)
+    )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
