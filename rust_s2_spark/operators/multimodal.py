@@ -175,3 +175,52 @@ def frame_sample(df: DataFrame, every_k: int, frame_bytes: int) -> DataFrame:
 
     cols = df.select(F.col("image_id").cast("long").alias("image_id"), "bytes")
     return cols.mapInPandas(fn, schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def average_hash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash computed FROM THE PIXELS: decode the
+    binary image column, gray = (r+g+b)/3 per pixel, bit i set iff
+    gray_i > mean(gray) (row-major). The from-pixels twin of the stored
+    phash column — image near-dup dedup over bytes, not metadata.
+
+    Accumulations are explicitly sequential (not numpy pairwise sums)
+    so the bit pattern is reproducible by any engine evaluating the
+    same left-to-right arithmetic (the DuckDB oracle re-derives every
+    pixel byte and the full 64-bit hash in SQL).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for row in pdf.itertuples():
+                px = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
+                flat = px.reshape(-1, 3)
+                grays = [
+                    (float(p[0]) + float(p[1]) + float(p[2])) / 3.0 for p in flat
+                ]
+                tot = 0.0
+                for g in grays:
+                    tot += g
+                mean = tot / float(len(grays))
+                h = 0
+                for i, g in enumerate(grays):
+                    if g > mean:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64  # two's-complement into LongType
+                ids.append(int(row.image_id))
+                hashes.append(h)
+            yield pd.DataFrame({"image_id": ids, "ahash": hashes})
+
+    cols = df.select(
+        F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    return cols.mapInPandas(fn, AHASH_SCHEMA)

@@ -1770,6 +1770,50 @@ FROM reach GROUP BY v
 """.strip()
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash FROM PIXELS (operators/multimodal.average_hash):
+    decode the binary raster, gray per pixel, bit = gray > mean. The
+    oracle re-derives every pixel byte from the md5 chain and the full
+    64-bit hash in SQL — exact integer equality on 3,000 images."""
+    from ..operators.multimodal import average_hash
+
+    img = images_from_orders(spark, sf_dir, with_bytes=True)
+    img = img.where(F.col("image_id").cast("long") % 5 == 0)
+    return average_hash(img)
+
+
+def o_image_ahash() -> str:
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        hi = digit.format(pos=2 * j + 1)
+        lo = digit.format(pos=2 * j + 2)
+        return f"({hi} * 16 + {lo})"
+
+    grays = " , ".join(
+        f"(({byte(3 * i)} + {byte(3 * i + 1)} + {byte(3 * i + 2)}) / 3.0) AS g{i}"
+        for i in range(64)
+    )
+    mean = "(" + " + ".join(f"g{i}" for i in range(64)) + ") / 64.0"
+    terms = ["CASE WHEN g63 > mg THEN (-9223372036854775807 - 1) ELSE 0 END"]
+    for i in range(63):
+        terms.append(f"CASE WHEN g{i} > mg THEN {1 << i} ELSE 0 END")
+    total = " + ".join(terms)
+    blocks = ["md5(CAST(o_orderkey AS VARCHAR))"]
+    for _ in range(11):
+        blocks.append(f"md5({blocks[-1]})")
+    hx = " || ".join(blocks)
+    return f"""
+WITH ids AS (
+  SELECT o_orderkey AS image_id, {hx} AS hx FROM orders
+  WHERE o_orderkey % 5 = 0
+),
+g AS (SELECT image_id, {grays} FROM ids),
+m AS (SELECT *, {mean} AS mg FROM g)
+SELECT image_id, CAST({total} AS BIGINT) AS ahash FROM m
+""".strip()
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.py):
     per-vector scale = max|v|, q = round(v/scale·127) — native SQL
@@ -2062,6 +2106,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
+        "image_ahash": q_image_ahash,
     }
 
 
@@ -2112,4 +2157,5 @@ def oracle_sql():
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),
+        "image_ahash": o_image_ahash(),
     }
