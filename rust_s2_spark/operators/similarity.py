@@ -278,28 +278,28 @@ def ivf_flat_topk(
             out.append(dot / (_norm(F.transform(col, lambda x: x.cast("double"))) * F.lit(cn)))
         return out
 
-    def argmax_cid(col):
-        cs = cos_exprs(col)
-        best = F.greatest(*cs) if len(cs) > 1 else cs[0]
-        cid = F.lit(None).cast("int")
-        # first match wins -> ties resolve to the LOWEST centroid id
-        for i in range(nc - 1, -1, -1):
-            cid = F.when(cs[i] == best, F.lit(i)).otherwise(cid)
-        return cid
+    # evaluate the nc cosines ONCE into an array column (a greatest+CASE
+    # argmax would re-evaluate every aggregate lambda per comparison);
+    # array_position takes the FIRST occurrence of the max -> ties
+    # resolve to the lowest centroid id
+    def cos_array(col):
+        return F.array(*cos_exprs(col))
 
     assigned = df.select(
-        F.col(id_col), F.col(vec_col), argmax_cid(F.col(vec_col)).alias("cid")
+        F.col(id_col), F.col(vec_col), cos_array(F.col(vec_col)).alias("__cos")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position("__cos", F.array_max("__cos")) - 1).cast("int").alias("cid"),
     )
 
     # queries probe their nprobe nearest centroids: sort (−cos, cid)
-    qcs = cos_exprs(F.col(vec_col))
     probe_arr = F.slice(
         F.array_sort(
-            F.array(
-                *[
-                    F.struct((-qcs[i]).alias("neg"), F.lit(i).alias("cid"))
-                    for i in range(nc)
-                ]
+            F.zip_with(
+                cos_array(F.col(vec_col)),
+                F.sequence(F.lit(0), F.lit(nc - 1)),
+                lambda c, i: F.struct((-c).alias("neg"), i.cast("int").alias("cid")),
             )
         ),
         1,
