@@ -238,6 +238,35 @@ def test_new_embedding_ops_stay_native(spark, sf_dir):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_connected_components_round_shape(spark):
+    """Each hash-to-min round must be equi-join + groupBy only: no
+    nested-loop join, no Python; the pair graph and labels are
+    checkpointed so rounds never replay the upstream pipeline."""
+    from rust_s2_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "a long, b long"
+    )
+    out = connected_components(pairs)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_documents_single_shuffle_one_python(spark):
+    """Packing = ONE shuffle on the group key + ONE Python node (the
+    per-group greedy walk)."""
+    from rust_s2_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [("s", i, 10 + i) for i in range(50)],
+        "source string, doc_id long, n_tokens long",
+    )
+    plan = _plan(pack_documents(df, 128))
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
 def test_minhash_bucket_cap_adds_no_python(stored, spark):
     from rust_s2_spark.operators.dedup import minhash_lsh_pairs
 
