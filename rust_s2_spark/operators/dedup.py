@@ -354,6 +354,13 @@ def connected_components(
         .select("v", F.col("v").alias("component"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    old_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["v"], "inner")
@@ -365,13 +372,13 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # labels only ever decrease, so Σcomponent is a strictly
+        # monotone convergence witness: unchanged sum == fixed point.
+        # One aggregate per round instead of a join + count (decimal
+        # accumulator: Σ of 64-bit ids overflows a long at scale).
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == old_sum:
             break
+        old_sum = new_sum
     return labels
