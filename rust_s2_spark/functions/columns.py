@@ -141,6 +141,21 @@ def s2_e_to_rad(e, k: int) -> Column:
     return _as_col(e).cast("double") * F.lit(_E_RAD_MUL[k])
 
 
+def s2_latlng_distance(lat1, lng1, lat2, lng2) -> Column:
+    """Haversine angle in RADIANS between two (degree) latlng pairs —
+    the reference's exact formula (latlng.rs:62-68: 2·atan2(√x, √max(0,
+    1−x))), pure native SQL (codegen; the geodesic-distance column for
+    scoring without going through xyz)."""
+    la1, lo1 = F.radians(_as_col(lat1)), F.radians(_as_col(lng1))
+    la2, lo2 = F.radians(_as_col(lat2)), F.radians(_as_col(lng2))
+    dlat = F.sin(F.lit(0.5) * (la2 - la1))
+    dlng = F.sin(F.lit(0.5) * (lo2 - lo1))
+    x = dlat * dlat + dlng * dlng * F.cos(la1) * F.cos(la2)
+    return F.lit(2.0) * F.atan2(
+        F.sqrt(x), F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - x))
+    )
+
+
 def chord2_expr(x1, y1, z1, x2, y2, z2) -> Column:
     """Squared chord distance between unit vectors — the kNN distance
     column; pure SQL arithmetic (ref point.rs:378-381)."""

@@ -78,6 +78,19 @@ _SQL_FUNCS = {
     "s2_e5_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e5!r}"),
     "s2_e6_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e6!r}"),
     "s2_e7_deg": ("(e INT) RETURNS DOUBLE", f"CAST(e AS DOUBLE) * {1.0 / 1e7!r}"),
+    # haversine angle in radians, the reference's exact formula
+    # (latlng.rs:62-68) — mirrors functions/columns.s2_latlng_distance
+    "s2_latlng_distance": (
+        "(lat1 DOUBLE, lng1 DOUBLE, lat2 DOUBLE, lng2 DOUBLE) RETURNS DOUBLE",
+        # plain products, not pow(x,2) — bit-identical to the Column API
+        "2.0 * atan2("
+        " sqrt(sin(0.5 * (radians(lat2) - radians(lat1))) * sin(0.5 * (radians(lat2) - radians(lat1)))"
+        "  + sin(0.5 * (radians(lng2) - radians(lng1))) * sin(0.5 * (radians(lng2) - radians(lng1)))"
+        "    * cos(radians(lat1)) * cos(radians(lat2))),"
+        " sqrt(greatest(0.0, 1.0 - (sin(0.5 * (radians(lat2) - radians(lat1))) * sin(0.5 * (radians(lat2) - radians(lat1)))"
+        "  + sin(0.5 * (radians(lng2) - radians(lng1))) * sin(0.5 * (radians(lng2) - radians(lng1)))"
+        "    * cos(radians(lat1)) * cos(radians(lat2))))))",
+    ),
 }
 
 

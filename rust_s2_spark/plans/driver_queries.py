@@ -1770,6 +1770,39 @@ FROM reach GROUP BY v
 """.strip()
 
 
+def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native haversine distance column (functions.s2_latlng_distance,
+    ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
+    NYC (bands are robust to last-ulp libm differences between engines;
+    the formula itself is identical text in both)."""
+    from ..functions import s2_latlng_distance
+
+    img = _images(spark, sf_dir)
+    d = s2_latlng_distance("lat", "lng", F.lit(NYC[0]), F.lit(NYC[1]))
+    return (
+        img.select(F.floor(F.degrees(d) / F.lit(10.0)).cast("int").alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def o_latlng_distance() -> str:
+    d = (
+        "2.0 * atan2("
+        f" sqrt(sin(0.5 * (radians({NYC[0]!r}) - radians(lat))) * sin(0.5 * (radians({NYC[0]!r}) - radians(lat)))"
+        f"  + sin(0.5 * (radians({NYC[1]!r}) - radians(lng))) * sin(0.5 * (radians({NYC[1]!r}) - radians(lng)))"
+        f"    * cos(radians(lat)) * cos(radians({NYC[0]!r}))),"
+        f" sqrt(greatest(0.0, 1.0 - (sin(0.5 * (radians({NYC[0]!r}) - radians(lat))) * sin(0.5 * (radians({NYC[0]!r}) - radians(lat)))"
+        f"  + sin(0.5 * (radians({NYC[1]!r}) - radians(lng))) * sin(0.5 * (radians({NYC[1]!r}) - radians(lng)))"
+        f"    * cos(radians(lat)) * cos(radians({NYC[0]!r}))))))"
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT CAST(floor(degrees({d}) / 10.0) AS INT) AS band, count(*) AS n
+FROM img GROUP BY 1
+""".strip()
+
+
 def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-hash FROM PIXELS (operators/multimodal.average_hash):
     decode the binary raster, gray per pixel, bit = gray > mean. The
@@ -2107,6 +2140,7 @@ def queries():
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "image_ahash": q_image_ahash,
+        "latlng_distance": q_latlng_distance,
     }
 
 
@@ -2158,4 +2192,5 @@ def oracle_sql():
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),
         "image_ahash": o_image_ahash(),
+        "latlng_distance": o_latlng_distance(),
     }

@@ -133,3 +133,31 @@ def test_bytes_fidelity_roundtrip(images):
     src = images.where(F.col("image_id") == row.image_id).first()
     assert bytes(src.bytes) == bytes(row.bytes)
     assert src.caption == row.caption
+
+
+def test_s2_latlng_distance_column(spark):
+    """Native haversine column == scalar kernel bit-for-bit, and the
+    reference's own distance goldens (latlng.rs:263-267) reproduce."""
+    import math
+
+    import rust_s2_spark.geometry.point as pt
+    from rust_s2_spark.functions import s2_latlng_distance
+
+    cases = [
+        ((90.0, 0.0), (90.0, 0.0), 0.0),
+        ((-37.0, 25.0), (-66.0, -155.0), 77.0),
+        ((0.0, 165.0), (0.0, -80.0), 115.0),
+    ]
+    df = spark.createDataFrame(
+        [(a1, b1, a2, b2) for (a1, b1), (a2, b2), _ in cases],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    got = [
+        r.d
+        for r in df.select(
+            s2_latlng_distance("lat1", "lng1", "lat2", "lng2").alias("d")
+        ).collect()
+    ]
+    for g, ((a1, b1), (a2, b2), want_deg) in zip(got, cases):
+        assert g == pt.latlng_distance_rad(a1, b1, a2, b2)  # bit-exact
+        assert abs(math.degrees(g) - want_deg) <= 1e-13
