@@ -303,3 +303,80 @@ def cells_per_region(df_joined: DataFrame, agg_level: int, cell_col: str = "cell
         df_joined.groupBy("region_id", s2_parent(cell_col, agg_level).alias("cell"))
         .count()
     )
+
+
+def within_distance_pairs(
+    df: DataFrame,
+    radius_deg: float,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Spatial self-join: all pairs (a < b) within ``radius_deg`` of each
+    other — the classic within-distance join.
+
+    Level L is chosen so the min cell width at L is at least the radius;
+    then any qualifying pair lies in the same or edge/vertex-adjacent
+    level-L cells (the kNN ring guarantee). Each point emits its own
+    cell plus its ≤8-cell neighbor ring as join targets; candidates =
+    equi-join of targets against own cells (ONE shuffle on the cell key,
+    broadcastable if one side is small, salt-able if skewed); the exact
+    chord² predicate then keeps true pairs, and a<b dedupes the
+    symmetric ring double-finds.
+    """
+    import math as _math
+
+    from ..functions import chord2_expr, s2_all_neighbors, s2_parent, xyz_cols
+    from ..kernels import metric as metrics
+
+    rad = _math.radians(radius_deg)
+    lvl = max(0, min(30, metrics.MIN_WIDTH.max_level(rad)))
+    s = 2.0 * _math.sin(0.5 * min(rad, _math.pi))
+    chord2_max = s * s
+
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(lat_col).alias("plat"),
+        F.col(lng_col).alias("plng"),
+        s2_parent(cell_col, lvl).alias("pcell"),
+    )
+    if lvl == 0:
+        # level 0: the ring guarantee needs all faces — fall back to the
+        # full 6-cell fan-out (radius is a large fraction of the sphere)
+        faces = [int(x) for x in k.from_face(np.arange(6)).view(np.int64)]
+        targets = pts.select(
+            "pid",
+            "plat",
+            "plng",
+            F.explode(F.array(*[F.lit(f) for f in faces])).alias("tcell"),
+        )
+    else:
+        # all_neighbors requires a cell AT the ring level — ring around
+        # the level-L parent, not the leaf
+        targets = pts.select(
+            "pid",
+            "plat",
+            "plng",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("pcell")),
+                    s2_all_neighbors(F.col("pcell"), lvl),
+                )
+            ).alias("tcell"),
+        )
+    other = pts.select(
+        F.col("pid").alias("qid"),
+        F.col("plat").alias("qlat"),
+        F.col("plng").alias("qlng"),
+        F.col("pcell").alias("tcell"),
+    )
+    j = targets.join(other, "tcell").where(F.col("pid") < F.col("qid"))
+    px, py, pz = xyz_cols("plat", "plng")
+    qx, qy, qz = xyz_cols("qlat", "qlng")
+    d2 = chord2_expr(px, py, pz, qx, qy, qz)
+    return (
+        j.where(d2 <= F.lit(chord2_max))
+        .select(F.col("pid").alias("a"), F.col("qid").alias("b"))
+        .distinct()
+    )

@@ -1770,6 +1770,47 @@ FROM reach GROUP BY v
 """.strip()
 
 
+WITHIN_RADIUS_DEG = 0.7
+
+
+def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial SELF-join (covering_join.
+    within_distance_pairs): all image pairs within 0.7° of each other,
+    on a deterministic 1-in-7 subset. Candidates = neighbor-ring
+    equi-join at the radius-derived level; exact chord² filter. The
+    oracle is an EXHAUSTIVE pair scan with the same chord² threshold —
+    algorithm-independent, so the ring recall guarantee is verified,
+    not assumed."""
+    from ..operators.covering_join import within_distance_pairs
+
+    img = (
+        _images(spark, sf_dir)
+        .withColumn("image_id", F.col("image_id").cast("long"))
+        .where(F.col("image_id") % 7 == 0)
+    )
+    out = within_distance_pairs(img, WITHIN_RADIUS_DEG)
+    return out.select("a", "b")
+
+
+def o_within_distance() -> str:
+    rad = math.radians(WITHIN_RADIUS_DEG)
+    s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+    chord2_max = s * s
+    d2 = (
+        "(pow(cos(radians(r.lng))*cos(radians(r.lat)) - cos(radians(l.lng))*cos(radians(l.lat)), 2)"
+        " + pow(sin(radians(r.lng))*cos(radians(r.lat)) - sin(radians(l.lng))*cos(radians(l.lat)), 2)"
+        " + pow(sin(radians(r.lat)) - sin(radians(l.lat)), 2))"
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+sub AS (SELECT CAST(image_id AS BIGINT) AS id, lat, lng FROM img
+        WHERE CAST(image_id AS BIGINT) % 7 = 0)
+SELECT l.id AS a, r.id AS b
+FROM sub l, sub r
+WHERE l.id < r.id AND {d2} <= {chord2_max!r}
+""".strip()
+
+
 def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native haversine distance column (functions.s2_latlng_distance,
     ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
@@ -2141,6 +2182,7 @@ def queries():
         "quantize_embeddings": q_quantize_embeddings,
         "image_ahash": q_image_ahash,
         "latlng_distance": q_latlng_distance,
+        "within_distance": q_within_distance,
     }
 
 
@@ -2193,4 +2235,5 @@ def oracle_sql():
         "quantize_embeddings": o_quantize_embeddings(),
         "image_ahash": o_image_ahash(),
         "latlng_distance": o_latlng_distance(),
+        "within_distance": o_within_distance(),
     }

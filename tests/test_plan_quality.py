@@ -238,6 +238,19 @@ def test_new_embedding_ops_stay_native(spark, sf_dir):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_within_distance_is_equi_join(stored, spark):
+    """The within-distance self-join must be an equi-join on the ring
+    cell key — no cross/nested-loop join, no Python in the candidate
+    path besides the neighbor-ring Arrow kernel."""
+    from rust_s2_spark.operators.covering_join import within_distance_pairs
+
+    df = stored.withColumn("image_id", F.col("image_id").cast("long"))
+    plan = _plan(within_distance_pairs(df, 0.7))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_connected_components_round_shape(spark):
     """Each hash-to-min round must be equi-join + groupBy only: no
     nested-loop join, no Python; the pair graph and labels are
