@@ -382,3 +382,34 @@ def connected_components(
             break
         old_sum = new_sum
     return labels
+
+
+def select_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """The dedup DECISION step: per near-dup cluster keep the best doc.
+
+    clusters: (v, component) from connected_components; scores:
+    (id_col, score_col). Keeper = highest score, ties to the lowest id
+    (deterministic). Returns (component, keeper, n_docs) — one shuffle
+    on the component key; the keeper choice is a window rank, so the
+    whole decision stays relational and reproducible.
+    """
+    j = clusters.join(
+        scores.select(F.col(id_col).alias("v"), F.col(score_col).alias("__s")),
+        "v",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("v").asc()
+    )
+    ranked = j.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("v"))).alias("keeper"),
+            F.count("*").alias("n_docs"),
+        )
+    )

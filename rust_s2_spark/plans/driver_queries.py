@@ -2087,6 +2087,63 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SI
 """.strip()
 
 
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION pipeline end-to-end: minhash pair graph →
+    connected components → per-cluster canonical selection (highest
+    quality_score, ties to lowest doc_id). Oracle: recursive closure +
+    the same quality recomputation + window rank, all in DuckDB."""
+    from ..operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        select_canonical,
+    )
+    from ..operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
+    clusters = connected_components(pairs, "a", "b")
+    scores = quality_score(docs, "text", "doc_id").select("doc_id", "quality")
+    out = select_canonical(clusters, scores)
+    return out.select(
+        F.col("component").cast("long").alias("component"),
+        F.col("keeper").cast("long").alias("keeper"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def o_dedup_keepers() -> str:
+    cand = o_minhash_pairs()
+    quality = o_quality_score()
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+edges AS (
+  SELECT a AS src, b AS dst FROM cand
+  UNION ALL
+  SELECT b AS src, a AS dst FROM cand
+),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+),
+comp AS (
+  SELECT CAST(v AS BIGINT) AS v, CAST(MIN(r) AS BIGINT) AS component
+  FROM reach GROUP BY v
+),
+q AS ({quality}),
+ranked AS (
+  SELECT c.component, c.v,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY q.quality DESC, c.v ASC
+         ) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.v
+)
+SELECT component, MAX(CASE WHEN rn = 1 THEN v END) AS keeper,
+       count(*) AS n_docs
+FROM ranked GROUP BY component
+""".strip()
+
+
 def q_angle_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E6/E7 integer angle encodings at 15k rows (native SQL
     round/cast, ref s1/angle.rs:316-351 convert_i32!): encode lat/lng,
@@ -2183,6 +2240,7 @@ def queries():
         "image_ahash": q_image_ahash,
         "latlng_distance": q_latlng_distance,
         "within_distance": q_within_distance,
+        "dedup_keepers": q_dedup_keepers,
     }
 
 
@@ -2236,4 +2294,5 @@ def oracle_sql():
         "image_ahash": o_image_ahash(),
         "latlng_distance": o_latlng_distance(),
         "within_distance": o_within_distance(),
+        "dedup_keepers": o_dedup_keepers(),
     }
