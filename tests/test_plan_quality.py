@@ -291,3 +291,48 @@ def test_minhash_bucket_cap_adds_no_python(stored, spark):
         minhash_lsh_pairs(docs, "text", "doc_id", bands=4, materialize_sigs=False)
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_within_distance_radius_sweep(spark, sf_dir):
+    """Ring recall across radius regimes (deep level, metro, continental,
+    level-0 fan-out): exact vs a brute-force cross-join at sf0.001."""
+    from rust_s2_spark.functions import chord2_expr, xyz_cols
+    from rust_s2_spark.operators.covering_join import within_distance_pairs
+    from rust_s2_spark.sources import images_from_orders
+
+    import math
+
+    img = (
+        images_from_orders(spark, sf_dir, with_bytes=False)
+        .withColumn("image_id", F.col("image_id").cast("long"))
+        .where(F.col("image_id") % 3 == 0)
+        .cache()
+    )
+    img.count()
+    for radius_deg in (0.05, 1.0, 25.0, 120.0):
+        got = {
+            (r.a, r.b)
+            for r in within_distance_pairs(img, radius_deg).collect()
+        }
+        rad = math.radians(radius_deg)
+        s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+        left = img.select(
+            F.col("image_id").alias("a"),
+            F.col("lat").alias("alat"),
+            F.col("lng").alias("alng"),
+        )
+        right = img.select(
+            F.col("image_id").alias("b"),
+            F.col("lat").alias("blat"),
+            F.col("lng").alias("blng"),
+        )
+        ax, ay, az = xyz_cols("alat", "alng")
+        bx, by, bz = xyz_cols("blat", "blng")
+        want = {
+            (r.a, r.b)
+            for r in left.crossJoin(right)
+            .where(F.col("a") < F.col("b"))
+            .where(chord2_expr(ax, ay, az, bx, by, bz) <= F.lit(s * s))
+            .collect()
+        }
+        assert got == want, f"radius {radius_deg}: {len(got)} vs {len(want)}"
