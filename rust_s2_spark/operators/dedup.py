@@ -291,6 +291,12 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     so the two 32-bit halves are combined with shiftleft/OR — exact);
     each bit votes ±1; sign of the vote per bit forms the fingerprint.
     """
+    # same hazard as shingles(): the token explode multiplies rows and
+    # every token pays an md5 — a single-file corpus would run all of it
+    # on one core; spread the docs pre-explode (tiny shuffle)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
@@ -328,7 +334,9 @@ def connected_components(
     itself; each round takes the min label over itself and its
     neighbors; converges in O(graph diameter) rounds (near-dup clusters
     are star/clique-like, so 2-4 rounds in practice — labels only
-    decrease, so convergence is guaranteed and detected exactly).
+    decrease, so the fixed point is detected exactly via the label-sum
+    witness; exhausting ``max_iter`` before the fixed point raises
+    rather than silently returning split components).
 
     At scale each round is one equi-join + groupBy shuffle keyed on the
     vertex id — no driver-side graph state; labels are
@@ -361,6 +369,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     old_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["v"], "inner")
@@ -379,8 +388,18 @@ def connected_components(
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == old_sum:
+            converged = True
             break
         old_sum = new_sum
+    if not converged:
+        # hash-to-min moves labels one hop per round: a chain with
+        # diameter > max_iter would come back SPLIT into several
+        # components — never return that silently
+        raise RuntimeError(
+            f"connected_components did not reach its fixed point in "
+            f"{max_iter} rounds (pair-graph diameter exceeds max_iter); "
+            "raise max_iter"
+        )
     return labels
 
 

@@ -186,38 +186,47 @@ AHASH_SCHEMA = StructType(
 
 
 def average_hash(df: DataFrame) -> DataFrame:
-    """Perceptual average-hash computed FROM THE PIXELS: decode the
-    binary image column, gray = (r+g+b)/3 per pixel, bit i set iff
-    gray_i > mean(gray) (row-major). The from-pixels twin of the stored
-    phash column — image near-dup dedup over bytes, not metadata.
+    """Perceptual average-hash computed FROM THE PIXELS — the standard
+    ahash composition, correct for ANY input size:
 
-    Accumulations are explicitly sequential (not numpy pairwise sums)
-    so the bit pattern is reproducible by any engine evaluating the
-    same left-to-right arithmetic (the DuckDB oracle re-derives every
-    pixel byte and the full 64-bit hash in SQL).
+      1. decode the binary image column,
+      2. downsample to an 8x8 grid (deterministic nearest-neighbor —
+         ``resize_nearest``; a no-op for 8x8 inputs),
+      3. per grid pixel the integer brightness s_i = r+g+b,
+      4. bit i set iff 64*s_i > sum_j s_j (row-major).
+
+    Step 4 is the exact-integer form of "gray_i > mean(gray)"
+    (multiply both sides by 3*64): integer sums are associative, so the
+    whole hash stage is vectorized numpy over the batch — zero per-pixel
+    Python, and bit-for-bit reproducible by any engine evaluating the
+    same integer comparisons (the DuckDB oracle re-derives every grid
+    byte, the nearest-neighbor source index arithmetic, and the full
+    64-bit hash in SQL). The from-pixels twin of the stored phash
+    column — image near-dup dedup over bytes, not metadata.
     """
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for row in pdf.itertuples():
+            n = len(pdf)
+            sums = np.empty((n, 64), dtype=np.int64)
+            ids = np.empty(n, dtype=np.int64)
+            for i, row in enumerate(pdf.itertuples()):
                 px = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
-                flat = px.reshape(-1, 3)
-                grays = [
-                    (float(p[0]) + float(p[1]) + float(p[2])) / 3.0 for p in flat
-                ]
-                tot = 0.0
-                for g in grays:
-                    tot += g
-                mean = tot / float(len(grays))
-                h = 0
-                for i, g in enumerate(grays):
-                    if g > mean:
-                        h |= 1 << i
-                if h >= 1 << 63:
-                    h -= 1 << 64  # two's-complement into LongType
-                ids.append(int(row.image_id))
-                hashes.append(h)
+                if px.shape[0] != 8 or px.shape[1] != 8:
+                    px = resize_nearest(px, 8, 8)
+                sums[i] = px.reshape(64, 3).astype(np.int64).sum(axis=1)
+                ids[i] = int(row.image_id)
+            tot = sums.sum(axis=1, keepdims=True)  # <= 64*765: exact int64
+            bits = (64 * sums) > tot
+            # distinct powers of two + 0/1 bits -> sum == bitwise OR, and
+            # the full 64-bit value fits uint64; reinterpret as int64 for
+            # the two's-complement LongType column
+            hashes = (
+                (bits.astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
             yield pd.DataFrame({"image_id": ids, "ahash": hashes})
 
     cols = df.select(

@@ -8,8 +8,14 @@ bucket), each group is packed GREEDILY in a deterministic order
 budget, else start a new pack. Oversized docs get a pack of their own.
 
 Spark-side this is ``applyInPandas`` per group — one shuffle on the
-group key, the greedy walk is a vectorized cumsum-with-reset per group
-(groups are bounded by the partition design, never the whole table).
+group key. The greedy walk itself is a sequential per-row loop: each
+pack boundary depends on the running total AFTER the previous reset,
+so the recurrence is inherently order-dependent (a cumsum-with-reset
+has no closed vectorized form). That is fine at scale because the
+loop runs on plain Python ints over one group at a time, and groups
+are bounded by the partition design (a source shard / cell bucket),
+never the whole table — the cost is O(group size) with no Spark
+overhead inside it.
 Determinism: output is a pure function of (group, doc order, budget),
 so re-runs and engine ports agree row-for-row — the driver oracle walks
 the same order with a recursive CTE in DuckDB.

@@ -1845,45 +1845,56 @@ FROM img GROUP BY 1
 
 
 def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average-hash FROM PIXELS (operators/multimodal.average_hash):
-    decode the binary raster, gray per pixel, bit = gray > mean. The
-    oracle re-derives every pixel byte from the md5 chain and the full
-    64-bit hash in SQL — exact integer equality on 3,000 images."""
+    """Average-hash FROM PIXELS (operators/multimodal.average_hash) on
+    a MIXED-SIZE corpus (w, h in {8,12,16} per row): decode, nearest-
+    resize to the 8x8 grid, integer hash (bit i iff 64*s_i > sum s_j,
+    s = r+g+b). The oracle re-derives every grid byte — including the
+    nearest-neighbor source-index arithmetic — from the md5 chain and
+    the full 64-bit hash in SQL; exact integer equality on 3,000
+    images across all nine size combinations."""
     from ..operators.multimodal import average_hash
+    from ..sources.images import images_mixed_sizes
 
-    img = images_from_orders(spark, sf_dir, with_bytes=True)
-    img = img.where(F.col("image_id").cast("long") % 5 == 0)
-    return average_hash(img)
+    return average_hash(images_mixed_sizes(spark, sf_dir, modulus=5))
 
 
 def o_image_ahash() -> str:
     digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
 
-    def byte(j: int) -> str:
-        hi = digit.format(pos=2 * j + 1)
-        lo = digit.format(pos=2 * j + 2)
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"2*({j})+1")
+        lo = digit.format(pos=f"2*({j})+2")
         return f"({hi} * 16 + {lo})"
 
-    grays = " , ".join(
-        f"(({byte(3 * i)} + {byte(3 * i + 1)} + {byte(3 * i + 2)}) / 3.0) AS g{i}"
-        for i in range(64)
-    )
-    mean = "(" + " + ".join(f"g{i}" for i in range(64)) + ") / 64.0"
-    terms = ["CASE WHEN g63 > mg THEN (-9223372036854775807 - 1) ELSE 0 END"]
+    sums = []
+    for o in range(64):
+        y, x = divmod(o, 8)
+        # nearest-neighbor source pixel of output (y, x): row (y*h)//8,
+        # col (x*w)//8 (y < 8 <= h so the min(...,h-1) clamp is a no-op)
+        idx = f"((({y}*h)//8)*w + (({x}*w)//8))"
+        s = " + ".join(byte(f"3*({idx})+{c}") for c in range(3))
+        sums.append(f"({s}) AS s{o}")
+    grid = " , ".join(sums)
+    ts = "(" + " + ".join(f"s{i}" for i in range(64)) + ")"
+    terms = ["CASE WHEN 64*s63 > ts THEN (-9223372036854775807 - 1) ELSE 0 END"]
     for i in range(63):
-        terms.append(f"CASE WHEN g{i} > mg THEN {1 << i} ELSE 0 END")
+        terms.append(f"CASE WHEN 64*s{i} > ts THEN {1 << i} ELSE 0 END")
     total = " + ".join(terms)
-    blocks = ["md5(CAST(o_orderkey AS VARCHAR))"]
-    for _ in range(11):
-        blocks.append(f"md5({blocks[-1]})")
+    blocks = [
+        f"md5(CAST(o_orderkey AS VARCHAR) || '_{i}')" for i in range(48)
+    ]
     hx = " || ".join(blocks)
+    d = _derivation_sql("o_orderkey")
     return f"""
 WITH ids AS (
-  SELECT o_orderkey AS image_id, {hx} AS hx FROM orders
-  WHERE o_orderkey % 5 = 0
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+         CAST(8 + 4 * ({d["k1"]} % 3) AS INT) AS w,
+         CAST(8 + 4 * ({d["k2"]} % 3) AS INT) AS h,
+         {hx} AS hx
+  FROM orders WHERE o_orderkey % 5 = 0
 ),
-g AS (SELECT image_id, {grays} FROM ids),
-m AS (SELECT *, {mean} AS mg FROM g)
+g AS (SELECT image_id, {grid} FROM ids),
+m AS (SELECT *, {ts} AS ts FROM g)
 SELECT image_id, CAST({total} AS BIGINT) AS ahash FROM m
 """.strip()
 
@@ -2087,6 +2098,109 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SI
 """.strip()
 
 
+IVF_TRAIN_NC = 8
+IVF_TRAIN_ITERS = 2
+IVF_TRAIN_DIM = 64
+IVF_TRAIN_SCALE = "1e6"
+
+
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a TRAINED coarse quantizer
+    (operators/similarity.train_ivf_centroids): deterministic md5-ranked
+    init, 2 Lloyd rounds (argmax-cosine assignment + integer-exact
+    quantized-mean update — order-independent, so DuckDB replays the
+    whole training relationally), then the standard assign/probe/re-rank.
+    Closes round-3 verdict "bring your own index"."""
+    from ..operators.similarity import ivf_flat_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(
+        emb, IVF_TRAIN_NC, n_iter=IVF_TRAIN_ITERS
+    )
+    q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_flat_topk(emb, q, SIM_K, cents, nprobe=IVF_NPROBE)
+
+
+def o_ivf_topk_trained() -> str:
+    dim, nc, scale = IVF_TRAIN_DIM, IVF_TRAIN_NC, IVF_TRAIN_SCALE
+    qids = ",".join(str(i) for i in SIM_QUERY_IDS)
+
+    def cos(vec: str, cent: str) -> str:
+        return (
+            f"list_dot_product({vec}::DOUBLE[], {cent})"
+            f" / (sqrt(list_dot_product({vec}::DOUBLE[], {vec}::DOUBLE[]))"
+            f" * sqrt(list_dot_product({cent}, {cent})))"
+        )
+
+    rn_seed = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    parts = [
+        f"""cents0 AS (
+  SELECT {rn_seed} - 1 AS cid, embedding::DOUBLE[] AS c
+  FROM embeddings QUALIFY {rn_seed} <= {nc}
+)"""
+    ]
+    # per-coordinate INTEGER sums (bigint — the order-independent form
+    # the Spark trainer uses), then mean = s / (n*scale): one IEEE
+    # division, identical in both engines
+    s_exprs = ", ".join(
+        f"sum(CAST(round(x.embedding[{j + 1}]::DOUBLE * {scale}) AS BIGINT)) AS s{j}"
+        for j in range(dim)
+    )
+    coords = ", ".join(f"u.s{j} / (u.n * {scale})" for j in range(dim))
+    for r in range(1, IVF_TRAIN_ITERS + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT x.vec_id, x.embedding, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {cos("x.embedding", "c.c")} DESC, c.cid ASC) AS rn
+  FROM embeddings x, cents{r - 1} c
+),
+u{r} AS (
+  SELECT cid, count(*) AS n, {s_exprs}
+  FROM a{r} x WHERE rn = 1 GROUP BY cid
+),
+cents{r} AS (
+  SELECT p.cid, CASE WHEN u.n IS NULL THEN p.c ELSE [{coords}] END AS c
+  FROM cents{r - 1} p LEFT JOIN u{r} u USING (cid)
+)"""
+        )
+    last = f"cents{IVF_TRAIN_ITERS}"
+    parts.append(
+        f"""ascore AS (
+  SELECT x.vec_id, x.embedding, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {cos("x.embedding", "c.c")} DESC, c.cid ASC) AS rn
+  FROM embeddings x, {last} c
+),
+assigned AS (SELECT vec_id, embedding, cid FROM ascore WHERE rn = 1),
+qscore AS (
+  SELECT x.vec_id AS query_id, x.embedding, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {cos("x.embedding", "c.c")} DESC, c.cid ASC) AS rn
+  FROM embeddings x, {last} c WHERE x.vec_id IN ({qids})
+),
+probes AS (SELECT query_id, embedding, cid FROM qscore WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], p.embedding::DOUBLE[]) AS cos
+  FROM assigned a JOIN probes p USING (cid)
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM cand
+)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, CAST(rank AS INT) AS rank, vec_id "
+        f"FROM ranked WHERE rank <= {SIM_K}"
+    )
+
+
 def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DECISION pipeline end-to-end: minhash pair graph →
     connected components → per-cluster canonical selection (highest
@@ -2234,6 +2348,7 @@ def queries():
         "region_join_1k": q_region_join_1k,
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_trained": q_ivf_topk_trained,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2288,6 +2403,7 @@ def oracle_sql():
         "region_join_1k": o_region_join_1k(),
         "dedup_clusters": o_dedup_clusters(),
         "ivf_topk": o_ivf_topk(),
+        "ivf_topk_trained": o_ivf_topk_trained(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

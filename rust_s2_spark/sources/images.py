@@ -132,6 +132,48 @@ def images_from_orders(
     )
 
 
+def images_mixed_sizes(
+    spark: SparkSession, sf_dir: str, modulus: int = 5
+) -> DataFrame:
+    """Deterministic MIXED-SIZE raster corpus: per-row w, h drawn from
+    {8, 12, 16} via the shared key hash (w from k1, h from k2 — nine
+    size combinations), bytes = exactly w*h*3 bytes cut from a 48-block
+    chained-md5 stream. Exercises the resize-to-8x8 step of
+    ``average_hash`` on inputs the fixed-8x8 table can't; the whole
+    derivation is the same bigint arithmetic DuckDB replays exactly.
+
+    ``modulus`` keeps every key with o_orderkey % modulus == 0 (the
+    driver-corpus convention for a ~1/5 sample).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+    if modulus > 1:
+        orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    d = _derivation_sql("o_orderkey")
+    # 48 INDEPENDENT md5 blocks (key || '_i') = 768 bytes >= the
+    # 16*16*3 max raster — independent, not chained, so the expression
+    # tree stays flat (a 48-deep nested-md5 chain OOMs Spark codegen's
+    # subexpression-elimination pass)
+    blocks = [
+        F.md5(F.expr(f"CAST(o_orderkey AS STRING) || '_{i}'")) for i in range(48)
+    ]
+    df = orders.select(
+        F.col("o_orderkey").cast("long").alias("image_id"),
+        F.expr(f"CAST(8 + 4 * ({d['k1']} % 3) AS INT)").alias("w"),
+        F.expr(f"CAST(8 + 4 * ({d['k2']} % 3) AS INT)").alias("h"),
+        F.concat(*blocks).alias("__hx"),
+    )
+    return df.select(
+        "image_id",
+        F.unhex(F.expr("substring(__hx, 1, w * h * 6)")).alias("bytes"),
+        "w",
+        "h",
+        F.lit("raw").alias("fmt"),
+    )
+
+
 def write_images_table(
     spark: SparkSession,
     sf_dir: str,

@@ -157,6 +157,24 @@ def test_connected_components(spark):
     assert got == want
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """A path longer than max_iter hops CANNOT converge (hash-to-min
+    moves labels one hop per round) — the operator must raise, never
+    silently return split components (round-3 ADVICE)."""
+    import pytest
+
+    from rust_s2_spark.operators.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(path, max_iter=2)
+    # and with enough rounds the same graph is one component
+    got = {r.component for r in connected_components(path, max_iter=10).collect()}
+    assert got == {0}
+
+
 def test_pack_documents_invariants(spark):
     """Greedy packing: per-pack token totals never exceed the budget
     (except single oversized docs, which pack alone), packs are

@@ -59,6 +59,41 @@ def test_resize_deterministic(images):
         assert bytes(r.bytes) == want.tobytes()
 
 
+def test_average_hash_mixed_sizes(spark, sf_dir):
+    """average_hash is the standard resize-to-8x8 composition, correct
+    for ANY input size (the round-3 version assumed 64 pixels): equals
+    the scalar reference (decode -> nearest-resize -> integer rule
+    64*s_i > sum s_j) on a mixed {8,12,16}-size corpus, and equals
+    hashing an explicitly pre-resized 8x8 thumbnail."""
+    from rust_s2_spark.operators.multimodal import average_hash
+    from rust_s2_spark.sources.images import images_mixed_sizes
+
+    mix = images_mixed_sizes(spark, sf_dir, modulus=37).cache()
+    rows = mix.collect()
+    sizes = {(r.w, r.h) for r in rows}
+    assert len(sizes) > 1 and any(w * h > 64 for w, h in sizes)
+
+    got = {r.image_id: r.ahash for r in average_hash(mix).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        px = decode_raw(bytes(r.bytes), r.w, r.h)
+        grid = resize_nearest(px, 8, 8).reshape(64, 3).astype(int).sum(axis=1)
+        tot = int(grid.sum())
+        h = 0
+        for i in range(64):
+            if 64 * int(grid[i]) > tot:
+                h |= 1 << i
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert got[r.image_id] == h, r.image_id
+
+    # composition property: pre-resizing to the 8x8 grid is a no-op
+    thumbs = resize_images(mix, 8, 8).withColumn("fmt", F.lit("raw"))
+    via_thumb = {r.image_id: r.ahash for r in average_hash(thumbs).collect()}
+    assert via_thumb == got
+    mix.unpersist()
+
+
 def test_frame_sample(images):
     # treat the 192-byte blob as a 4-frame 'video' with 48-byte frames
     out = frame_sample(images.limit(20), every_k=2, frame_bytes=48)
