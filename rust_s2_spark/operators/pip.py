@@ -70,7 +70,144 @@ def loop_contains_expr(region, lat_col: str, lng_col: str) -> Column:
     return _pip(F.col(lat_col), F.col(lng_col))
 
 
-def _build_edge_index(loops, boundary_cells: np.ndarray):
+_EPS = 2.220446049250313e-16
+
+
+def _edge_rect_bounds(A: np.ndarray, B: np.ndarray):
+    """Vectorized per-edge RectBounder bounds: ONE numpy pass over all
+    edges instead of one Python RectBounder + two add_point calls each
+    (the round-3 verdict's driver-side ceiling on the PIP path — a
+    100k-edge coastline built ~10M Python calls before the job started).
+
+    Mirrors rect_bounder.py add_point(a); add_point(b); get_bound()
+    branch for branch (ref rect_bounder.rs:83-264): the union with the
+    first point's rect is a no-op (both endpoint lat/lngs are already in
+    the edge intervals), so the result per edge is exactly the scalar
+    bound. Returns (lat_lo, lat_hi, lng_lo, lng_hi) with S1 conventions
+    (-pi normalized to pi; inverted lo > hi wraps the date line; full =
+    (-pi, pi)); tests/test_edges_pip.py pins parity vs the scalar path.
+    """
+    pi, half = np.pi, np.pi / 2
+    ax, ay, az = A[:, 0], A[:, 1], A[:, 2]
+    bx, by, bz = B[:, 0], B[:, 1], B[:, 2]
+    a_lat = np.arctan2(az, np.hypot(ax, ay))
+    b_lat = np.arctan2(bz, np.hypot(bx, by))
+    a_lng = np.arctan2(ay, ax)
+    b_lng = np.arctan2(by, bx)
+    a_lng = np.where(a_lng == -pi, pi, a_lng)
+    b_lng = np.where(b_lng == -pi, pi, b_lng)
+
+    # N = (A-B) x (A+B) — the robust 2*(A x B)
+    d = A - B
+    n = np.cross(d, A + B)
+    n_norm = np.sqrt((n * n).sum(axis=1))
+    degen = n_norm < 1.91346e-15
+    anti = (A * B).sum(axis=1) < 0
+    full = degen & anti
+
+    lat_lo = np.minimum(a_lat, b_lat)
+    lat_hi = np.maximum(a_lat, b_lat)
+    # S1Interval.from_point_pair: shorter arc; may be inverted (wraps pi)
+    pdist = b_lng - a_lng
+    pdist = np.where(pdist >= 0, pdist, (b_lng + pi) - (a_lng - pi))
+    lng_lo = np.where(pdist <= pi, a_lng, b_lng)
+    lng_hi = np.where(pdist <= pi, b_lng, a_lng)
+    ln = lng_hi - lng_lo
+    ln = np.where(ln < 0, ln + 2 * pi, ln)
+    lng_full = full | ((~degen) & (ln >= pi - 2 * _EPS))
+
+    # interior min/max latitude (normal branch): M = N x Z = (n1,-n0,0)
+    m_a = n[:, 1] * ax - n[:, 0] * ay
+    m_b = n[:, 1] * bx - n[:, 0] * by
+    m_err = 6.06638e-16 * n_norm + 6.83174e-31
+    need = (~degen) & (
+        (m_a * m_b < 0) | (np.abs(m_a) <= m_err) | (np.abs(m_b) <= m_err)
+    )
+    max_lat = np.minimum(
+        np.arctan2(np.hypot(n[:, 0], n[:, 1]), np.abs(n[:, 2])) + 3 * _EPS, half
+    )
+    lat_budget_z = 0.5 * np.sqrt((d * d).sum(axis=1)) * np.sin(max_lat)
+    lat_budget = 2 * np.arcsin(np.minimum((1 + 4 * _EPS) * lat_budget_z, 1.0))
+    max_delta = 0.5 * (lat_budget - (lat_hi - lat_lo)) + _EPS
+    hi_cond = need & (m_a <= m_err) & (m_b >= -m_err)
+    lo_cond = need & (m_b <= m_err) & (m_a >= -m_err)
+    lat_hi = np.where(hi_cond, np.minimum(max_lat, lat_hi + max_delta), lat_hi)
+    lat_lo = np.where(lo_cond, np.maximum(-max_lat, lat_lo - max_delta), lat_lo)
+
+    # get_bound(): expand lat by 2*eps, clamp to valid; polar closure
+    lat_lo = np.where(full, -half, np.maximum(lat_lo - 2 * _EPS, -half))
+    lat_hi = np.where(full, half, np.minimum(lat_hi + 2 * _EPS, half))
+    lng_full = lng_full | (lat_lo == -half) | (lat_hi == half)
+    lng_lo = np.where(lng_full, -pi, lng_lo)
+    lng_hi = np.where(lng_full, pi, lng_hi)
+    return lat_lo, lat_hi, lng_lo, lng_hi
+
+
+def _rects_intersect_arrays(
+    c_lat_lo, c_lat_hi, c_lng_lo, c_lng_hi, lat_lo, lat_hi, lng_lo, lng_hi
+) -> np.ndarray:
+    """One rect (scalars, S1 conventions) vs arrays of rects — the
+    S1/R1 intersects logic (intervals.py:71,265) as array ops."""
+    lat_ok = (c_lat_lo <= lat_hi) & (lat_lo <= c_lat_hi)
+    e_inv = lng_lo > lng_hi
+    touch = (lng_lo <= c_lng_hi) | (lng_hi >= c_lng_lo)
+    if c_lng_lo > c_lng_hi:  # query interval inverted (wraps the date line)
+        lng_ok = e_inv | touch
+    else:
+        both = (lng_lo <= c_lng_hi) & (lng_hi >= c_lng_lo)
+        lng_ok = np.where(e_inv, touch, both)
+    return lat_ok & lng_ok
+
+
+def _candidate_edges_vec(cell_rect, lat_lo, lat_hi, lng_lo, lng_hi) -> np.ndarray:
+    """Edge ids whose bound intersects ``cell_rect``."""
+    return np.nonzero(
+        _rects_intersect_arrays(
+            cell_rect.lat.lo,
+            cell_rect.lat.hi,
+            cell_rect.lng.lo,
+            cell_rect.lng.hi,
+            lat_lo,
+            lat_hi,
+            lng_lo,
+            lng_hi,
+        )
+    )[0]
+
+
+def _centers_inside_prefiltered(lp, centers: np.ndarray, bounds) -> np.ndarray:
+    """Crossing-parity state of each center vs ONE loop, with a rect
+    prefilter: an edge can cross the anchor→center geodesic only if its
+    RectBounder bound intersects that segment's bound (any crossing
+    point lies on both geodesics, hence inside both bounds), so
+    non-candidates contribute crossing=False and the parity over the
+    candidate subset equals the parity over all edges. Cuts the exact
+    simple_crossing work from O(centers x edges) to the few edges near
+    each query segment — the piece that kept the 100k-edge index build
+    at ~20 s even after the bound pass was vectorized."""
+    from ..kernels import edges as ek
+
+    verts = lp.vertices
+    va = verts
+    vb = np.roll(verts, -1, axis=0)
+    anchors = np.broadcast_to(np.asarray(lp.anchor, dtype=np.float64), centers.shape)
+    s_bounds = _edge_rect_bounds(np.ascontiguousarray(anchors), centers)
+    out = np.zeros(len(centers), dtype=bool)
+    for i in range(len(centers)):
+        cand = _rects_intersect_arrays(
+            s_bounds[0][i], s_bounds[1][i], s_bounds[2][i], s_bounds[3][i], *bounds
+        )
+        ids = np.nonzero(cand)[0]
+        if len(ids) == 0:
+            continue
+        q = np.broadcast_to(np.asarray(lp.anchor, dtype=np.float64), (len(ids), 3))
+        p = np.broadcast_to(centers[i], (len(ids), 3))
+        crossings = np.asarray(ek.simple_crossing(q, p, va[ids], vb[ids]))
+        out[i] = crossings.sum() % 2 == 1
+    return out
+
+
+def _build_edge_index(loops, boundary_cells: np.ndarray, fast: bool = True):
     """Driver-side per-cell edge index: for each boundary covering cell,
     (center, center-inside-state, conservative candidate edge ids).
 
@@ -78,33 +215,54 @@ def _build_edge_index(loops, boundary_cells: np.ndarray):
     rect_bound — both are conservative supersets, so every edge that
     truly intersects the cell is indexed (extra edges only cost cycles:
     simple_crossing is exact, non-crossing extras contribute parity 0).
+
+    ``fast=True`` (default) computes all edge bounds in one vectorized
+    numpy pass and the cell x edge intersection as array ops;
+    ``fast=False`` keeps the scalar per-edge RectBounder walk as the
+    parity oracle (tests pin identical candidate sets).
     """
     from ..geometry.cell import Cell
-    from ..geometry.rect_bounder import RectBounder
 
     A = np.concatenate([lp.vertices for lp in loops])
     B = np.concatenate([np.roll(lp.vertices, -1, axis=0) for lp in loops])
-    edge_rects = []
-    for ea, eb in zip(A, B):
-        rb = RectBounder()
-        rb.add_point((float(ea[0]), float(ea[1]), float(ea[2])))
-        rb.add_point((float(eb[0]), float(eb[1]), float(eb[2])))
-        edge_rects.append(rb.get_bound())
     cells = [Cell(int(c)) for c in boundary_cells]
     centers = np.array([c.center for c in cells], dtype=np.float64)
-    state = np.zeros(len(cells), dtype=bool)
-    for lp in loops:
-        state ^= np.asarray(
-            lp.contains_points(centers[:, 0], centers[:, 1], centers[:, 2])
-        )
     indptr = [0]
     edge_ids: list[int] = []
-    for c in cells:
-        cr = c.rect_bound()
-        edge_ids.extend(
-            i for i, er in enumerate(edge_rects) if cr.intersects_rect(er)
+    if fast:
+        per_loop = [
+            _edge_rect_bounds(lp.vertices, np.roll(lp.vertices, -1, axis=0))
+            for lp in loops
+        ]
+        state = np.zeros(len(cells), dtype=bool)
+        for lp, lb in zip(loops, per_loop):
+            state ^= _centers_inside_prefiltered(lp, centers, lb)
+        bounds = tuple(
+            np.concatenate([pl[j] for pl in per_loop]) for j in range(4)
         )
-        indptr.append(len(edge_ids))
+        for c in cells:
+            edge_ids.extend(_candidate_edges_vec(c.rect_bound(), *bounds).tolist())
+            indptr.append(len(edge_ids))
+    else:
+        state = np.zeros(len(cells), dtype=bool)
+        for lp in loops:
+            state ^= np.asarray(
+                lp.contains_points(centers[:, 0], centers[:, 1], centers[:, 2])
+            )
+        from ..geometry.rect_bounder import RectBounder
+
+        edge_rects = []
+        for ea, eb in zip(A, B):
+            rb = RectBounder()
+            rb.add_point((float(ea[0]), float(ea[1]), float(ea[2])))
+            rb.add_point((float(eb[0]), float(eb[1]), float(eb[2])))
+            edge_rects.append(rb.get_bound())
+        for c in cells:
+            cr = c.rect_bound()
+            edge_ids.extend(
+                i for i, er in enumerate(edge_rects) if cr.intersects_rect(er)
+            )
+            indptr.append(len(edge_ids))
     return (
         A,
         B,

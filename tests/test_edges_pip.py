@@ -255,3 +255,66 @@ def test_pip_indexed_equals_fullscan_big_polygon(spark, sf_dir):
     per_cell = np.diff(indptr)
     assert per_cell.max() < len(A) / 2  # no cell sees most of the boundary
     assert per_cell.mean() < len(A) / 5
+
+
+def test_edge_index_fast_matches_scalar_and_is_fast():
+    """The vectorized edge-index build (one numpy pass over all edge
+    RectBounder bounds + array-op cell x edge intersection) must produce
+    the IDENTICAL per-cell candidate sets as the scalar per-edge walk it
+    replaces, and build a 100k-edge polygon index in single-digit
+    seconds (round-3 verdict: the scalar build was the next ceiling on
+    the PIP path)."""
+    import time
+
+    import numpy as np
+
+    from rust_s2_spark.geometry.loop import Loop
+    from rust_s2_spark.operators.pip import PIP_COVERER, _build_edge_index
+
+    t = np.linspace(0, 2 * np.pi, 2001)[:-1]
+    coords = [
+        (
+            40.0 + 3.0 * np.cos(x) + 0.4 * np.sin(7 * x),
+            -74.0 + 4.0 * np.sin(x) + 0.5 * np.cos(5 * x),
+        )
+        for x in t
+    ]
+    lp = Loop.from_latlng_degrees(coords)
+    outer = PIP_COVERER.covering(lp)
+    inner = PIP_COVERER.interior_covering(lp)
+    boundary = outer.ids[~inner.contains_ids(outer.ids)]
+
+    fa = _build_edge_index([lp], boundary, fast=True)
+    sc = _build_edge_index([lp], boundary, fast=False)
+    assert np.array_equal(fa[4], sc[4]), "indptr differs"
+    assert np.array_equal(fa[5], sc[5]), "candidate edge sets differ"
+    assert np.array_equal(fa[3], sc[3])  # center states
+
+    # a date-line + near-pole polygon exercises the wrapped/inverted and
+    # polar-closure branches of the vectorized bound math
+    wrap = Loop.from_latlng_degrees(
+        [(60.0, 175.0), (60.0, -175.0), (86.0, -170.0), (86.0, 170.0)]
+    )
+    wo = PIP_COVERER.covering(wrap)
+    wi = PIP_COVERER.interior_covering(wrap)
+    wb = wo.ids[~wi.contains_ids(wo.ids)]
+    wf = _build_edge_index([wrap], wb, fast=True)
+    ws = _build_edge_index([wrap], wb, fast=False)
+    assert np.array_equal(wf[4], ws[4]) and np.array_equal(wf[5], ws[5])
+
+    # speed: 100k edges, the covering's boundary cells, < 10 s
+    t2 = np.linspace(0, 2 * np.pi, 100_001)[:-1]
+    big = Loop.from_latlng_degrees(
+        [
+            (
+                40.0 + 3.0 * np.cos(x) + 0.4 * np.sin(7 * x),
+                -74.0 + 4.0 * np.sin(x) + 0.5 * np.cos(5 * x),
+            )
+            for x in t2
+        ]
+    )
+    t0 = time.perf_counter()
+    idx = _build_edge_index([big], boundary, fast=True)
+    dt = time.perf_counter() - t0
+    assert idx[4][-1] > 0
+    assert dt < 10.0, f"index build took {dt:.1f}s for 100k edges"
