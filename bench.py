@@ -80,12 +80,53 @@ def spatial_pipeline(spark, img) -> int:
     return sum(r["n"] for r in rows)
 
 
-def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
+def _scale_docs(docs, mult: int):
+    """mult unique-text replicas per doc: text = md5 blocks to ~the
+    original length (UNIQUE corpora measure signature/banding throughput;
+    replicating near-dup text would make the pair OUTPUT quadratic in
+    mult and measure result materialization instead — see BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    d = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"),
+        F.length("text").alias("__len"),
+    ).select(
+        (F.col("doc_id") * mult + F.col("__i")).alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, greatest(int(__len / 32), 1)),"
+            " j -> md5(concat(cast(doc_id as string), '_', cast(j as string)))), ' ')"
+        ).alias("text"),
+    )
+    return d
+
+
+def _scale_emb(emb, mult: int):
+    from pyspark.sql import functions as F
+
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"),
+        "embedding",
+    ).select(
+        (F.col("vec_id") * mult + F.col("__i")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("__i").cast("float") / 1000.0
+        ).alias("embedding"),
+    )
+
+
+def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from rust_s2_spark.functions import s2_biased, s2_parent
-    from rust_s2_spark.operators.dedup import minhash_lsh_pairs, phash_hamming_pairs
+    from rust_s2_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        phash_hamming_pairs,
+        simhash64,
+    )
     from rust_s2_spark.operators.knn import knn_join
+    from rust_s2_spark.operators.multimodal import average_hash
     from rust_s2_spark.operators.similarity import brute_force_topk
     from rust_s2_spark.sources import images_from_orders
     from rust_s2_spark.sources.images import read_images_table, write_images_table
@@ -95,7 +136,9 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
     # ingest: generate + encode + cluster-by-Hilbert write (the once-per
     # -dataset cost; also the encode-throughput number)
     out["ingest_encode"], _ = timed(
-        lambda: write_images_table(spark, sf_dir, table_path, with_bytes=False)
+        lambda: write_images_table(
+            spark, sf_dir, table_path, with_bytes=False, multiplier=mult
+        )
     )
 
     img = read_images_table(spark, table_path)
@@ -126,11 +169,19 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult > 1:
+        docs = _scale_docs(docs, mult).localCheckpoint(eager=True)
     out["minhash_lsh"], _ = timed(
         lambda: minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4).count()
     )
 
+    # simhash64 over the same corpus (round-3 verdict: measure it — the
+    # explode hazard fixed this round only shows up under a bench)
+    out["simhash"], _ = timed(lambda: simhash64(docs, "text", "doc_id").count())
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if mult > 1:
+        emb = _scale_emb(emb, mult).localCheckpoint(eager=True)
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -181,6 +232,12 @@ def run_queries(spark, sf_dir: str, table_path: str) -> dict[str, float]:
         ).count()
     )
 
+    # from-pixels average hash: decode + resize-to-8x8 + integer hash
+    # over every image's bytes (vectorized numpy inside mapInPandas);
+    # images/sec through the hash stage = n_images / this time
+    imgb = images_from_orders(spark, sf_dir, with_bytes=True, multiplier=mult)
+    out["image_ahash"], _ = timed(lambda: average_hash(imgb).count())
+
     out["_n_images"] = float(n_images)
     return out
 
@@ -189,12 +246,13 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    mult = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
     table_path = tempfile.mkdtemp(prefix="s2img_") + "/images"
 
     try:
         spark = make_spark(cpus)
         t0 = time.perf_counter()
-        q = run_queries(spark, sf_dir, table_path)
+        q = run_queries(spark, sf_dir, table_path, mult)
         total = time.perf_counter() - t0
         n_images = int(q.pop("_n_images"))
         spark.stop()
@@ -208,6 +266,7 @@ def main():
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in q.items()},
             "sf": sf,
+            "mult": mult,
             "cpus": cpus,
             "n_images": n_images,
             "images_per_sec": round(n_images / q["spatial_join"], 1),

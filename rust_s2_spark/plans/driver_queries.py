@@ -2201,6 +2201,144 @@ ranked AS (
     )
 
 
+def q_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language stopword-profile language id
+    (operators/text.lang_id_profiles — the round-3 'grow langid past the
+    en/unknown toy' item): argmax of per-language stopword-hit ratios
+    over 7 public profiles. Oracle replays ratios + argmax relationally
+    (unnest + window) in DuckDB; hash-exact on lang AND best_ratio."""
+    from ..operators.text import lang_id_profiles
+
+    docs = _docs(spark, sf_dir)
+    return lang_id_profiles(docs, "text", "doc_id")
+
+
+def o_lang_profiles() -> str:
+    from ..operators.text import LANG_PROFILES, LANGS
+
+    rows = ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        )
+        for lang in LANGS
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+profiles AS (SELECT * FROM (VALUES {rows}) p(lang, stop)),
+scored AS (
+  SELECT toks.doc_id, profiles.lang,
+         len(list_filter(toks.t, x -> list_contains(profiles.stop, x)))
+           / greatest(len(toks.t), 1) AS ratio,
+         row_number() OVER (
+           PARTITION BY toks.doc_id
+           ORDER BY len(list_filter(toks.t, x -> list_contains(profiles.stop, x)))
+                      / greatest(len(toks.t), 1) DESC,
+                    profiles.lang ASC
+         ) AS rn
+  FROM toks, profiles
+)
+SELECT doc_id,
+       CASE WHEN ratio >= 0.08 THEN lang ELSE 'unknown' END AS lang,
+       round(ratio, 9) AS best_ratio
+FROM scored WHERE rn = 1
+""".strip()
+
+
+BPE_N_MERGES = 8
+
+
+def _bpe_training_ctes() -> str:
+    """DuckDB CTE chain replaying train_bpe_merges round for round:
+    word-frequency table, char split, then per round the pair counts,
+    the (count DESC, a, b) argmax, and the greedy merge fold
+    (list_reduce — identical walk to the Spark native-SQL aggregate)."""
+    parts = [
+        r"""wf AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY w
+),
+w0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word)+1), i -> word[i:i]) AS syms
+  FROM wf
+)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT z[1] AS a, z[2] AS b, freq FROM (
+    SELECT freq, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+    FROM w{r - 1}
+  )
+),
+b{r} AS (
+  SELECT a AS ma, b AS mb FROM (
+    SELECT a, b, sum(freq) AS s FROM p{r} GROUP BY a, b
+  ) ORDER BY s DESC, a ASC, b ASC LIMIT 1
+),
+w{r} AS (
+  SELECT word, freq,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN acc[len(acc)] = ma AND x[1] = mb
+                       THEN list_slice(acc, 1, len(acc)-1) || [ma || mb]
+                       ELSE acc || x END) AS syms
+  FROM w{r - 1}, b{r}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table BPE TRAINING as a DataFrame job
+    (operators/text.train_bpe_merges — upgrades the round-3 'regex
+    BPE-ish' stand-in): 8 merges learned from the corpus word-frequency
+    table. The oracle replays all 8 rounds (pair counts, deterministic
+    argmax, greedy merge fold) relationally in DuckDB and must land on
+    the identical merge table."""
+    from ..operators.text import train_bpe_merges
+
+    merges, _ = train_bpe_merges(_docs(spark, sf_dir), "text", BPE_N_MERGES)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, a string, b string")
+
+
+def o_bpe_train() -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, ma AS a, mb AS b FROM b{r}"
+        for r in range(1, BPE_N_MERGES + 1)
+    )
+    return f"WITH {_bpe_training_ctes()}\n{sel}"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the trained merge table
+    (operators/text.bpe_token_count): occurrences join the broadcast
+    encoded vocabulary. Oracle = the training CTE chain + the same
+    join/group, value-exact on every doc."""
+    from ..operators.text import bpe_token_count, train_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    _, words = train_bpe_merges(docs, "text", BPE_N_MERGES)
+    return bpe_token_count(docs, "text", "doc_id", words)
+
+
+def o_bpe_encode() -> str:
+    return f"""WITH {_bpe_training_ctes()},
+enc AS (SELECT word, len(syms) AS wlen FROM w{BPE_N_MERGES}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(coalesce(e.wlen, length(t.word))) AS BIGINT) AS n_bpe_tokens
+FROM toks t LEFT JOIN enc e USING (word)
+GROUP BY doc_id"""
+
+
 def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DECISION pipeline end-to-end: minhash pair graph →
     connected components → per-cluster canonical selection (highest
@@ -2349,6 +2487,9 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_trained": q_ivf_topk_trained,
+        "lang_profiles": q_lang_profiles,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2404,6 +2545,9 @@ def oracle_sql():
         "dedup_clusters": o_dedup_clusters(),
         "ivf_topk": o_ivf_topk(),
         "ivf_topk_trained": o_ivf_topk_trained(),
+        "lang_profiles": o_lang_profiles(),
+        "bpe_train": o_bpe_train(),
+        "bpe_encode": o_bpe_encode(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -182,6 +182,7 @@ def write_images_table(
     partition_level: int = 5,
     n_buckets: int = 64,
     two_phase: bool = False,
+    multiplier: int = 1,
 ) -> None:
     """Materialize the images table the way the 100 TB Iceberg table
     would be laid out: range-partitioned AND sorted by the biased cell
@@ -198,7 +199,7 @@ def write_images_table(
     (Stand-in for Iceberg write with sort order cell_id_biased; plain
     parquet here because the sandbox has no Iceberg runtime.)
     """
-    df = images_from_orders(spark, sf_dir, with_bytes, partition_level)
+    df = images_from_orders(spark, sf_dir, with_bytes, partition_level, multiplier)
     if two_phase:
         staging = f"{out_path}__staging"
         df.write.mode("overwrite").parquet(staging)

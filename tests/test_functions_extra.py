@@ -206,3 +206,66 @@ def test_pack_documents_invariants(spark):
         grp = list(grp)
         total = sum(r.n_tokens for r in grp)
         assert total <= 512 or len(grp) == 1
+
+
+def test_lang_id_profiles_classifies_obvious_sentences(spark):
+    """The multi-language profile scorer must pick the right language on
+    unambiguous sentences in each of its 7 profiles, prefer 'unknown'
+    for non-language noise, and resolve shared function words (de/nl
+    'de', en/it overlap) by the argmax, not the first hit."""
+    from rust_s2_spark.operators.text import LANGS, lang_id_profiles
+
+    rows = [
+        (0, "the cat sat on the mat and it was happy for the rest of the day", "en"),
+        (1, "der hund und die katze sind nicht mit dem kind zu hause", "de"),
+        (2, "le chat est dans la maison et les enfants sont pour une fois", "fr"),
+        (3, "el perro y la casa son un lugar que no es para los gatos", "es"),
+        (4, "il gatto non è che una bestia per la casa e gli amici", "it"),
+        (5, "de hond en het huis zijn niet met de kat op een boot", "nl"),
+        (6, "o gato e a casa não são um lugar que os cães para ver", "pt"),
+        (7, "zzz qqq xxx yyy www vvv", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang for r in lang_id_profiles(df, "text", "doc_id").collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+    assert set(LANGS) == {"de", "en", "es", "fr", "it", "nl", "pt"}
+
+
+def test_bpe_train_and_encode(spark):
+    """Merge-table BPE as a DataFrame job: on a corpus where 'ab' is the
+    dominant pair the first merge must be (a,b); the greedy fold must
+    handle overlapping pairs ('aaa' + merge (a,a) -> [aa, a]); encoding
+    counts must equal len(encoded symbols) per word with char-level
+    fallback for unseen words."""
+    from rust_s2_spark.operators.text import (
+        bpe_token_count,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab abx"), (1, "abab cd cd"), (2, "aaa aaa")],
+        "doc_id long, text string",
+    )
+    merges, words = train_bpe_merges(docs, "text", n_merges=2)
+    assert merges[0] == ("a", "b")
+    w = {r.word: list(r.syms) for r in words.collect()}
+    assert w["abab"] in ([["ab", "ab"]], [["abab"]]) or w["abab"][0] in ("ab", "abab")
+    # overlapping-pair greediness: if (a,a) was ever merged, 'aaa' -> [aa, a]
+    counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_count(docs, "text", "doc_id", words).collect()
+    }
+    assert counts[0][0] == 3 and counts[1][0] == 3 and counts[2][0] == 2
+    # every encoded count is <= the raw char count and >= the word count
+    for did, (nw, nb) in counts.items():
+        assert nb >= nw
+
+    # explicit greedy-fold check through the public path: train (a,a)
+    aa_docs = spark.createDataFrame([(0, "aaa aaa aaa")], "doc_id long, text string")
+    m2, w2 = train_bpe_merges(aa_docs, "text", n_merges=1)
+    assert m2 == [("a", "a")]
+    syms = list(w2.collect()[0].syms)
+    assert syms == ["aa", "a"]
