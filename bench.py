@@ -187,6 +187,22 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     )
     out["similarity_topk"], _ = timed(lambda: brute_force_topk(emb, q, 10).count())
 
+    # IVF-flat ANN over the same queries (the scale path next to the
+    # brute-force verifier): 64 sampled centroids, nprobe=4 — candidates
+    # are ~1/16 of the table instead of all of it
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import ivf_flat_topk
+
+    cents = np.array(
+        [
+            list(r.embedding)
+            for r in emb.where(F.col("vec_id") < 64).orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    out["ivf_ann"], _ = timed(lambda: ivf_flat_topk(emb, q, 10, cents, nprobe=4).count())
+
     imgn = img.select(F.col("image_id").cast("long").alias("img"), "phash")
     out["phash_hamming"], _ = timed(
         lambda: phash_hamming_pairs(imgn, "img", "phash", max_dist=6).count()

@@ -229,10 +229,13 @@ def cosine_near_dup_pairs(
     )
 
 
-# above this many centroid literals (nc*dim) the native-SQL assignment
-# expression tree chokes Catalyst analysis/codegen (e.g. nc=1024 x
-# dim=768 ~ 800k literals) — switch to one BLAS matmul per Arrow batch
-IVF_NATIVE_MAX_LITERALS = 16_384
+# above this many centroid literals (nc*dim) the assignment switches to
+# one BLAS matmul per Arrow batch. Catalyst only CHOKES far higher
+# (nc=1024 x dim=768 ~ 800k literals kills analysis/codegen), but the
+# performance crossover is early: at 4096 literals the native tree
+# already spends ~7 s in whole-stage codegen compilation alone (measured
+# sf0.01, 64x64), while the matmul path is flat in nc*dim.
+IVF_NATIVE_MAX_LITERALS = 2_048
 
 
 def _ivf_cos_array(col, centroids: np.ndarray):

@@ -336,3 +336,91 @@ def test_within_distance_radius_sweep(spark, sf_dir):
             .collect()
         }
         assert got == want, f"radius {radius_deg}: {len(got)} vs {len(want)}"
+
+
+def test_round4_text_ops_stay_native(spark, sf_dir):
+    """lang_id_profiles (7-profile argmax) and bpe_token_count (encode
+    join) are pure native SQL with zero Python nodes, and the BPE vocab
+    join is a broadcast hash join (the vocabulary is tiny next to the
+    occurrence stream at 100 TB)."""
+    from rust_s2_spark.operators.text import (
+        bpe_token_count,
+        lang_id_profiles,
+        train_bpe_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = lang_id_profiles(docs, "text", "doc_id")
+    plan = _plan(lang)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    _, words = train_bpe_merges(docs.limit(50), "text", n_merges=2)
+    enc = bpe_token_count(docs, "text", "doc_id", words)
+    plan = _plan(enc)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_training_round_shape(spark, sf_dir):
+    """Each BPE training round is one explode+groupBy over the DISTINCT
+    word table plus a LIMIT-1 argmax — the pair-count aggregation plan
+    has no Python node and aggregates with partial (map-side) combine."""
+    from rust_s2_spark.operators.text import _chars_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", _chars_expr("word").alias("syms"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    agg = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("s"))
+        .orderBy(F.desc("s"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    plan = _plan(agg)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan  # argmax = top-1, never a full sort
+
+
+def test_ivf_training_round_shape(spark, sf_dir):
+    """A trained-IVF Lloyd round = native assignment + ONE groupBy on
+    the cell id with per-dimension integer sums (map-side combined down
+    to nc partials) — no posexplode shuffle of rows*dim, no Python."""
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = np.array(
+        [list(r.embedding) for r in emb.where(F.col("vec_id") < 4).collect()],
+        dtype=np.float64,
+    )
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * F.lit(1e6), 0).cast("long")
+    )
+    base = emb.select("vec_id", "embedding", qv.alias("__q"))
+    assigned = ivf_assign(base, cents, "embedding", "cid")
+    dim = cents.shape[1]
+    aggs = [F.sum(F.col("__q")[j]).alias(f"s{j}") for j in range(dim)]
+    upd = assigned.groupBy("cid").agg(F.count("*").alias("n"), *aggs)
+    plan = _plan(upd)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" not in plan  # no explode in the update pass
