@@ -478,6 +478,175 @@ def train_ivf_centroids(
     return cents
 
 
+def _sub_dist2_expr(col, s: int, subdim: int, centroid) -> "F.Column":
+    """Sequential-fold L2² between a vector column's subspace ``s`` and a
+    centroid (python floats): aggregate(zip_with(sub, c, (a-b)²)) —
+    left-to-right adds, so DuckDB's list_reduce fold reproduces every
+    intermediate bit."""
+    sub = F.slice(col, s * subdim + 1, subdim)
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_assign_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ encoding: per subspace the argmin-L2² code (ties to the lowest
+    code id) — one native map pass, codes = array<int> of length m.
+    m*k*subdim literals; at PQ scale (m=8..16, k=256) precompute at
+    ingest exactly like IVF assignment."""
+    m, k, subdim = codebooks.shape
+    per_sub = []
+    for s in range(m):
+        d2 = F.array(*[_sub_dist2_expr(F.col(vec_col), s, subdim, codebooks[s][c]) for c in range(k)])
+        per_sub.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*per_sub))
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int,
+    k: int,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> np.ndarray:
+    """Product-quantization codebooks as a DataFrame job: split the
+    vector into ``m`` contiguous subspaces; per subspace run Lloyd
+    k-means under L2 with the train_ivf_centroids discipline — the
+    ``k`` md5-rank-smallest rows seed EVERY subspace (one collect), the
+    mean update sums INTEGER-quantized coordinates (round(v*scale) as
+    bigint: order-independent, so the DuckDB oracle replays all rounds
+    relationally bit-for-bit), empty cells keep their centroid.
+
+    One assignment+m-groupBy pass per iteration; the assigned frame is
+    localCheckpoint'ed so the m per-subspace updates share it. Returns
+    float64 (m, k, dim//m).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    assert dim % m == 0, (dim, m)
+    subdim = dim // m
+
+    d = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    seed_rows = (
+        d.select("__id", "__v", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    seeds = np.array([list(r["__v"]) for r in seed_rows], dtype=np.float64)
+    books = np.stack(
+        [seeds[:, s * subdim : (s + 1) * subdim] for s in range(m)]
+    )  # (m, k, subdim)
+
+    qv = F.transform(
+        F.col("__v"), lambda x: F.round(x.cast("double") * F.lit(scale), 0).cast("long")
+    )
+    base = d.select("__v", qv.alias("__q"))
+
+    for _ in range(n_iter):
+        assigned = pq_assign_codes(base, books, "__v", "__codes").localCheckpoint(
+            eager=True
+        )
+        new = books.copy()
+        for s in range(m):
+            aggs = [
+                F.sum(F.col("__q")[s * subdim + j]).alias(f"s{j}")
+                for j in range(subdim)
+            ]
+            rows = (
+                assigned.select(F.col("__codes")[s].alias("c"), "__q")
+                .groupBy("c")
+                .agg(F.count("*").alias("n"), *aggs)
+                .collect()
+            )
+            for r in rows:
+                n = r["n"]
+                for j in range(subdim):
+                    new[s, r["c"], j] = r[f"s{j}"] / (n * scale)
+        books = new
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    kk: int,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the table once
+    (``pq_assign_codes``), then score rows against each query with
+    asymmetric distance — score = Σ_s table[q][s][code_s] where the
+    per-query lookup tables (m*k L2² entries between the query subvector
+    and each centroid) are computed ONCE driver-side with the same
+    sequential fold arithmetic the oracle's list_reduce uses. The scan
+    never touches the original vectors: per row it reads m small codes
+    and does m array lookups — the classical memory shape that makes
+    10⁹-vector search fit in RAM. Returns (query_id, rank, vec_id) with
+    (score ASC, id ASC) ranking."""
+    m, k, subdim = codebooks.shape
+    coded = pq_assign_codes(df.select(F.col(id_col), F.col(vec_col)), codebooks, vec_col, "__codes")
+
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+
+    def table_for(vec) -> list[float]:
+        flat = []
+        for s in range(m):
+            sub = [float(x) for x in vec[s * subdim : (s + 1) * subdim]]
+            for c in range(k):
+                acc = 0.0
+                for a, b in zip(sub, codebooks[s][c]):
+                    acc += (a - float(b)) * (a - float(b))
+                flat.append(acc)
+        return flat  # (s, c) ordered, length m*k
+
+    # ONE scan of the coded table for ALL queries: broadcast the query
+    # positions, index a nested (query -> flat m*k table) literal
+    tables = F.array(
+        *[F.array(*[F.lit(x) for x in table_for(r[vec_col])]) for r in q_rows]
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(i + 1, r[query_id_col]) for i, r in enumerate(q_rows)],
+        ["__qpos", query_id_col],
+    )
+    tbl = F.element_at(tables, F.col("__qpos").cast("int"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: s * F.lit(k) + c,
+        ),
+        F.lit(0.0),
+        lambda acc, pos: acc + F.element_at(tbl, (pos + 1).cast("int")),
+    )
+    scored = coded.crossJoin(F.broadcast(qdf)).select(
+        F.col(query_id_col), F.col(id_col), score.alias("__score")
+    )
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

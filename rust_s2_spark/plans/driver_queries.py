@@ -2201,6 +2201,104 @@ ranked AS (
     )
 
 
+PQ_M = 4
+PQ_K = 8
+PQ_SUBDIM = 16  # dim 64 / m
+PQ_ITERS = 1
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with TRAINED codebooks
+    (operators/similarity.train_pq_codebooks + pq_topk): per-subspace
+    Lloyd k-means (md5-ranked seeds, integer-exact mean update), argmin
+    encoding, one-scan ADC scoring via broadcast per-query lookup
+    tables. The oracle replays training, encoding, table construction,
+    and the score fold relationally in DuckDB — every arithmetic step is
+    a sequential fold, so scores are bit-equal and the ranking is
+    hash-exact."""
+    from ..operators.similarity import pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, PQ_M, PQ_K, n_iter=PQ_ITERS)
+    q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, q, SIM_K, books)
+
+
+def o_pq_topk() -> str:
+    m, k, sd, qids = PQ_M, PQ_K, PQ_SUBDIM, ",".join(str(i) for i in SIM_QUERY_IDS)
+    rn = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    subs = ", ".join(f"({s})" for s in range(m))
+    # sequential-fold L2^2 between a sliced query/row subvector and a centroid
+    fold = (
+        "list_reduce(list_transform(list_zip({x}, {c}), z -> (z[1]-z[2])*(z[1]-z[2])),"
+        " (acc, v) -> acc + v)"
+    )
+    sub = "(e.embedding::DOUBLE[])[s.s*{sd}+1 : s.s*{sd}+{sd}]".format(sd=sd)
+    d2 = fold.format(x=sub, c="cb.cent")
+    s_exprs = ", ".join(
+        f"sum(CAST(round(e.embedding[a1.s*{sd}+{j}+1]::DOUBLE * 1e6) AS BIGINT)) AS s{j}"
+        for j in range(sd)
+    )
+    coords = ", ".join(f"u.s{j} / (u.n * 1e6)" for j in range(sd))
+
+    def assign_cte(name: str, book: str, extra_filter: str = "") -> str:
+        return f"""{name}_d AS (
+  SELECT e.vec_id, s.s, cb.c, {d2} AS d2
+  FROM embeddings e, (VALUES {subs}) s(s)
+  JOIN {book} cb ON cb.s = s.s{extra_filter}
+),
+{name} AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+    FROM {name}_d
+  ) WHERE rn = 1
+)"""
+
+    return f"""WITH seeds AS (
+  SELECT {rn} - 1 AS c, embedding::DOUBLE[] AS v
+  FROM embeddings QUALIFY {rn} <= {k}
+),
+cb0 AS (
+  SELECT s.s, seeds.c, (seeds.v)[s.s*{sd}+1 : s.s*{sd}+{sd}] AS cent
+  FROM seeds, (VALUES {subs}) s(s)
+),
+{assign_cte("a1", "cb0")},
+u1 AS (
+  SELECT a1.s, a1.code AS c, count(*) AS n, {s_exprs}
+  FROM a1 JOIN embeddings e USING (vec_id)
+  GROUP BY a1.s, a1.code
+),
+cb1 AS (
+  SELECT p.s, p.c, CASE WHEN u.n IS NULL THEN p.cent ELSE [{coords}] END AS cent
+  FROM cb0 p LEFT JOIN u1 u ON u.s = p.s AND u.c = p.c
+),
+{assign_cte("codes", "cb1")},
+qt AS (
+  SELECT e.vec_id AS query_id, s.s, cb.c, {d2} AS d
+  FROM embeddings e, (VALUES {subs}) s(s)
+  JOIN cb1 cb ON cb.s = s.s
+  WHERE e.vec_id IN ({qids})
+),
+partials AS (
+  SELECT qt.query_id, codes.vec_id, qt.s, qt.d
+  FROM codes JOIN qt ON qt.s = codes.s AND qt.c = codes.code
+),
+score AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(d ORDER BY s), (acc, x) -> acc + x) AS sc
+  FROM partials GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc ASC, vec_id ASC) AS rank
+  FROM score
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SIM_K}"""
+
+
 def q_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language stopword-profile language id
     (operators/text.lang_id_profiles — the round-3 'grow langid past the
@@ -2490,6 +2588,7 @@ def queries():
         "lang_profiles": q_lang_profiles,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2548,6 +2647,7 @@ def oracle_sql():
         "lang_profiles": o_lang_profiles(),
         "bpe_train": o_bpe_train(),
         "bpe_encode": o_bpe_encode(),
+        "pq_topk": o_pq_topk(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

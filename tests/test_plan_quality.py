@@ -424,3 +424,31 @@ def test_ivf_training_round_shape(spark, sf_dir):
     plan = _plan(upd)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Generate" not in plan  # no explode in the update pass
+
+
+def test_pq_plans_native_one_scan(spark, sf_dir):
+    """PQ encoding is a zero-Python native map pass, and the ADC top-k
+    scores ALL queries in one pass over the coded table (broadcast
+    query positions — never one scan per query)."""
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import (
+        pq_assign_codes,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=4, k=8, n_iter=1)
+    enc = pq_assign_codes(emb, books, "embedding", "codes")
+    plan = _plan(enc)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(emb, q, 5, books)
+    plan = _plan(top)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1  # one scan for all queries
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
