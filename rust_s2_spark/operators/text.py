@@ -253,6 +253,52 @@ def bpe_token_count(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local algorithm, public knowledge) — replaces the md5-of-whole-text
+    stand-in with the real thing: hash every k-gram, slide a w-window
+    over the hash sequence, keep the minimum of each window (ties to the
+    RIGHTMOST position — the standard rule), emit the distinct selected
+    (position, hash) pairs.
+
+    Guarantee: any substring match of length >= w + k - 1 between two
+    documents shares at least one fingerprint, and the fingerprint
+    density is ~2/(w+1) — the plagiarism/near-dup detector shape.
+
+    The hash is the 16-hex-char md5 prefix COMPARED AS A STRING:
+    winnowing only needs a consistent total order, and lexicographic
+    hex compares identically in any engine (no 64-bit signed-conversion
+    pitfalls). Entirely native SQL — one map pass, O(len * w) per doc,
+    no shuffle before the final projection. Returns
+    (id, pos, gram_hash)."""
+    hash_expr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring(md5(substring({text_col}, i, {k})), 1, 16))"
+    )
+    win_expr = (
+        f"transform(sequence(1, greatest(size(__h) - {w - 1}, 1)),"
+        f" j -> aggregate("
+        f"   zip_with(slice(__h, j, {w}),"
+        f"            sequence(j, j + size(slice(__h, j, {w})) - 1),"
+        f"            (h, p) -> named_struct('h', h, 'p', p)),"
+        # 'g' sorts after every hex character, so the first element
+        # always replaces the sentinel; <= keeps the RIGHTMOST minimum
+        f"   named_struct('h', 'g', 'p', 0),"
+        f"   (acc, x) -> CASE WHEN x.h <= acc.h THEN x ELSE acc END))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(hash_expr).alias("__h"))
+        .select(id_col, F.explode(F.array_distinct(F.expr(win_expr))).alias("fp"))
+        .select(
+            F.col(id_col),
+            F.col("fp.p").cast("long").alias("pos"),
+            F.col("fp.h").alias("gram_hash"),
+        )
+    )
+
+
 def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """BPE-ish regex token counting (native SQL, oracle-portable):
     tokens are letter runs, digit runs, or single non-space symbols —

@@ -2201,6 +2201,46 @@ ranked AS (
     )
 
 
+WINNOW_K = 8
+WINNOW_W = 8
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.winnow_fingerprints):
+    k-gram md5-hex hashes, rightmost-min of each w-window, distinct
+    selections. The oracle replays the identical fold (list_reduce with
+    the same <= rightmost-tie rule) over the identical hex strings in
+    DuckDB — hash-exact on every (doc, pos, hash) row."""
+    from ..operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), "text", "doc_id", k=WINNOW_K, w=WINNOW_W
+    )
+
+
+def o_winnow() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),
+                        i -> substr(md5(substr(text, i, {k})), 1, 16)) AS hs
+  FROM documents
+),
+sel AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+           j -> list_reduce(
+                  list_zip(hs[j : j + {w - 1}],
+                           range(j, j + len(hs[j : j + {w - 1}]))),
+                  (acc, x) -> CASE WHEN x[1] <= acc[1] THEN x ELSE acc END)) AS fps
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(fp[2] AS BIGINT) AS pos, fp[1] AS gram_hash
+FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)
+""".strip()
+
+
 PQ_M = 4
 PQ_K = 8
 PQ_SUBDIM = 16  # dim 64 / m
@@ -2589,6 +2629,7 @@ def queries():
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "pq_topk": q_pq_topk,
+        "winnow": q_winnow,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2648,6 +2689,7 @@ def oracle_sql():
         "bpe_train": o_bpe_train(),
         "bpe_encode": o_bpe_encode(),
         "pq_topk": o_pq_topk(),
+        "winnow": o_winnow(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

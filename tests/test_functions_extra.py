@@ -269,3 +269,36 @@ def test_bpe_train_and_encode(spark):
     assert m2 == [("a", "a")]
     syms = list(w2.collect()[0].syms)
     assert syms == ["aa", "a"]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al.): two documents sharing
+    a substring of length >= w + k - 1 MUST share at least one selected
+    fingerprint hash; density over random text is ~2/(w+1); tie rule is
+    rightmost (verified by an all-equal-hash doc selecting one
+    fingerprint per window, at the window's last position)."""
+    from rust_s2_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "thequickbrownfoxjumps"  # length 21 >= w + k - 1 = 8
+    rows = [
+        (0, "aaaaaa" + shared + "zzzzzz"),
+        (1, "qqqqqqqqqq" + shared + "pppp"),
+        (2, "completely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    per = {}
+    for r in fps:
+        per.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert per[0] & per[1], "shared substring must share a fingerprint"
+
+    # rightmost tie rule: a doc of one repeated char has ONE distinct
+    # k-gram hash; every window picks its rightmost position
+    one = spark.createDataFrame([(9, "aaaaaaaaaaaa")], "doc_id long, text string")
+    sel = winnow_fingerprints(one, "text", "doc_id", k=k, w=w).collect()
+    n_grams = 12 - k + 1  # 8 grams, 5 windows (j=1..5)
+    positions = sorted(r.pos for r in sel)
+    # window j covers grams j..j+w-1; rightmost min = j+w-1
+    assert positions == [j + w - 1 for j in range(1, n_grams - w + 2)]
+    assert len({r.gram_hash for r in sel}) == 1
