@@ -2201,6 +2201,48 @@ ranked AS (
     )
 
 
+SESSION_GAP_SEC = 900
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table
+    (operators/sessions.session_stats): per-user sessions cut at
+    15-minute gaps, integer-microsecond arithmetic throughout. Oracle =
+    the identical lag/running-sum/groupBy windows in DuckDB —
+    value-exact on counts, durations, and boundaries."""
+    from ..operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_seconds=SESSION_GAP_SEC)
+
+
+def o_sessionize() -> str:
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev > {gap_us} THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+s AS (
+  SELECT user_id, event_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       min(event_id) AS first_event
+FROM s GROUP BY user_id, session_idx
+""".strip()
+
+
 WINNOW_K = 8
 WINNOW_W = 8
 
@@ -2630,6 +2672,7 @@ def queries():
         "bpe_encode": q_bpe_encode,
         "pq_topk": q_pq_topk,
         "winnow": q_winnow,
+        "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2690,6 +2733,7 @@ def oracle_sql():
         "bpe_encode": o_bpe_encode(),
         "pq_topk": o_pq_topk(),
         "winnow": o_winnow(),
+        "sessionize": o_sessionize(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -302,3 +302,37 @@ def test_winnowing_guarantee_and_density(spark):
     # window j covers grams j..j+w-1; rightmost min = j+w-1
     assert positions == [j + w - 1 for j in range(1, n_grams - w + 2)]
     assert len({r.gram_hash for r in sel}) == 1
+
+
+def test_sessionize_boundaries(spark):
+    """Session cuts: a gap strictly greater than the threshold starts a
+    new session, a gap exactly equal does NOT; the event-id tiebreak
+    makes simultaneous events deterministic; stats are integer-exact."""
+    from datetime import datetime
+
+    from rust_s2_spark.operators.sessions import session_stats, sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(second=0) if sec == 0 else t0.fromtimestamp(t0.timestamp() + sec)
+
+    rows = [
+        (1, 10, t0),
+        (2, 10, at(600)),    # exactly the 600 s gap: same session
+        (3, 10, at(1201)),   # 601 s after event 2: new session
+        (4, 20, t0),         # other user independent
+        (5, 20, t0),         # simultaneous: tiebreak by event_id
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    s = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=600).collect()}
+    assert s[1] == 1 and s[2] == 1 and s[3] == 2
+    assert s[4] == 1 and s[5] == 1
+
+    stats = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.first_event)
+        for r in session_stats(df, gap_seconds=600).collect()
+    }
+    assert stats[(10, 1)] == (2, 600_000_000, 1)
+    assert stats[(10, 2)] == (1, 0, 3)
+    assert stats[(20, 1)] == (2, 0, 4)
