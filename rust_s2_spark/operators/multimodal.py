@@ -184,6 +184,48 @@ AHASH_SCHEMA = StructType(
     ]
 )
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def difference_hash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) from the pixels: decode,
+    nearest-resize to the standard 9x8 grid, s = r+g+b per grid pixel
+    (integer), bit y*8+x set iff s[y][x+1] > s[y][x] — the horizontal
+    brightness gradient. Complements ``average_hash`` (mean-threshold):
+    dHash is robust to global brightness shifts because only ADJACENT
+    comparisons matter. Integer-exact and fully vectorized; the DuckDB
+    oracle re-derives the 9x8 resize indices and all 64 comparisons."""
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            grid = np.empty((n, 8, 9), dtype=np.int64)
+            ids = np.empty(n, dtype=np.int64)
+            for i, row in enumerate(pdf.itertuples()):
+                px = decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
+                if px.shape[0] != 8 or px.shape[1] != 9:
+                    px = resize_nearest(px, 9, 8)
+                grid[i] = px.astype(np.int64).sum(axis=2)
+                ids[i] = int(row.image_id)
+            bits = (grid[:, :, 1:] > grid[:, :, :-1]).reshape(n, 64)
+            hashes = (
+                (bits.astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"image_id": ids, "dhash": hashes})
+
+    cols = df.select(
+        F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    return cols.mapInPandas(fn, DHASH_SCHEMA)
+
 
 def average_hash(df: DataFrame) -> DataFrame:
     """Perceptual average-hash computed FROM THE PIXELS — the standard

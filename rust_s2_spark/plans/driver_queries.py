@@ -1899,6 +1899,60 @@ SELECT image_id, CAST({total} AS BIGINT) AS ahash FROM m
 """.strip()
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (dHash) from pixels on the mixed-size corpus
+    (operators/multimodal.difference_hash): nearest-resize to the 9x8
+    grid, bit per horizontal brightness gradient. Oracle re-derives the
+    9-wide resize index arithmetic and every comparison in SQL."""
+    from ..operators.multimodal import difference_hash
+    from ..sources.images import images_mixed_sizes
+
+    return difference_hash(images_mixed_sizes(spark, sf_dir, modulus=5))
+
+
+def o_image_dhash() -> str:
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"2*({j})+1")
+        lo = digit.format(pos=f"2*({j})+2")
+        return f"({hi} * 16 + {lo})"
+
+    def s_of(y: int, x: int) -> str:
+        # nearest source pixel of grid (y, x) on the 9x8 output
+        idx = f"((({y}*h)//8)*w + (({x}*w)//9))"
+        return "(" + " + ".join(byte(f"3*({idx})+{c}") for c in range(3)) + ")"
+
+    sums = []
+    for y in range(8):
+        for x in range(9):
+            sums.append(f"{s_of(y, x)} AS s{y}_{x}")
+    grid = " , ".join(sums)
+    terms = []
+    for i in range(64):
+        y, x = divmod(i, 8)
+        cond = f"s{y}_{x + 1} > s{y}_{x}"
+        if i == 63:
+            terms.append(f"CASE WHEN {cond} THEN (-9223372036854775807 - 1) ELSE 0 END")
+        else:
+            terms.append(f"CASE WHEN {cond} THEN {1 << i} ELSE 0 END")
+    total = " + ".join(terms)
+    blocks = [f"md5(CAST(o_orderkey AS VARCHAR) || '_{i}')" for i in range(48)]
+    hx = " || ".join(blocks)
+    d = _derivation_sql("o_orderkey")
+    return f"""
+WITH ids AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+         CAST(8 + 4 * ({d["k1"]} % 3) AS INT) AS w,
+         CAST(8 + 4 * ({d["k2"]} % 3) AS INT) AS h,
+         {hx} AS hx
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+g AS (SELECT image_id, {grid} FROM ids)
+SELECT image_id, CAST({total} AS BIGINT) AS dhash FROM g
+""".strip()
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.py):
     per-vector scale = max|v|, q = round(v/scale·127) — native SQL
@@ -2673,6 +2727,7 @@ def queries():
         "pq_topk": q_pq_topk,
         "winnow": q_winnow,
         "sessionize": q_sessionize,
+        "image_dhash": q_image_dhash,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2734,6 +2789,7 @@ def oracle_sql():
         "pq_topk": o_pq_topk(),
         "winnow": o_winnow(),
         "sessionize": o_sessionize(),
+        "image_dhash": o_image_dhash(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -103,3 +103,49 @@ def test_frame_sample(images):
         per.setdefault(r.image_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 2] for v in per.values())
     assert all(len(r.frame) == 48 for r in rows)
+
+
+def test_difference_hash_gradient_and_brightness_invariance(spark, sf_dir):
+    """dHash compares ADJACENT grid pixels, so adding a constant
+    brightness to every channel must not change the hash (until values
+    clip) — the property that distinguishes it from average_hash; and
+    it matches a scalar reference on the mixed-size corpus."""
+    from rust_s2_spark.operators.multimodal import difference_hash
+    from rust_s2_spark.sources.images import images_mixed_sizes
+
+    mix = images_mixed_sizes(spark, sf_dir, modulus=53).cache()
+    rows = mix.collect()
+    got = {r.image_id: r.dhash for r in difference_hash(mix).collect()}
+    assert len(got) == len(rows)
+    for r in rows[:25]:
+        px = decode_raw(bytes(r.bytes), r.w, r.h)
+        g = resize_nearest(px, 9, 8).astype(int).sum(axis=2)
+        h = 0
+        for i in range(64):
+            y, x = divmod(i, 8)
+            if g[y][x + 1] > g[y][x]:
+                h |= 1 << i
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert got[r.image_id] == h, r.image_id
+
+    # brightness shift: scale every byte DOWN then add a constant —
+    # differences' signs are preserved exactly under +const
+    import numpy as np
+
+    sample = rows[0]
+    px = decode_raw(bytes(sample.bytes), sample.w, sample.h).astype(np.int64)
+    half = (px // 2).astype(np.uint8)
+    plus = (px // 2 + 60).astype(np.uint8)
+
+    def dhash_of(arr, w, h):
+        g = resize_nearest(arr, 9, 8).astype(int).sum(axis=2)
+        v = 0
+        for i in range(64):
+            y, x = divmod(i, 8)
+            if g[y][x + 1] > g[y][x]:
+                v |= 1 << i
+        return v
+
+    assert dhash_of(half, sample.w, sample.h) == dhash_of(plus, sample.w, sample.h)
+    mix.unpersist()
