@@ -825,6 +825,72 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spatial join (streaming/cell_stream.
+    streaming_region_rollup): the events-derived point stream joined
+    against the three static city caps (broadcast covering ranges +
+    exact chord² refine — stream-static, stateless), rolled up into 6h
+    event-time windows per region. Oracle = exact cap membership +
+    time_bucket counts in DuckDB."""
+    import tempfile
+
+    from ..geometry import Cap
+    from ..sources.images import _CITIES, _derivation_sql
+    from ..streaming import streaming_region_rollup
+
+    d = _derivation_sql("user_id")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(d["lat"]).alias("lat"),
+        F.expr(d["lng"]).alias("lng"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamsj_")
+    events.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    caps = [Cap.from_latlng_degrees(la, ln, CITY_CAP_DEG) for la, ln in _CITIES]
+    rolled = streaming_region_rollup(spark, stream, caps, [0, 1, 2])
+    name = "stream_spatial_join_q"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_spatial_join availableNow query did not finish")
+    return spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS ws, "
+        f"region_id, n FROM {name}"
+    )
+
+
+def o_stream_spatial_join() -> str:
+    from ..geometry import Cap
+    from ..sources.images import _CITIES
+
+    d = _derivation_sql("user_id")
+    selects = []
+    for rid, (la, ln) in enumerate(_CITIES):
+        cap = Cap.from_latlng_degrees(la, ln, CITY_CAP_DEG)
+        d2 = _chord2_sql("lat", "lng", la, ln)
+        selects.append(
+            f"SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS ws,"
+            f" CAST({rid} AS BIGINT) AS region_id, count(*) AS n"
+            f" FROM ev WHERE {d2} <= {cap.radius2!r} GROUP BY 1"
+        )
+        # note: exact membership only — the covering join's range
+        # predicate is a superset filter, the chord² refine decides
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH ev AS (
+  SELECT ts, {d["lat"]} AS lat, {d["lng"]} AS lng FROM events
+)
+{body}
+""".strip()
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact-dedup (applyInPandasWithState first-seen
     per phash) over the images table, run to completion with
@@ -2728,6 +2794,7 @@ def queries():
         "winnow": q_winnow,
         "sessionize": q_sessionize,
         "image_dhash": q_image_dhash,
+        "stream_spatial_join": q_stream_spatial_join,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2790,6 +2857,7 @@ def oracle_sql():
         "winnow": o_winnow(),
         "sessionize": o_sessionize(),
         "image_dhash": o_image_dhash(),
+        "stream_spatial_join": o_stream_spatial_join(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

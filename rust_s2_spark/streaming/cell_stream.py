@@ -136,3 +136,37 @@ def windowed_cell_counts(
         F.window(F.col(ts_col), window).alias("w"),
         s2_parent("cell_id", agg_level).alias("cell"),
     ).agg(*aggs)
+
+
+def streaming_region_rollup(
+    spark,
+    stream: DataFrame,
+    regions: list,
+    region_ids: list,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming spatial join + windowed rollup: a geotagged point
+    stream joined against a STATIC region set (the operators/
+    covering_join.region_join machinery — broadcast covering ranges +
+    exact refine works unchanged on a streaming DataFrame because every
+    piece is stateless), then event-time windows x region counts with a
+    watermark for late data.
+
+    At 100 TB-of-stream scale this is the ingest-side geofencing shape:
+    the static side is broadcast once per micro-batch, the stream never
+    shuffles before the windowed aggregation, and state is one count
+    per (window, region)."""
+    from ..operators.covering_join import region_join
+
+    pts = assign_cells(stream)
+    joined = region_join(spark, pts, regions, region_ids)
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("region_id"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
