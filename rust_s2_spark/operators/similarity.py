@@ -579,6 +579,93 @@ def train_pq_codebooks(
     return books
 
 
+def _adc_table_for(vec, codebooks: np.ndarray) -> list[float]:
+    """Flat (s, c)-ordered ADC lookup table: L2² between the query's
+    subvector s and centroid c, accumulated SEQUENTIALLY so DuckDB's
+    list_reduce fold reproduces every entry bit-for-bit."""
+    m, k, subdim = codebooks.shape
+    flat = []
+    for s in range(m):
+        sub = [float(x) for x in vec[s * subdim : (s + 1) * subdim]]
+        for c in range(k):
+            acc = 0.0
+            for a, b in zip(sub, codebooks[s][c]):
+                acc += (a - float(b)) * (a - float(b))
+            flat.append(acc)
+    return flat
+
+
+def _adc_score_expr(tables, codes_col: str, m: int, k: int):
+    """score = Σ_s table[qpos][s*k + code_s] as a native fold."""
+    tbl = F.element_at(tables, F.col("__qpos").cast("int"))
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: s * F.lit(k) + c,
+        ),
+        F.lit(0.0),
+        lambda acc, pos: acc + F.element_at(tbl, (pos + 1).cast("int")),
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    kk: int,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full canonical ANN recipe — IVF coarse quantizer + PQ fine
+    quantizer with ADC scoring: every vector carries its IVF cell id and
+    its m PQ codes (both ingest-time map passes at 100 TB); a query
+    probes its ``nprobe`` nearest cells and scores ONLY the vectors in
+    probed cells via the per-query ADC lookup table. The scan reads a
+    cell id + m codes per row — never the original vectors — and the
+    probe join prunes (nc - nprobe)/nc of the table before any scoring.
+    Returns (query_id, rank, vec_id), ranked (ADC score ASC, id ASC)."""
+    m, k, _ = codebooks.shape
+    coded = pq_assign_codes(
+        ivf_assign(df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cid"),
+        codebooks,
+        vec_col,
+        "__codes",
+    )
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    tables = F.array(
+        *[
+            F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
+            for r in q_rows
+        ]
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(i + 1, r[query_id_col]) for i, r in enumerate(q_rows)],
+        ["__qpos", query_id_col],
+    )
+    qprobe = (
+        ivf_probe(qdf.join(queries, query_id_col), centroids, nprobe, vec_col, "__cids")
+        .select(query_id_col, "__qpos", F.explode("__cids").alias("cid"))
+    )
+    cand = coded.join(F.broadcast(qprobe), "cid")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_score_expr(tables, "__codes", m, k).alias("__score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__score").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), id_col)
+    )
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -598,43 +685,27 @@ def pq_topk(
     and does m array lookups — the classical memory shape that makes
     10⁹-vector search fit in RAM. Returns (query_id, rank, vec_id) with
     (score ASC, id ASC) ranking."""
-    m, k, subdim = codebooks.shape
+    m, k, _ = codebooks.shape
     coded = pq_assign_codes(df.select(F.col(id_col), F.col(vec_col)), codebooks, vec_col, "__codes")
 
     q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
 
-    def table_for(vec) -> list[float]:
-        flat = []
-        for s in range(m):
-            sub = [float(x) for x in vec[s * subdim : (s + 1) * subdim]]
-            for c in range(k):
-                acc = 0.0
-                for a, b in zip(sub, codebooks[s][c]):
-                    acc += (a - float(b)) * (a - float(b))
-                flat.append(acc)
-        return flat  # (s, c) ordered, length m*k
-
     # ONE scan of the coded table for ALL queries: broadcast the query
     # positions, index a nested (query -> flat m*k table) literal
     tables = F.array(
-        *[F.array(*[F.lit(x) for x in table_for(r[vec_col])]) for r in q_rows]
+        *[
+            F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
+            for r in q_rows
+        ]
     )
     qdf = df.sparkSession.createDataFrame(
         [(i + 1, r[query_id_col]) for i, r in enumerate(q_rows)],
         ["__qpos", query_id_col],
     )
-    tbl = F.element_at(tables, F.col("__qpos").cast("int"))
-    score = F.aggregate(
-        F.zip_with(
-            F.col("__codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: s * F.lit(k) + c,
-        ),
-        F.lit(0.0),
-        lambda acc, pos: acc + F.element_at(tbl, (pos + 1).cast("int")),
-    )
     scored = coded.crossJoin(F.broadcast(qdf)).select(
-        F.col(query_id_col), F.col(id_col), score.alias("__score")
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_score_expr(tables, "__codes", m, k).alias("__score"),
     )
 
     w = Window.partitionBy(query_id_col).orderBy(

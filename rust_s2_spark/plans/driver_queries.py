@@ -2501,6 +2501,123 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SIM_K}"""
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN stack (operators/similarity.ivf_pq_topk): IVF coarse
+    cells (16 sampled centroids, nprobe=4) + trained PQ codebooks + ADC
+    scoring of probed cells only. Oracle composes the IVF assignment/
+    probing CTEs with the PQ training/encoding/scoring CTEs — the whole
+    two-level index replays relationally, rank list hash-exact."""
+    from ..operators.similarity import ivf_pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _ivf_centroids(sf_dir)
+    books = train_pq_codebooks(emb, PQ_M, PQ_K, n_iter=PQ_ITERS)
+    q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(emb, q, SIM_K, cents, books, nprobe=IVF_NPROBE)
+
+
+def o_ivf_pq_topk() -> str:
+    m, k, sd = PQ_M, PQ_K, PQ_SUBDIM
+    qids = ",".join(str(i) for i in SIM_QUERY_IDS)
+    cos = (
+        "list_dot_product(x.embedding::DOUBLE[], c.c)"
+        " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * c.cn)"
+    )
+    # PQ blocks reuse the o_pq_topk construction verbatim
+    rn = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    subs = ", ".join(f"({s})" for s in range(m))
+    fold = (
+        "list_reduce(list_transform(list_zip({x}, {c}), z -> (z[1]-z[2])*(z[1]-z[2])),"
+        " (acc, v) -> acc + v)"
+    )
+    sub = "(e.embedding::DOUBLE[])[s.s*{sd}+1 : s.s*{sd}+{sd}]".format(sd=sd)
+    d2 = fold.format(x=sub, c="cb.cent")
+    s_exprs = ", ".join(
+        f"sum(CAST(round(e.embedding[a1.s*{sd}+{j}+1]::DOUBLE * 1e6) AS BIGINT)) AS s{j}"
+        for j in range(sd)
+    )
+    coords = ", ".join(f"u.s{j} / (u.n * 1e6)" for j in range(sd))
+
+    def assign_cte(name: str, book: str) -> str:
+        return f"""{name}_d AS (
+  SELECT e.vec_id, s.s, cb.c, {d2} AS d2
+  FROM embeddings e, (VALUES {subs}) s(s)
+  JOIN {book} cb ON cb.s = s.s
+),
+{name} AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+    FROM {name}_d
+  ) WHERE rn = 1
+)"""
+
+    return f"""WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+),
+iscore AS (
+  SELECT x.vec_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn
+  FROM embeddings x, cents c
+),
+iassigned AS (SELECT vec_id, cid FROM iscore WHERE rn = 1),
+qscore AS (
+  SELECT x.vec_id AS query_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn
+  FROM embeddings x, cents c WHERE x.vec_id IN ({qids})
+),
+probes AS (SELECT query_id, cid FROM qscore WHERE rn <= {IVF_NPROBE}),
+seeds AS (
+  SELECT {rn} - 1 AS c, embedding::DOUBLE[] AS v
+  FROM embeddings QUALIFY {rn} <= {k}
+),
+cb0 AS (
+  SELECT s.s, seeds.c, (seeds.v)[s.s*{sd}+1 : s.s*{sd}+{sd}] AS cent
+  FROM seeds, (VALUES {subs}) s(s)
+),
+{assign_cte("a1", "cb0")},
+u1 AS (
+  SELECT a1.s, a1.code AS c, count(*) AS n, {s_exprs}
+  FROM a1 JOIN embeddings e USING (vec_id)
+  GROUP BY a1.s, a1.code
+),
+cb1 AS (
+  SELECT p.s, p.c, CASE WHEN u.n IS NULL THEN p.cent ELSE [{coords}] END AS cent
+  FROM cb0 p LEFT JOIN u1 u ON u.s = p.s AND u.c = p.c
+),
+{assign_cte("codes", "cb1")},
+qt AS (
+  SELECT e.vec_id AS query_id, s.s, cb.c, {d2} AS d
+  FROM embeddings e, (VALUES {subs}) s(s)
+  JOIN cb1 cb ON cb.s = s.s
+  WHERE e.vec_id IN ({qids})
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM iassigned a JOIN probes p USING (cid)
+),
+partials AS (
+  SELECT cand.query_id, cand.vec_id, qt.s, qt.d
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN qt ON qt.query_id = cand.query_id AND qt.s = codes.s AND qt.c = codes.code
+),
+score AS (
+  SELECT query_id, vec_id,
+         list_reduce(list(d ORDER BY s), (acc, x) -> acc + x) AS sc
+  FROM partials GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc ASC, vec_id ASC) AS rank
+  FROM score
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {SIM_K}"""
+
+
 def q_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language stopword-profile language id
     (operators/text.lang_id_profiles — the round-3 'grow langid past the
@@ -2795,6 +2912,7 @@ def queries():
         "sessionize": q_sessionize,
         "image_dhash": q_image_dhash,
         "stream_spatial_join": q_stream_spatial_join,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2858,6 +2976,7 @@ def oracle_sql():
         "sessionize": o_sessionize(),
         "image_dhash": o_image_dhash(),
         "stream_spatial_join": o_stream_spatial_join(),
+        "ivf_pq_topk": o_ivf_pq_topk(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

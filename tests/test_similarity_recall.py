@@ -244,3 +244,50 @@ def test_pq_adc_topk(spark):
     c = pq_assign_codes(one, books, "embedding", "codes").collect()[0]
     assert list(c.codes) == [3, 3, 3, 3]
     emb.unpersist()
+
+
+def test_ivf_pq_is_pq_restricted_to_probed_cells(spark):
+    """IVF-PQ must equal plain PQ ADC ranking computed over ONLY the
+    vectors assigned to the query's probed cells — the composition
+    introduces no new scoring, just candidate pruning."""
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        ivf_probe,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    cents = np.array(
+        [list(r.embedding) for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    books = train_pq_codebooks(emb, m=4, k=8, n_iter=1)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_pq_topk(emb, q, 5, cents, books, nprobe=4).collect()
+    }
+
+    probes = {
+        r.query_id: set(r.cids)
+        for r in ivf_probe(
+            q.select(F.col("query_id"), "embedding"), cents, 4, "embedding", "cids"
+        ).collect()
+    }
+    assigned = {r.vec_id: r.cid for r in ivf_assign(emb, cents).collect()}
+    for qid in [0, 1, 2]:
+        cand_ids = [v for v, c in assigned.items() if c in probes[qid]]
+        sub = emb.where(F.col("vec_id").isin(cand_ids))
+        one_q = q.where(F.col("query_id") == qid)
+        want = {
+            (r.query_id, r.rank): r.vec_id for r in pq_topk(sub, one_q, 5, books).collect()
+        }
+        for key, v in want.items():
+            assert got[key] == v, (key, got[key], v)
+    emb.unpersist()
