@@ -111,3 +111,39 @@ def test_lsh_bucket_cap_kills_degenerate_bucket(spark):
     # the cluster itself is still recoverable via exact dedup
     dups = exact_dedup(df, "text", "doc_id")
     assert dups.where(F.col("dup_count") == n_same).count() == 1
+
+
+def test_package_zips_for_py_files(tmp_path):
+    """The spark-submit --py-files contract: the package must be
+    importable from a plain zip (zipimport — exactly how executors load
+    --py-files). Build the zip, import it in a CLEAN subprocess with
+    only the zip on sys.path, and compute a known cell token."""
+    import pathlib
+    import subprocess
+    import sys
+    import zipfile
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    pkg = root / "rust_s2_spark"
+    zpath = tmp_path / "s2spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in pkg.rglob("*.py"):
+            z.write(f, f.relative_to(root))
+    script = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import numpy as np\n"
+        "from rust_s2_spark.kernels import cellid as k\n"
+        "ids = k.cell_from_latlng(np.array([40.7128]), np.array([-74.0060]))\n"
+        "tok = k.to_token(ids)[0]\n"
+        "assert k.from_token(np.array([tok]))[0] == ids[0]\n"
+        "print(tok)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(zpath)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo root — the zip must be the source
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert len(out.stdout.strip()) >= 8  # a real token came back
