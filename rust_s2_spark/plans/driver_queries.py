@@ -2019,6 +2019,62 @@ SELECT image_id, CAST({total} AS BIGINT) AS dhash FROM g
 """.strip()
 
 
+NEARDUP_MAX_DIST = 6
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection END TO END FROM BYTES: decode the
+    planted-near-dup corpus (sources.images_near_dup_corpus — groups of
+    5 images sharing 63 of 64 pixels), average-hash the pixels, find all
+    pairs within hamming d<=6 via the exact multi-index banding join.
+    Oracle derives every hash from the hex chain in SQL and scans all
+    pairs exhaustively with bit_count(xor) — the full pipeline (decode →
+    perceptual hash → banded join) is value-exact."""
+    from ..operators.dedup import phash_hamming_pairs
+    from ..operators.multimodal import average_hash
+    from ..sources.images import images_near_dup_corpus
+
+    img = images_near_dup_corpus(spark, sf_dir)
+    h = average_hash(img).select(F.col("image_id").alias("img"), "ahash")
+    return phash_hamming_pairs(h, "img", "ahash", max_dist=NEARDUP_MAX_DIST)
+
+
+def o_image_neardup() -> str:
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        hi = digit.format(pos=2 * j + 1)
+        lo = digit.format(pos=2 * j + 2)
+        return f"({hi} * 16 + {lo})"
+
+    sums = " , ".join(
+        f"({byte(3 * i)} + {byte(3 * i + 1)} + {byte(3 * i + 2)}) AS s{i}"
+        for i in range(64)
+    )
+    ts = "(" + " + ".join(f"s{i}" for i in range(64)) + ")"
+    terms = ["CASE WHEN 64*s63 > ts THEN (-9223372036854775807 - 1) ELSE 0 END"]
+    for i in range(63):
+        terms.append(f"CASE WHEN 64*s{i} > ts THEN {1 << i} ELSE 0 END")
+    total = " + ".join(terms)
+    blocks = " || ".join(
+        f"md5(CAST(o_orderkey // 25 AS VARCHAR) || '_g{i}')" for i in range(12)
+    )
+    hx = f"substr({blocks}, 1, 378) || substr(md5(CAST(o_orderkey AS VARCHAR) || '_t'), 1, 6)"
+    return f"""
+WITH ids AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id, {hx} AS hx
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+g AS (SELECT image_id, {sums} FROM ids),
+m AS (SELECT *, {ts} AS ts FROM g),
+h AS (SELECT image_id, CAST({total} AS BIGINT) AS ahash FROM m)
+SELECT l.image_id AS a, r.image_id AS b,
+       CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
+FROM h l JOIN h r ON l.image_id < r.image_id
+WHERE bit_count(xor(l.ahash, r.ahash)) <= {NEARDUP_MAX_DIST}
+""".strip()
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.py):
     per-vector scale = max|v|, q = round(v/scale·127) — native SQL
@@ -2913,6 +2969,7 @@ def queries():
         "image_dhash": q_image_dhash,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "image_neardup": q_image_neardup,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2977,6 +3034,7 @@ def oracle_sql():
         "image_dhash": o_image_dhash(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),
+        "image_neardup": o_image_neardup(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

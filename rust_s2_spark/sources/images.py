@@ -174,6 +174,37 @@ def images_mixed_sizes(
     )
 
 
+def images_near_dup_corpus(
+    spark: SparkSession, sf_dir: str, modulus: int = 5, group_span: int = 25
+) -> DataFrame:
+    """Deterministic 8x8 corpus with PLANTED pixel-level near-dups: the
+    first 189 bytes (63 pixels) derive from the key's GROUP
+    (o_orderkey // group_span — five keys per group at modulus 5), the
+    last 3 bytes (one pixel) from the key itself. Measured average-hash
+    hamming: in-group pairs 0-3 bits, cross-group >= 16 — a clean
+    planted target for the d<=6 near-dup join, end to end from BYTES.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+    if modulus > 1:
+        orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    g = F.expr(f"CAST(o_orderkey DIV {group_span} AS STRING)")
+    blocks = [F.md5(F.concat(g, F.lit(f"_g{i}"))) for i in range(12)]
+    hx = F.concat(
+        F.substring(F.concat(*blocks), 1, 378),
+        F.substring(F.expr("md5(CAST(o_orderkey AS STRING) || '_t')"), 1, 6),
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("long").alias("image_id"),
+        F.unhex(hx).alias("bytes"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        F.lit("raw").alias("fmt"),
+    )
+
+
 def write_images_table(
     spark: SparkSession,
     sf_dir: str,
