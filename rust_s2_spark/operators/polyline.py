@@ -110,3 +110,118 @@ def near_polyline(
         .withColumn("dist_chord2", d)
         .where(F.col("dist_chord2") <= F.lit(threshold))
     )
+
+
+def _crossing_udf():
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _crossing(
+        alat: pd.Series, alng: pd.Series, blat: pd.Series, blng: pd.Series,
+        clat: pd.Series, clng: pd.Series, dlat: pd.Series, dlng: pd.Series,
+    ) -> pd.Series:
+        from ..kernels import edges as ek
+
+        def xyz(lat, lng):
+            la = np.radians(lat.to_numpy(np.float64))
+            lo = np.radians(lng.to_numpy(np.float64))
+            cl = np.cos(la)
+            return np.stack([np.cos(lo) * cl, np.sin(lo) * cl, np.sin(la)], axis=1)
+
+        out = ek.simple_crossing(
+            xyz(alat, alng), xyz(blat, blng), xyz(clat, clng), xyz(dlat, dlng)
+        )
+        return pd.Series(np.asarray(out))
+
+    return _crossing
+
+
+def polyline_crossing_join(
+    df: DataFrame,
+    max_seg_deg: float,
+    id_col: str = "traj_id",
+    lats_col: str = "lats",
+    lngs_col: str = "lngs",
+) -> DataFrame:
+    """Trajectory-intersection self-join: all trajectory pairs (a < b)
+    with at least one interior segment crossing, plus the crossing
+    count — the "do these two tracks cross?" shape.
+
+    Candidates use the within-distance ring recipe on SEGMENT MIDPOINTS:
+    a crossing point lies on both segments, so the midpoints of two
+    crossing segments are within one segment length; with every segment
+    <= ``max_seg_deg``, a ring equi-join at the level whose min cell
+    width covers 1.5x that (margin for the arithmetic lat/lng midpoint
+    being slightly off the geodesic) is a guaranteed candidate superset.
+    One shuffle on the cell key; the exact interior-crossing kernel
+    (kernels/edges.simple_crossing — pure double arithmetic, bit-equal
+    to the oracle's SQL port) decides. Midpoints use arithmetic lat/lng
+    means: trajectories crossing the antimeridian must be pre-rotated.
+    """
+    from ..functions import s2_all_neighbors, s2_cell_from_latlng, s2_parent
+    from ..kernels import metric as metrics
+
+    rad = math.radians(1.5 * max_seg_deg)
+    lvl = max(1, min(30, metrics.MIN_WIDTH.max_level(rad)))
+
+    seg_expr = (
+        f"transform(sequence(1, size({lats_col}) - 1), i -> named_struct("
+        f"'alat', {lats_col}[i-1], 'alng', {lngs_col}[i-1],"
+        f"'blat', {lats_col}[i], 'blng', {lngs_col}[i]))"
+    )
+    segs = (
+        df.select(F.col(id_col).alias("tid"), F.posexplode(F.expr(seg_expr)))
+        .select(
+            "tid",
+            F.col("pos").alias("sidx"),
+            F.col("col.alat").alias("alat"),
+            F.col("col.alng").alias("alng"),
+            F.col("col.blat").alias("blat"),
+            F.col("col.blng").alias("blng"),
+        )
+        .withColumn(
+            "mcell",
+            s2_parent(
+                s2_cell_from_latlng(
+                    (F.col("alat") + F.col("blat")) / 2,
+                    (F.col("alng") + F.col("blng")) / 2,
+                ),
+                lvl,
+            ),
+        )
+    )
+    targets = segs.select(
+        "tid", "sidx", "alat", "alng", "blat", "blng",
+        F.explode(
+            F.array_union(
+                F.array(F.col("mcell")), s2_all_neighbors(F.col("mcell"), lvl)
+            )
+        ).alias("tcell"),
+    )
+    other = segs.select(
+        F.col("tid").alias("qid"),
+        F.col("sidx").alias("qsidx"),
+        F.col("alat").alias("clat"),
+        F.col("alng").alias("clng"),
+        F.col("blat").alias("dlat"),
+        F.col("blng").alias("dlng"),
+        F.col("mcell").alias("tcell"),
+    )
+    cand = (
+        targets.join(other, "tcell")
+        .where(F.col("tid") < F.col("qid"))
+        # the symmetric ring double-finds the same segment pair through
+        # several cells — dedupe BEFORE the exact kernel
+        .dropDuplicates(["tid", "sidx", "qid", "qsidx"])
+    )
+    crossing = _crossing_udf()
+    hits = cand.where(
+        crossing(
+            F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"),
+            F.col("clat"), F.col("clng"), F.col("dlat"), F.col("dlng"),
+        )
+    )
+    return (
+        hits.groupBy(F.col("tid").alias("a"), F.col("qid").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_crossings"))
+    )

@@ -2377,6 +2377,132 @@ ranked AS (
     )
 
 
+TRAJ_MODULUS = 15
+TRAJ_MAX_SEG_DEG = 0.8
+
+
+def _traj_sql(key: str = "o_orderkey") -> dict[str, str]:
+    """Deterministic 3-vertex trajectory derivation (shared Spark/DuckDB
+    bigint arithmetic, the images-table convention): base point at one
+    of the three cities, three vertex offsets in a ±0.2° box from
+    per-vertex Knuth hashes."""
+    from ..sources.images import _CITIES, _M1
+
+    city = f"({key} % 3)"
+
+    def _e(x: float) -> str:
+        return f"{x!r}e0"
+
+    base_lat = (
+        f"(CASE {city} WHEN 0 THEN {_e(_CITIES[0][0])} WHEN 1 THEN {_e(_CITIES[1][0])} "
+        f"ELSE {_e(_CITIES[2][0])} END)"
+    )
+    base_lng = (
+        f"(CASE {city} WHEN 0 THEN {_e(_CITIES[0][1])} WHEN 1 THEN {_e(_CITIES[1][1])} "
+        f"ELSE {_e(_CITIES[2][1])} END)"
+    )
+    # per-trajectory spread over a ±1.5° box so tracks only overlap
+    # locally (without it every same-city pair crosses and the join is
+    # all-pairs-dense); vertices wiggle ±0.2° around the spread base
+    k0 = f"(({key} * {_M1}) % 4294967296)"
+    k0b = f"((({k0} % 1048576) * {_M1}) % 4294967296)"
+    s_lat = f"(({k0} % 3000000) / 1e6 - 1.5e0)"
+    s_lng = f"(({k0b} % 3000000) / 1e6 - 1.5e0)"
+    out: dict[str, str] = {}
+    for j in range(3):
+        kj = f"((({key} * 31 + {7919 * j}) * {_M1}) % 4294967296)"
+        # reduce to 2^20 before the second multiply (the k2 trick in
+        # _derivation_sql) — kj * _M1 would overflow the ANSI long
+        kj2 = f"(((({kj} % 1048576)) * {_M1} + {123457 * (j + 1)}) % 4294967296)"
+        out[f"lat{j}"] = f"({base_lat} + {s_lat} + ({kj} % 400000) / 1e6 - 2e-1)"
+        out[f"lng{j}"] = f"({base_lng} + {s_lng} + ({kj2} % 400000) / 1e6 - 2e-1)"
+    return out
+
+
+def _trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _traj_sql()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % TRAJ_MODULUS == 0
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("long").alias("traj_id"),
+        F.array(*[F.expr(t[f"lat{j}"]) for j in range(3)]).alias("lats"),
+        F.array(*[F.expr(t[f"lng{j}"]) for j in range(3)]).alias("lngs"),
+    )
+
+
+def q_traj_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-intersection self-join
+    (operators/polyline.polyline_crossing_join): 3-vertex tracks near
+    the three cities; ring equi-join on segment-midpoint cells +
+    exact interior-crossing kernel. Oracle = EXHAUSTIVE all-pairs scan
+    with the simple_crossing predicate ported op-for-op to SQL (cross/
+    dot/sign products in identical IEEE order), so the candidate ring
+    guarantee is verified, not assumed."""
+    from ..operators.polyline import polyline_crossing_join
+
+    return polyline_crossing_join(
+        _trajectories(spark, sf_dir), TRAJ_MAX_SEG_DEG
+    )
+
+
+def o_traj_crossings() -> str:
+    t = _traj_sql()
+
+    def cross_sql(p: str, q: str, side: str) -> list[str]:
+        # components of cross(v_p, v_q) for prefix side ('l'/'r')
+        ax, ay, az = f"{side}.x{p}", f"{side}.y{p}", f"{side}.z{p}"
+        bx, by, bz = f"{side}.x{q}", f"{side}.y{q}", f"{side}.z{q}"
+        return [
+            f"({ay}*{bz} - {az}*{by})",
+            f"({az}*{bx} - {ax}*{bz})",
+            f"({ax}*{by} - {ay}*{bx})",
+        ]
+
+    def dot_sql(v: list[str], side: str, p: str) -> str:
+        return f"({v[0]}*{side}.x{p} + {v[1]}*{side}.y{p} + {v[2]}*{side}.z{p})"
+
+    def crossing(i: int, j: int) -> str:
+        # segment (l: i -> i+1) vs (r: j -> j+1), simple_crossing order
+        ab = cross_sql(str(i), str(i + 1), "l")
+        cd = cross_sql(str(j), str(j + 1), "r")
+        acb = f"(-{dot_sql(ab, 'r', str(j))})"
+        bda = dot_sql(ab, "r", str(j + 1))
+        cbd = f"(-{dot_sql(cd, 'l', str(i + 1))})"
+        dac = dot_sql(cd, "l", str(i))
+        return (
+            f"(NOT ({acb}*{bda} <= 0e0) AND {acb}*{cbd} > 0e0 "
+            f"AND {acb}*{dac} > 0e0)"
+        )
+
+    n = " + ".join(
+        f"CASE WHEN {crossing(i, j)} THEN 1 ELSE 0 END"
+        for i in range(2)
+        for j in range(2)
+    )
+    vert_cols = ", ".join(
+        f"cos(radians(lng{j}))*cos(radians(lat{j})) AS x{j}, "
+        f"sin(radians(lng{j}))*cos(radians(lat{j})) AS y{j}, "
+        f"sin(radians(lat{j})) AS z{j}"
+        for j in range(3)
+    )
+    ll = ", ".join(
+        f"{t[f'lat{j}']} AS lat{j}, {t[f'lng{j}']} AS lng{j}" for j in range(3)
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS traj_id, {ll}
+  FROM orders WHERE o_orderkey % {TRAJ_MODULUS} = 0
+),
+v AS (SELECT traj_id, {vert_cols} FROM t),
+p AS (
+  SELECT l.traj_id AS a, r.traj_id AS b, {n} AS n
+  FROM v l JOIN v r ON l.traj_id < r.traj_id
+)
+SELECT a, b, CAST(n AS BIGINT) AS n_crossings FROM p WHERE n > 0
+""".strip()
+
+
 SESSION_GAP_SEC = 900
 
 
@@ -2970,6 +3096,7 @@ def queries():
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
         "image_neardup": q_image_neardup,
+        "traj_crossings": q_traj_crossings,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3035,6 +3162,7 @@ def oracle_sql():
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),
         "image_neardup": o_image_neardup(),
+        "traj_crossings": o_traj_crossings(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

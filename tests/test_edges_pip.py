@@ -318,3 +318,37 @@ def test_edge_index_fast_matches_scalar_and_is_fast():
     dt = time.perf_counter() - t0
     assert idx[4][-1] > 0
     assert dt < 10.0, f"index build took {dt:.1f}s for 100k edges"
+
+
+def test_polyline_crossing_join_planted(spark):
+    """Planted geometry: an X pair must cross exactly once, parallel
+    tracks must not, a shared-region-but-disjoint pair must not; and
+    the candidate join is a cell equi-join (no cartesian product)."""
+    from rust_s2_spark.operators.polyline import polyline_crossing_join
+
+    rows = [
+        # an X: diagonal up vs diagonal down through the same center
+        (1, [40.0, 40.4], [-74.4, -74.0]),
+        (2, [40.4, 40.0], [-74.4, -74.0]),
+        # parallel to traj 1, shifted north — same cells, no crossing
+        (3, [40.5, 40.9], [-74.4, -74.0]),
+        # far away entirely
+        (4, [10.0, 10.4], [20.0, 20.4]),
+        # V touching the X region: two segments, one crosses traj 1
+        (5, [40.35, 40.05, 40.35], [-74.35, -74.2, -74.05]),
+    ]
+    df = spark.createDataFrame(
+        rows, "traj_id long, lats array<double>, lngs array<double>"
+    )
+    out = {
+        (r.a, r.b): r.n_crossings
+        for r in polyline_crossing_join(df, max_seg_deg=0.8).collect()
+    }
+    assert out.get((1, 2)) == 1
+    assert (1, 3) not in out and (2, 3) not in out
+    assert all(4 not in pair for pair in out)
+    assert (1, 5) in out  # the V's descending arm crosses the X diagonal
+
+    exec_plan = polyline_crossing_join(df, 0.8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in exec_plan
+    assert "BroadcastNestedLoopJoin" not in exec_plan
