@@ -148,6 +148,53 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return cols.mapInPandas(fn, RESIZE_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio-clip features over an opaque PCM binary column (fmt='pcm16':
+    little-endian int16 mono — the deterministic fake-codec convention;
+    real codecs would be import-gated like the image path): sample
+    count, energy as the EXACT integer sum of squares (so any engine
+    reproduces it bit-for-bit — RMS is one division away), zero-crossing
+    count (sign changes between consecutive samples, zeros keep the
+    previous sign), and the absolute peak. Vectorized numpy per clip
+    inside mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("clip_id", "n_samples", "sum_sq", "zero_crossings", "peak")}
+            for row in pdf.itertuples():
+                buf = bytes(row.bytes)
+                x = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n = len(x)
+                s = np.sign(x)
+                # zeros inherit the previous nonzero sign (standard
+                # ZCR) — vectorized forward-fill of the last nonzero
+                # index, no per-sample Python
+                idx = np.where(s != 0, np.arange(n), 0)
+                np.maximum.accumulate(idx, out=idx)
+                sf_ = s[idx] if n else s
+                zc = int(np.count_nonzero(sf_[1:] * sf_[:-1] < 0))
+                out["clip_id"].append(int(row.clip_id))
+                out["n_samples"].append(n)
+                out["sum_sq"].append(int((x * x).sum()))
+                out["zero_crossings"].append(zc)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    cols = df.select(F.col("clip_id").cast("long").alias("clip_id"), "bytes")
+    return cols.mapInPandas(fn, AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_k: int, frame_bytes: int) -> DataFrame:
     """'Video' frame sampling: bytes = concatenated fixed-size frames
     (deterministic fake codec); keeps every k-th frame. Exercises the

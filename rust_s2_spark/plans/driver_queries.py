@@ -2075,6 +2075,69 @@ WHERE bit_count(xor(l.ahash, r.ahash)) <= {NEARDUP_MAX_DIST}
 """.strip()
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip features over opaque pcm16 binaries
+    (operators/multimodal.audio_features) on a variable-length corpus
+    (128..384 samples/clip): sample count, EXACT integer energy
+    (sum of squares), zero-crossing count (zeros inherit the previous
+    nonzero sign — replicated in SQL with an IGNORE NULLS forward
+    fill), absolute peak. Value-exact on 3,000 clips."""
+    from ..operators.multimodal import audio_features
+    from ..sources.images import audio_from_orders
+
+    return audio_features(audio_from_orders(spark, sf_dir, modulus=5))
+
+
+def o_audio_features() -> str:
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"4*({j})+{1}")
+        lo = digit.format(pos=f"4*({j})+{2}")
+        return f"({hi} * 16 + {lo})"
+
+    def byte_hi(j: str) -> str:
+        hi = digit.format(pos=f"4*({j})+{3}")
+        lo = digit.format(pos=f"4*({j})+{4}")
+        return f"({hi} * 16 + {lo})"
+
+    b0 = byte("j")
+    b1 = byte_hi("j")
+    blocks = " || ".join(
+        f"md5(CAST(o_orderkey AS VARCHAR) || '_a{i}')" for i in range(48)
+    )
+    d = _derivation_sql("o_orderkey")
+    return f"""
+WITH ids AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+         CAST(16 + ({d["k1"]} % 33) AS INT) AS nb,
+         {blocks} AS hx
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+s AS (SELECT clip_id, unnest(range(0, nb * 8)) AS j, hx FROM ids),
+v AS (
+  SELECT clip_id, j,
+         ({b0} + 256*{b1} - CASE WHEN {b1} >= 128 THEN 65536 ELSE 0 END) AS v
+  FROM s
+),
+f AS (
+  SELECT clip_id, j, v,
+         COALESCE(last_value(NULLIF(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END, 0) IGNORE NULLS)
+           OVER (PARTITION BY clip_id ORDER BY j ROWS UNBOUNDED PRECEDING), 0) AS sg
+  FROM v
+),
+z AS (
+  SELECT clip_id, j, v, sg,
+         lag(sg) OVER (PARTITION BY clip_id ORDER BY j) AS psg
+  FROM f
+)
+SELECT clip_id, count(*) AS n_samples, CAST(sum(v*v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN sg * psg < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM z GROUP BY clip_id
+""".strip()
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (operators/similarity.py):
     per-vector scale = max|v|, q = round(v/scale·127) — native SQL
@@ -3097,6 +3160,7 @@ def queries():
         "ivf_pq_topk": q_ivf_pq_topk,
         "image_neardup": q_image_neardup,
         "traj_crossings": q_traj_crossings,
+        "audio_features": q_audio_features,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3163,6 +3227,7 @@ def oracle_sql():
         "ivf_pq_topk": o_ivf_pq_topk(),
         "image_neardup": o_image_neardup(),
         "traj_crossings": o_traj_crossings(),
+        "audio_features": o_audio_features(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

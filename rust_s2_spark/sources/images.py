@@ -174,6 +174,36 @@ def images_mixed_sizes(
     )
 
 
+def audio_from_orders(
+    spark: SparkSession, sf_dir: str, modulus: int = 5
+) -> DataFrame:
+    """Deterministic variable-length 'audio' corpus: fmt='pcm16' mono
+    clips of 16..48 16-byte md5 blocks (128..384 int16 samples), block
+    i = md5(key || '_a' || i) — independent blocks (flat expression
+    tree), length from the shared k1 hash, so DuckDB re-derives every
+    sample exactly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+    if modulus > 1:
+        orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    d = _derivation_sql("o_orderkey")
+    blocks = [
+        F.md5(F.expr(f"CAST(o_orderkey AS STRING) || '_a{i}'")) for i in range(48)
+    ]
+    df = orders.select(
+        F.col("o_orderkey").cast("long").alias("clip_id"),
+        F.expr(f"CAST(16 + ({d['k1']} % 33) AS INT)").alias("__nb"),
+        F.concat(*blocks).alias("__hx"),
+    )
+    return df.select(
+        "clip_id",
+        F.unhex(F.expr("substring(__hx, 1, __nb * 32)")).alias("bytes"),
+        F.lit("pcm16").alias("fmt"),
+    )
+
+
 def images_near_dup_corpus(
     spark: SparkSession, sf_dir: str, modulus: int = 5, group_span: int = 25
 ) -> DataFrame:

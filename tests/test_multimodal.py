@@ -149,3 +149,31 @@ def test_difference_hash_gradient_and_brightness_invariance(spark, sf_dir):
 
     assert dhash_of(half, sample.w, sample.h) == dhash_of(plus, sample.w, sample.h)
     mix.unpersist()
+
+
+def test_audio_features_edge_semantics(spark):
+    """ZCR semantics: zeros inherit the previous nonzero sign (so
+    +1, 0, -1 is ONE crossing, not two); energy is the exact integer
+    sum of squares; peak covers the int16 minimum."""
+    import struct
+
+    from rust_s2_spark.operators.multimodal import audio_features
+
+    def pcm(vals):
+        return struct.pack(f"<{len(vals)}h", *vals)
+
+    rows = [
+        (0, pcm([100, 0, -100])),           # one crossing through a zero
+        (1, pcm([100, -100, 100, -100])),   # three crossings
+        (2, pcm([0, 0, 5])),                # leading zeros: no crossing
+        (3, pcm([-32768, 32767])),          # extremes; peak 32768
+        (4, pcm([7])),                      # single sample
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+    got = {r.clip_id: r for r in audio_features(df).collect()}
+    assert got[0].zero_crossings == 1
+    assert got[1].zero_crossings == 3
+    assert got[2].zero_crossings == 0
+    assert got[3].zero_crossings == 1 and got[3].peak == 32768
+    assert got[3].sum_sq == 32768**2 + 32767**2
+    assert got[4].n_samples == 1 and got[4].zero_crossings == 0
