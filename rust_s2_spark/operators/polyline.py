@@ -142,75 +142,87 @@ def polyline_crossing_join(
     id_col: str = "traj_id",
     lats_col: str = "lats",
     lngs_col: str = "lngs",
+    level_offset: int = 6,
 ) -> DataFrame:
     """Trajectory-intersection self-join: all trajectory pairs (a < b)
     with at least one interior segment crossing, plus the crossing
     count — the "do these two tracks cross?" shape.
 
-    Candidates use the within-distance ring recipe on SEGMENT MIDPOINTS:
-    a crossing point lies on both segments, so the midpoints of two
-    crossing segments are within one segment length; with every segment
-    <= ``max_seg_deg``, a ring equi-join at the level whose min cell
-    width covers 1.5x that (margin for the arithmetic lat/lng midpoint
-    being slightly off the geodesic) is a guaranteed candidate superset.
-    One shuffle on the cell key; the exact interior-crossing kernel
+    Candidates: each segment is SAMPLED along its lat/lng line at a
+    spacing of half the cell min-width at a level ``level_offset``
+    levels FINER than the segment-length level, and emits the distinct
+    1-rings of its sample cells. A crossing point X lies on both
+    segments, so each side has a sample within half a cell width of X,
+    whose cell is therefore X's cell or an adjacent one — both rings
+    contain cell(X), and the plain cell EQUI-join matches. One shuffle
+    on the cell key; the exact interior-crossing kernel
     (kernels/edges.simple_crossing — pure double arithmetic, bit-equal
-    to the oracle's SQL port) decides. Midpoints use arithmetic lat/lng
-    means: trajectories crossing the antimeridian must be pre-rotated.
+    to the oracle's SQL port) decides on candidates only.
+
+    Why fine cells: a ring at the segment-length level makes the join
+    all-pairs-dense for clustered tracks (measured 1,169 s on 10k
+    city-clustered trajectories); candidate pairs shrink roughly
+    linearly with cell width, and at +6 levels the same input runs in
+    seconds with identical output. Sampling uses the straight lat/lng
+    line — its deviation from the geodesic is O(len²) and far below the
+    half-cell margin for segments under ~1°; antimeridian-crossing
+    trajectories must be pre-rotated.
     """
     from ..functions import s2_all_neighbors, s2_cell_from_latlng, s2_parent
     from ..kernels import metric as metrics
 
     rad = math.radians(1.5 * max_seg_deg)
-    lvl = max(1, min(30, metrics.MIN_WIDTH.max_level(rad)))
+    seg_lvl = max(1, min(30, metrics.MIN_WIDTH.max_level(rad)))
+    lvl = min(30, seg_lvl + level_offset)
+    # samples spaced <= half the min cell width along the segment
+    n_samples = int(math.ceil(math.radians(max_seg_deg) / (0.5 * metrics.MIN_WIDTH.value(lvl)))) + 1
 
     seg_expr = (
         f"transform(sequence(1, size({lats_col}) - 1), i -> named_struct("
         f"'alat', {lats_col}[i-1], 'alng', {lngs_col}[i-1],"
         f"'blat', {lats_col}[i], 'blng', {lngs_col}[i]))"
     )
-    segs = (
-        df.select(F.col(id_col).alias("tid"), F.posexplode(F.expr(seg_expr)))
-        .select(
-            "tid",
-            F.col("pos").alias("sidx"),
-            F.col("col.alat").alias("alat"),
-            F.col("col.alng").alias("alng"),
-            F.col("col.blat").alias("blat"),
-            F.col("col.blng").alias("blng"),
-        )
-        .withColumn(
-            "mcell",
-            s2_parent(
-                s2_cell_from_latlng(
-                    (F.col("alat") + F.col("blat")) / 2,
-                    (F.col("alng") + F.col("blng")) / 2,
-                ),
-                lvl,
-            ),
-        )
+    segs = df.select(F.col(id_col).alias("tid"), F.posexplode(F.expr(seg_expr))).select(
+        "tid",
+        F.col("pos").alias("sidx"),
+        F.col("col.alat").alias("alat"),
+        F.col("col.alng").alias("alng"),
+        F.col("col.blat").alias("blat"),
+        F.col("col.blng").alias("blng"),
     )
-    targets = segs.select(
+    t = F.col("t").cast("double") / F.lit(float(n_samples))
+    samples = segs.select(
+        "tid", "sidx", "alat", "alng", "blat", "blng",
+        F.explode(F.sequence(F.lit(0), F.lit(n_samples))).alias("t"),
+    ).select(
+        "tid", "sidx", "alat", "alng", "blat", "blng",
+        (F.col("alat") + (F.col("blat") - F.col("alat")) * t).alias("slat"),
+        (F.col("alng") + (F.col("blng") - F.col("alng")) * t).alias("slng"),
+    )
+    cells = samples.withColumn(
+        "scell", s2_parent(s2_cell_from_latlng("slat", "slng"), lvl)
+    )
+    ring = cells.select(
         "tid", "sidx", "alat", "alng", "blat", "blng",
         F.explode(
             F.array_union(
-                F.array(F.col("mcell")), s2_all_neighbors(F.col("mcell"), lvl)
+                F.array(F.col("scell")), s2_all_neighbors(F.col("scell"), lvl)
             )
         ).alias("tcell"),
-    )
-    other = segs.select(
+    ).dropDuplicates(["tid", "sidx", "tcell"])
+    other = ring.select(
         F.col("tid").alias("qid"),
         F.col("sidx").alias("qsidx"),
         F.col("alat").alias("clat"),
         F.col("alng").alias("clng"),
         F.col("blat").alias("dlat"),
         F.col("blng").alias("dlng"),
-        F.col("mcell").alias("tcell"),
+        F.col("tcell"),
     )
     cand = (
-        targets.join(other, "tcell")
+        ring.join(other, "tcell")
         .where(F.col("tid") < F.col("qid"))
-        # the symmetric ring double-finds the same segment pair through
+        # the symmetric rings double-find the same segment pair through
         # several cells — dedupe BEFORE the exact kernel
         .dropDuplicates(["tid", "sidx", "qid", "qsidx"])
     )
