@@ -891,6 +891,76 @@ WITH ev AS (
 """.strip()
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time session windows
+    (streaming/cell_stream.streaming_sessions): 15-minute-gap sessions
+    per user over the events stream, append mode — a session emits once
+    the watermark passes its end, so the visible set is exactly the
+    sessions whose end (last event + gap) <= the global max event time;
+    the oracle replays the merge rule (cut at diff >= gap) and that
+    emission filter relationally."""
+    import tempfile
+
+    from ..streaming import streaming_sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamsess_")
+    # ONE staged file -> ONE availableNow micro-batch: the watermark
+    # advances exactly once at the end, so emission is deterministic
+    # (multi-batch splits would drop "late" rows batch-dependently)
+    events.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    sess = streaming_sessions(stream, gap=f"{SESSION_GAP_SEC} seconds")
+    name = "stream_sessions_q"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_sessions availableNow query did not finish")
+    return spark.sql(
+        f"SELECT user_id, unix_micros(session_window.start) AS ss_us, "
+        f"unix_micros(session_window.end) AS se_us, n_events FROM {name}"
+    )
+
+
+def o_stream_sessions() -> str:
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev >= {gap_us} THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+s AS (
+  SELECT user_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+agg AS (
+  SELECT user_id, sid, MIN(us) AS ss_us, MAX(us) + {gap_us} AS se_us,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, CAST(ss_us AS BIGINT) AS ss_us, CAST(se_us AS BIGINT) AS se_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM agg WHERE se_us <= (SELECT max(epoch_us(ts)) FROM events)
+""".strip()
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact-dedup (applyInPandasWithState first-seen
     per phash) over the images table, run to completion with
@@ -3161,6 +3231,7 @@ def queries():
         "image_neardup": q_image_neardup,
         "traj_crossings": q_traj_crossings,
         "audio_features": q_audio_features,
+        "stream_sessions": q_stream_sessions,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3228,6 +3299,7 @@ def oracle_sql():
         "image_neardup": o_image_neardup(),
         "traj_crossings": o_traj_crossings(),
         "audio_features": o_audio_features(),
+        "stream_sessions": o_stream_sessions(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -170,3 +170,24 @@ def streaming_region_rollup(
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "15 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time SESSION WINDOWS on a stream: Spark's native
+    session_window aggregation (merge events with gaps < ``gap``) with
+    a watermark; append mode emits a session once the watermark passes
+    its end (last event + gap). The streaming twin of
+    operators/sessions.sessionize — note the boundary difference:
+    session_window CUTS at diff >= gap, the batch op cuts at
+    diff > gap (both are pinned by their own oracles)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
