@@ -87,18 +87,25 @@ def _scale_docs(docs, mult: int):
     mult and measure result materialization instead — see BASELINE.md)."""
     from pyspark.sql import functions as F
 
+    # the new id must be MATERIALIZED in its own projection before the
+    # md5 references it: inside a single select, `doc_id` in an expr
+    # resolves to the INPUT column, not the sibling alias — which made
+    # every replica share the original doc's seed (identical texts,
+    # caught by review: the corpus was mult-sized exact-dup groups)
     d = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"),
         F.length("text").alias("__len"),
     ).select(
-        (F.col("doc_id") * mult + F.col("__i")).alias("doc_id"),
+        (F.col("doc_id") * mult + F.col("__i")).alias("doc_id"), "__len"
+    )
+    return d.select(
+        "doc_id",
         F.expr(
             "array_join(transform(sequence(1, greatest(int(__len / 32), 1)),"
             " j -> md5(concat(cast(doc_id as string), '_', cast(j as string)))), ' ')"
         ).alias("text"),
     )
-    return d
 
 
 def _scale_emb(emb, mult: int):

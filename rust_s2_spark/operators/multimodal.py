@@ -174,7 +174,11 @@ def audio_features(df: DataFrame) -> DataFrame:
             out = {k: [] for k in ("clip_id", "n_samples", "sum_sq", "zero_crossings", "peak")}
             for row in pdf.itertuples():
                 buf = bytes(row.bytes)
-                x = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                # tolerate an odd trailing byte (truncated clip): trim
+                # instead of letting np.frombuffer fail the whole task
+                x = np.frombuffer(
+                    buf, dtype="<i2", count=len(buf) // 2
+                ).astype(np.int64)
                 n = len(x)
                 s = np.sign(x)
                 # zeros inherit the previous nonzero sign (standard

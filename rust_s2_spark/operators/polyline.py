@@ -182,6 +182,10 @@ def polyline_crossing_join(
         f"'alat', {lats_col}[i-1], 'alng', {lngs_col}[i-1],"
         f"'blat', {lats_col}[i], 'blng', {lngs_col}[i]))"
     )
+    # trajectories need >= 2 vertices: sequence(1, size-1) DESCENDS for
+    # size <= 1 ([1, 0]) and the transform would index lats[-1] — an
+    # ANSI crash that would take the whole job down (review finding)
+    df = df.where(F.size(F.col(lats_col)) >= 2)
     segs = df.select(F.col(id_col).alias("tid"), F.posexplode(F.expr(seg_expr))).select(
         "tid",
         F.col("pos").alias("sidx"),

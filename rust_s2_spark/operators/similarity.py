@@ -242,28 +242,39 @@ def _ivf_cos_array(col, centroids: np.ndarray):
     """Array column of cosine(col, centroid_i) for every centroid, as
     pure native SQL — one zip_with/aggregate dot per centroid, evaluated
     ONCE into an array (a greatest+CASE argmax would re-evaluate every
-    aggregate lambda per comparison)."""
-    out = []
+    aggregate lambda per comparison). The row's own norm appears ONCE
+    and the per-centroid division happens in a single zip_with, so the
+    expression tree carries one O(dim) norm fold instead of nc copies
+    (same ops in the same IEEE order as the per-entry form — values are
+    bit-identical). A zero-norm centroid scores the -2.0 sentinel
+    (below any cosine) instead of the NaN that 0/0 would produce — NaN
+    sorts GREATEST in Spark, which would make a dead centroid win every
+    argmax; the pandas regime uses the same sentinel."""
+    dots, cns = [], []
     for c in centroids:
         # sequential accumulation (not numpy pairwise sum) so the
         # norm is bit-identical to a SQL list_dot_product(c, c)
         acc = 0.0
         for x in c:
             acc += float(x) * float(x)
-        cn = float(np.sqrt(acc))
-        dot = F.aggregate(
-            F.zip_with(
-                col,
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        cns.append(float(np.sqrt(acc)))
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         )
-        out.append(
-            dot / (_norm(F.transform(col, lambda x: x.cast("double"))) * F.lit(cn))
-        )
-    return F.array(*out)
+    vn = _norm(F.transform(col, lambda x: x.cast("double")))
+    return F.zip_with(
+        F.array(*dots),
+        F.array(*[F.lit(c) for c in cns]),
+        lambda d, cn: F.when(cn == 0.0, F.lit(-2.0)).otherwise(d / (vn * cn)),
+    )
 
 
 def _unit_centroids(centroids: np.ndarray) -> np.ndarray:
@@ -307,10 +318,13 @@ def ivf_assign(
 
     Cu = _unit_centroids(centroids)
 
+    zero = np.linalg.norm(np.asarray(centroids, dtype=np.float64), axis=1) == 0.0
+
     @pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         sims = V @ Cu.T
+        sims[:, zero] = -2.0  # dead-centroid sentinel, same as native
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
@@ -352,10 +366,13 @@ def ivf_probe(
 
     Cu = _unit_centroids(centroids)
 
+    zero = np.linalg.norm(np.asarray(centroids, dtype=np.float64), axis=1) == 0.0
+
     @pandas_udf("array<int>")
     def _probe(vs: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         sims = V @ Cu.T
+        sims[:, zero] = -2.0  # dead-centroid sentinel, same as native
         # stable argsort on -sims: ties resolve to the lowest centroid id
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx.astype(np.int32)))

@@ -3014,11 +3014,12 @@ b{r} AS (
 ),
 w{r} AS (
   SELECT word, freq,
-         list_reduce(list_transform(syms, s -> [s]),
-           (acc, x) -> CASE WHEN acc[len(acc)] = ma AND x[1] = mb
-                       THEN list_slice(acc, 1, len(acc)-1) || [ma || mb]
-                       ELSE acc || x END) AS syms
-  FROM w{r - 1}, b{r}
+         CASE WHEN ma IS NULL THEN syms
+              ELSE list_reduce(list_transform(syms, s -> [s]),
+                     (acc, x) -> CASE WHEN acc[len(acc)] = ma AND x[1] = mb
+                                 THEN list_slice(acc, 1, len(acc)-1) || [ma || mb]
+                                 ELSE acc || x END) END AS syms
+  FROM w{r - 1} LEFT JOIN b{r} ON TRUE
 )"""
         )
     return ",\n".join(parts)
