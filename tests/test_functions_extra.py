@@ -336,3 +336,72 @@ def test_sessionize_boundaries(spark):
     assert stats[(10, 1)] == (2, 600_000_000, 1)
     assert stats[(10, 2)] == (1, 0, 3)
     assert stats[(20, 1)] == (2, 0, 4)
+
+
+def test_review_fix_regressions(spark):
+    """Pins for the post-round review fixes: degenerate trajectories
+    are filtered (not ANSI crashes), odd pcm buffers trim, BPE keeps
+    its vocabulary when merges exhaust, and bench's doc replicas are
+    genuinely unique."""
+    import sys
+
+    from rust_s2_spark.operators.multimodal import audio_features
+    from rust_s2_spark.operators.polyline import polyline_crossing_join
+    from rust_s2_spark.operators.text import bpe_token_count, train_bpe_merges
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _scale_docs
+
+    # 1-vertex and empty trajectories must not kill the job
+    t = spark.createDataFrame(
+        [
+            (1, [40.0, 40.4], [-74.4, -74.0]),
+            (2, [40.4, 40.0], [-74.4, -74.0]),
+            (3, [41.0], [-74.2]),
+            (4, [], []),
+        ],
+        "traj_id long, lats array<double>, lngs array<double>",
+    )
+    pairs = {(r.a, r.b) for r in polyline_crossing_join(t, 0.8).collect()}
+    assert pairs == {(1, 2)}
+
+    # odd-length pcm16 buffer: trailing byte trimmed, not a crash
+    a = spark.createDataFrame([(0, bytes([1, 2, 3]))], "clip_id long, bytes binary")
+    row = audio_features(a).collect()[0]
+    assert row.n_samples == 1 and row.peak == 513
+
+    # BPE merges exhaust before n_merges: vocab kept, encode consistent
+    deg = spark.createDataFrame([(0, "ab ab"), (1, "ab")], "doc_id long, text string")
+    merges, words = train_bpe_merges(deg, "text", n_merges=4)
+    assert merges == [("a", "b")]
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_count(deg, "text", "doc_id", words).collect()
+    }
+    assert counts == {0: 2, 1: 1}
+
+    # _scale_docs replicas are unique per replicated id
+    docs = spark.createDataFrame([(0, "x" * 100), (1, "y" * 100)], "doc_id long, text string")
+    texts = [r.text for r in _scale_docs(docs, 3).collect()]
+    assert len(set(texts)) == len(texts) == 6
+
+
+def test_ivf_assign_zero_centroid_sentinel(spark):
+    """A zero-norm (dead) centroid must never win assignment in EITHER
+    regime — the native path's 0/0 NaN previously sorted greatest and
+    captured every row (review finding)."""
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, -0.5, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array(
+        [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 1.0], [-1.0, 0.5, 1.0, -1.0]]
+    )
+    nat = {r.vec_id: r.cid for r in ivf_assign(emb, cents, native=True).collect()}
+    pud = {r.vec_id: r.cid for r in ivf_assign(emb, cents, native=False).collect()}
+    assert nat == pud
+    assert 0 not in set(nat.values())
