@@ -1,1 +1,14 @@
-from . import covering_join, dedup, knn, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    covering_join,
+    dedup,
+    knn,
+    multimodal,
+    packing,
+    pip,
+    polyline,
+    sampling,
+    sessions,
+    similarity,
+    text,
+    tiles,
+)
