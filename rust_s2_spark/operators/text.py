@@ -253,6 +253,50 @@ def bpe_token_count(
     )
 
 
+def surprisal_score(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 50_000
+) -> DataFrame:
+    """Corpus-TRAINED statistical quality scoring: per-token surprisal
+    from the corpus's own unigram counts, in INTEGER-EXACT form so any
+    engine reproduces every score bit-for-bit (no log/libm — one
+    transcendental ulp would poison a hash comparison):
+
+        surprisal(tok) = len(bin(total)) - len(bin(count(tok) + 1))
+
+    i.e. floor(log2 total) - floor(log2 (count+1)) — a staircase
+    -log2 p estimate. Rare/unseen tokens (outside the ``top_k`` vocab,
+    count := 0) score the maximum; boilerplate scores ~0. A document's
+    sum is an exact bigint, ORDER-FREE (integer addition commutes), so
+    no sequential-fold discipline is needed.
+
+    Scale shape: one groupBy to train the vocabulary (top_k by count
+    desc, token asc — deterministic), one scalar total, a broadcast
+    join to score occurrences, one groupBy per doc. Docs with zero
+    tokens produce no row (SQL-twin semantics).
+    Returns (id, n_tokens, sum_surprisal)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    total = counts.agg(F.sum("__c")).collect()[0][0] or 0
+    vocab = F.broadcast(
+        counts.orderBy(F.desc("__c"), F.asc("tok")).limit(top_k)
+    )
+    total_bits = len(bin(int(total))) - 2 if total > 0 else 1  # len(bin(total))
+    surprisal = F.lit(total_bits) - F.length(
+        F.expr("bin(coalesce(__c, 0) + 1)")
+    )
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(surprisal).cast("long").alias("sum_surprisal"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 8
 ) -> DataFrame:

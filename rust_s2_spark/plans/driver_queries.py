@@ -2510,6 +2510,35 @@ ranked AS (
     )
 
 
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram surprisal scoring
+    (operators/text.surprisal_score): integer staircase -log2 p per
+    token (len(bin(total)) - len(bin(count+1)) — bin() string math, no
+    libm), summed per document. Oracle retrains the vocabulary and
+    recomputes every score relationally; value-exact bigints."""
+    from ..operators.text import surprisal_score
+
+    return surprisal_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def o_surprisal() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+  WHERE length(t) > 0
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT length(bin(sum(c))) AS tb FROM vocab)
+SELECT toks.doc_id, count(*) AS n_tokens,
+       CAST(sum(tot.tb - length(bin(coalesce(vocab.c, 0) + 1))) AS BIGINT)
+         AS sum_surprisal
+FROM toks LEFT JOIN vocab USING (tok), tot
+GROUP BY toks.doc_id
+""".strip()
+
+
 TRAJ_MODULUS = 15
 TRAJ_MAX_SEG_DEG = 0.8
 
@@ -3233,6 +3262,7 @@ def queries():
         "traj_crossings": q_traj_crossings,
         "audio_features": q_audio_features,
         "stream_sessions": q_stream_sessions,
+        "surprisal": q_surprisal,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3301,6 +3331,7 @@ def oracle_sql():
         "traj_crossings": o_traj_crossings(),
         "audio_features": o_audio_features(),
         "stream_sessions": o_stream_sessions(),
+        "surprisal": o_surprisal(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -405,3 +405,33 @@ def test_ivf_assign_zero_centroid_sentinel(spark):
     pud = {r.vec_id: r.cid for r in ivf_assign(emb, cents, native=False).collect()}
     assert nat == pud
     assert 0 not in set(nat.values())
+
+
+def test_surprisal_score_semantics(spark):
+    """Corpus-trained surprisal: frequent tokens score less than rare
+    ones, OOV (outside top_k) scores the max, sums are integer-exact,
+    and empty-token docs vanish (SQL-twin semantics)."""
+    from rust_s2_spark.operators.text import surprisal_score
+
+    # 'the' x 8, 'rare' x 1  -> total 9 tokens (plus doc 2's words)
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the the the the the the"),
+            (1, "rare the"),
+            (2, "unseen1 unseen2"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in surprisal_score(docs, "text", "doc_id").collect()}
+    # total = 12 tokens -> len(bin(12)) = 4
+    # the: c=9  -> 4 - len(bin(10)) = 0 ; rare/unseen*: c=1 -> 4 - len(bin(2)) = 2
+    assert out[0].sum_surprisal == 0
+    assert out[1].sum_surprisal == 2 + 0
+    assert out[2].sum_surprisal == 4
+    assert 3 not in out  # whitespace-only doc has no tokens
+
+    # top_k cutoff: with top_k=1 only 'the' is in vocab, others are OOV
+    oov = {r.doc_id: r.sum_surprisal for r in surprisal_score(docs, "text", "doc_id", top_k=1).collect()}
+    # OOV: 4 - len(bin(1)) = 3 per token
+    assert oov[2] == 6
