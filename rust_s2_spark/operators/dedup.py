@@ -432,3 +432,49 @@ def select_canonical(
             F.count("*").alias("n_docs"),
         )
     )
+
+
+def ensemble_dedup_vote(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    bands: int = 4,
+    jaccard_min: float = 0.5,
+    simhash_max_dist: int = 16,
+) -> DataFrame:
+    """Multi-signal near-dup DECISION: minhash banding proposes the
+    candidates (recall machinery), then TWO independent exact signals
+    judge each pair — n-gram Jaccard on the shingle sets and hamming
+    distance between 64-bit simhashes — and ``keep`` requires both.
+    The ensemble is what a production dedup pipeline actually ships:
+    one probabilistic recall stage, several cheap precise verifiers, a
+    conjunctive decision (each signal kills a different false-positive
+    family: Jaccard kills shared-boilerplate collisions, simhash kills
+    shingle-set coincidences with different token distributions).
+
+    All three signals are existing operators (candidates join the
+    simhash table twice — broadcastable); outputs are deterministic
+    (rounded jaccard, integer hamming, boolean keep).
+    Returns (a, b, jaccard, hamming, keep)."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, n=n, bands=bands)
+    jac = ngram_jaccard(docs, pairs, text_col, id_col, n=n)
+    sh = simhash64(docs, text_col, id_col)
+    j = (
+        jac.join(
+            sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("__ha")), "a"
+        ).join(
+            sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("__hb")), "b"
+        )
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return j.select(
+        "a",
+        "b",
+        F.round("jaccard", 9).alias("jaccard"),
+        ham.cast("int").alias("hamming"),
+        (
+            (F.col("jaccard") >= F.lit(jaccard_min))
+            & (ham <= F.lit(simhash_max_dist))
+        ).alias("keep"),
+    )

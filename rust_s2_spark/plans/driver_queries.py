@@ -2510,6 +2510,47 @@ ranked AS (
     )
 
 
+def q_dedup_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup decision (operators/dedup.ensemble_dedup_vote):
+    minhash candidates judged by exact n-gram Jaccard AND simhash
+    hamming; keep = both agree. Oracle composes the three existing
+    oracle pipelines (candidates, shingle Jaccard, 64-bit simhash) and
+    recomputes every flag — value-exact."""
+    from ..operators.dedup import ensemble_dedup_vote
+
+    return ensemble_dedup_vote(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def o_dedup_vote() -> str:
+    cand = o_minhash_pairs()
+    sim = o_simhash()
+    return f"""
+WITH cand AS ({cand}),
+shing AS (
+  SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
+  FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter_sz
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.a
+  JOIN shing sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT i.a, i.b,
+         CAST(i.inter_sz AS DOUBLE) / (za.sz + zb.sz - i.inter_sz) AS jaccard
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+),
+sim AS ({sim})
+SELECT j.a, j.b, round(j.jaccard, 9) AS jaccard,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
+       (j.jaccard >= 5e-1 AND bit_count(xor(sa.simhash, sb.simhash)) <= 16) AS keep
+FROM jac j JOIN sim sa ON sa.doc_id = j.a JOIN sim sb ON sb.doc_id = j.b
+""".strip()
+
+
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram surprisal scoring
     (operators/text.surprisal_score): integer staircase -log2 p per
@@ -3263,6 +3304,7 @@ def queries():
         "audio_features": q_audio_features,
         "stream_sessions": q_stream_sessions,
         "surprisal": q_surprisal,
+        "dedup_vote": q_dedup_vote,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3332,6 +3374,7 @@ def oracle_sql():
         "audio_features": o_audio_features(),
         "stream_sessions": o_stream_sessions(),
         "surprisal": o_surprisal(),
+        "dedup_vote": o_dedup_vote(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),
