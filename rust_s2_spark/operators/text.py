@@ -253,6 +253,38 @@ def bpe_token_count(
     )
 
 
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement) — applied in order; simple \d/\b
+    # classes only, which Java regex (Spark) and RE2 (DuckDB) treat
+    # identically, so oracles can replay the redaction byte-for-byte
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Training-data PII scrubbing: count and redact emails, SSN-shaped
+    and US-phone-shaped numbers (the standard pre-training hygiene
+    pass). Counts are taken on the ORIGINAL text (order-independent);
+    redaction applies the patterns in a fixed order (SSN before phone —
+    3-2-4 never matches the 3-3-4 phone shape, but the fixed order
+    makes the composition deterministic regardless). All native
+    regexp_* — map-only scan-speed; returns
+    (id, n_email, n_ssn, n_phone, redacted)."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    red = F.col("__t")
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all("__t", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, rep)
+    return out.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
 def surprisal_score(
     df: DataFrame, text_col: str, id_col: str, top_k: int = 50_000
 ) -> DataFrame:

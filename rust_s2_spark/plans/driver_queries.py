@@ -2510,6 +2510,70 @@ ranked AS (
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii) over documents with
+    deterministically PLANTED synthetic PII (emails on doc_id%7,
+    SSN-shapes on %11, phones on %13 — every piece derivable in SQL):
+    per-doc counts + md5 of the fully redacted text, so the oracle
+    checks the redaction byte-for-byte, not just the counts."""
+    from ..operators.text import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" id 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", F.md5("redacted").alias("red_md5")
+    )
+
+
+def o_redact_pii() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    planted = (
+        "text"
+        " || (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+        " || (CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id, {counts}, md5({red}) AS red_md5 FROM p
+""".strip()
+
+
 def q_dedup_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal dedup decision (operators/dedup.ensemble_dedup_vote):
     minhash candidates judged by exact n-gram Jaccard AND simhash
@@ -3305,6 +3369,7 @@ def queries():
         "stream_sessions": q_stream_sessions,
         "surprisal": q_surprisal,
         "dedup_vote": q_dedup_vote,
+        "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3375,6 +3440,7 @@ def oracle_sql():
         "stream_sessions": o_stream_sessions(),
         "surprisal": o_surprisal(),
         "dedup_vote": o_dedup_vote(),
+        "redact_pii": o_redact_pii(),
         "stratified_sample": o_stratified_sample(),
         "pack_documents": o_pack_documents(),
         "quantize_embeddings": o_quantize_embeddings(),

@@ -435,3 +435,26 @@ def test_surprisal_score_semantics(spark):
     oov = {r.doc_id: r.sum_surprisal for r in surprisal_score(docs, "text", "doc_id", top_k=1).collect()}
     # OOV: 4 - len(bin(1)) = 3 per token
     assert oov[2] == 6
+
+
+def test_redact_pii_semantics(spark):
+    """Redaction: emails/SSN-shapes/phones replaced with tags, counts
+    on the original text, non-PII digits untouched, SSN (3-2-4) never
+    confused with phone (3-3-4)."""
+    from rust_s2_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@test.org or x@y.io now"),
+        (1, "ssn 123-45-6789 phone 555-867-5309"),
+        (2, "order 12345 costs 12.50 at 3-4-5"),
+        (3, "dotted 555.867.5309 works too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert got[0].n_email == 2 and "[EMAIL]" in got[0].redacted
+    assert "@" not in got[0].redacted
+    assert got[1].n_ssn == 1 and got[1].n_phone == 1
+    assert got[1].redacted == "ssn [SSN] phone [PHONE]"
+    assert got[2].n_email == got[2].n_ssn == got[2].n_phone == 0
+    assert got[2].redacted == rows[2][1]
+    assert got[3].n_phone == 1 and got[3].redacted == "dotted [PHONE] works too"
