@@ -460,11 +460,19 @@ def ensemble_dedup_vote(
     pairs = minhash_lsh_pairs(docs, text_col, id_col, n=n, bands=bands)
     jac = ngram_jaccard(docs, pairs, text_col, id_col, n=n)
     sh = simhash64(docs, text_col, id_col)
+    # LEFT joins: a token-less (empty/whitespace) doc has NO simhash row
+    # — with inner joins the most common duplicate class (blank docs)
+    # would silently get no verdict at all (review finding). A missing
+    # simhash ABSTAINS: hamming is null and the signal passes.
     j = (
         jac.join(
-            sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("__ha")), "a"
+            sh.select(F.col(id_col).alias("a"), F.col("simhash").alias("__ha")),
+            "a",
+            "left",
         ).join(
-            sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("__hb")), "b"
+            sh.select(F.col(id_col).alias("b"), F.col("simhash").alias("__hb")),
+            "b",
+            "left",
         )
     )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
@@ -475,6 +483,6 @@ def ensemble_dedup_vote(
         ham.cast("int").alias("hamming"),
         (
             (F.col("jaccard") >= F.lit(jaccard_min))
-            & (ham <= F.lit(simhash_max_dist))
+            & (ham.isNull() | (ham <= F.lit(simhash_max_dist)))
         ).alias("keep"),
     )

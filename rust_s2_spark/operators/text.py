@@ -310,7 +310,13 @@ def surprisal_score(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    # materialize the count table ONCE: `total` needs an eager action
+    # anyway, and without the checkpoint the tokenize+groupBy pipeline
+    # would re-run for the broadcast vocab (the minhash
+    # materialize_sigs discipline)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__c")).localCheckpoint(
+        eager=True
+    )
     total = counts.agg(F.sum("__c")).collect()[0][0] or 0
     vocab = F.broadcast(
         counts.orderBy(F.desc("__c"), F.asc("tok")).limit(top_k)

@@ -451,10 +451,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def o_ngram_jaccard() -> str:
+def _jaccard_ctes() -> str:
+    """Shared candidate+Jaccard CTE chain (minhash candidates, shingle
+    sets, sizes, intersection, UNROUNDED jaccard) — the single source
+    for o_ngram_jaccard and o_dedup_vote so the three oracles can never
+    drift apart (review finding)."""
     cand = o_minhash_pairs()
-    return f"""
-WITH cand AS ({cand}),
+    return f"""cand AS ({cand}),
 shing AS (
   SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
   FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
@@ -466,10 +469,18 @@ inter AS (
   JOIN shing sa ON sa.doc_id = c.a
   JOIN shing sb ON sb.doc_id = c.b AND sb.sh = sa.sh
   GROUP BY c.a, c.b
-)
-SELECT i.a, i.b,
-       round(CAST(i.inter_sz AS DOUBLE) / (za.sz + zb.sz - i.inter_sz), 6) AS jaccard
-FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+),
+jac AS (
+  SELECT i.a, i.b,
+         CAST(i.inter_sz AS DOUBLE) / (za.sz + zb.sz - i.inter_sz) AS jaccard
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+)"""
+
+
+def o_ngram_jaccard() -> str:
+    return f"""
+WITH {_jaccard_ctes()}
+SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
 """.strip()
 
 
@@ -2586,56 +2597,51 @@ def q_dedup_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_dedup_vote() -> str:
-    cand = o_minhash_pairs()
     sim = o_simhash()
     return f"""
-WITH cand AS ({cand}),
-shing AS (
-  SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT), 5)) AS sh
-  FROM documents, unnest(generate_series(1, greatest(length(text)-4, 1))) AS t(i)
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, count(*) AS inter_sz
-  FROM cand c
-  JOIN shing sa ON sa.doc_id = c.a
-  JOIN shing sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-  GROUP BY c.a, c.b
-),
-jac AS (
-  SELECT i.a, i.b,
-         CAST(i.inter_sz AS DOUBLE) / (za.sz + zb.sz - i.inter_sz) AS jaccard
-  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
-),
+WITH {_jaccard_ctes()},
 sim AS ({sim})
 SELECT j.a, j.b, round(j.jaccard, 9) AS jaccard,
        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming,
-       (j.jaccard >= 5e-1 AND bit_count(xor(sa.simhash, sb.simhash)) <= 16) AS keep
-FROM jac j JOIN sim sa ON sa.doc_id = j.a JOIN sim sb ON sb.doc_id = j.b
+       (j.jaccard >= 5e-1 AND (sa.simhash IS NULL OR sb.simhash IS NULL
+        OR bit_count(xor(sa.simhash, sb.simhash)) <= 16)) AS keep
+FROM jac j LEFT JOIN sim sa ON sa.doc_id = j.a LEFT JOIN sim sb ON sb.doc_id = j.b
 """.strip()
+
+
+SURPRISAL_TOP_K = 50_000
 
 
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram surprisal scoring
     (operators/text.surprisal_score): integer staircase -log2 p per
     token (len(bin(total)) - len(bin(count+1)) — bin() string math, no
-    libm), summed per document. Oracle retrains the vocabulary and
-    recomputes every score relationally; value-exact bigints."""
+    libm), summed per document. Oracle retrains the vocabulary —
+    INCLUDING the top-k cutoff, so the contract holds on corpora larger
+    than the vocabulary — and recomputes every score relationally;
+    value-exact bigints."""
     from ..operators.text import surprisal_score
 
-    return surprisal_score(_docs(spark, sf_dir), "text", "doc_id")
+    return surprisal_score(
+        _docs(spark, sf_dir), "text", "doc_id", top_k=SURPRISAL_TOP_K
+    )
 
 
 def o_surprisal() -> str:
-    return r"""
+    return rf"""
 WITH toks AS (
   SELECT doc_id, t AS tok
   FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
         FROM documents)
   WHERE length(t) > 0
 ),
-vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-tot AS (SELECT length(bin(sum(c))) AS tb FROM vocab)
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT length(bin(sum(c))) AS tb FROM counts),
+vocab AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM counts
+  ) WHERE rn <= {SURPRISAL_TOP_K}
+)
 SELECT toks.doc_id, count(*) AS n_tokens,
        CAST(sum(tot.tb - length(bin(coalesce(vocab.c, 0) + 1))) AS BIGINT)
          AS sum_surprisal

@@ -343,13 +343,14 @@ def test_review_fix_regressions(spark):
     are filtered (not ANSI crashes), odd pcm buffers trim, BPE keeps
     its vocabulary when merges exhaust, and bench's doc replicas are
     genuinely unique."""
+    import pathlib
     import sys
 
     from rust_s2_spark.operators.multimodal import audio_features
     from rust_s2_spark.operators.polyline import polyline_crossing_join
     from rust_s2_spark.operators.text import bpe_token_count, train_bpe_merges
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     from bench import _scale_docs
 
     # 1-vertex and empty trajectories must not kill the job
@@ -458,3 +459,22 @@ def test_redact_pii_semantics(spark):
     assert got[2].n_email == got[2].n_ssn == got[2].n_phone == 0
     assert got[2].redacted == rows[2][1]
     assert got[3].n_phone == 1 and got[3].redacted == "dotted [PHONE] works too"
+
+
+def test_ensemble_vote_blank_docs_get_verdicts(spark):
+    """Blank/token-less docs are the most common real duplicate class:
+    they must receive a verdict (simhash abstains via the LEFT join),
+    never silently vanish from the decision output (review finding)."""
+    from rust_s2_spark.operators.dedup import ensemble_dedup_vote
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "real content words here " * 10), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r.a, r.b): r for r in ensemble_dedup_vote(docs, "text", "doc_id").collect()}
+    blank_pairs = {(0, 1), (0, 3), (1, 3)}
+    assert blank_pairs <= set(out)
+    for p in blank_pairs:
+        assert out[p].jaccard == 1.0
+        assert out[p].hamming is None  # simhash abstained
+        assert out[p].keep is True
