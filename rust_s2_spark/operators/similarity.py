@@ -596,6 +596,18 @@ def train_pq_codebooks(
     return books
 
 
+PQ_NATIVE_MAX_LITERALS = 2_048
+"""Literal budget for the PQ/ADC plan — same measured Catalyst/codegen
+regime as ``IVF_NATIVE_MAX_LITERALS`` (BASELINE.md: a 4096-literal tree
+spends ~7 s in codegen COMPILE alone).  Two independent uses:
+
+* n_queries*m*k: budget for inlining per-query ADC tables as nested
+  literal arrays (the small-query-set fast path the oracle replays).
+* m*k*subdim: budget for inlining the CODEBOOK when the per-query
+  tables are instead computed as a native column over the query frame.
+"""
+
+
 def _adc_table_for(vec, codebooks: np.ndarray) -> list[float]:
     """Flat (s, c)-ordered ADC lookup table: L2² between the query's
     subvector s and centroid c, accumulated SEQUENTIALLY so DuckDB's
@@ -612,9 +624,51 @@ def _adc_table_for(vec, codebooks: np.ndarray) -> list[float]:
     return flat
 
 
-def _adc_score_expr(tables, codes_col: str, m: int, k: int):
-    """score = Σ_s table[qpos][s*k + code_s] as a native fold."""
-    tbl = F.element_at(tables, F.col("__qpos").cast("int"))
+def _adc_table_col(vec_col: str, codebooks: np.ndarray) -> "F.Column":
+    """The many-query regime's ADC table: the SAME flat (s, c)-ordered
+    m*k table ``_adc_table_for`` builds driver-side, but as a COLUMN over
+    the query frame — plan size is m*k*subdim codebook literals (or one
+    pandas-UDF node above the budget), INDEPENDENT of the query count,
+    and no driver collect ever happens.
+
+    Both builders add (a-b)² left-to-right over j ascending from a 0.0
+    accumulator with float64 ops, so the tables are bit-equal across
+    regimes (pinned by tests/test_pq_regimes.py rank-list equality).
+    """
+    m, k, subdim = codebooks.shape
+    if m * k * subdim <= PQ_NATIVE_MAX_LITERALS:
+        return F.array(
+            *[
+                _sub_dist2_expr(F.col(vec_col), s, subdim, codebooks[s][c])
+                for s in range(m)
+                for c in range(k)
+            ]
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _tables(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        acc = np.zeros((q.shape[0], m, k), dtype=np.float64)
+        # sequential over j (vectorized over rows and (s, c)) — the
+        # identical left-to-right fold order as _adc_table_for, so every
+        # entry is bit-equal to the literal regime
+        for j in range(subdim):
+            d = q[:, [s * subdim + j for s in range(m)]][:, :, None] - books[None, :, :, j]
+            acc += d * d
+        return pd.Series(list(acc.reshape(q.shape[0], m * k)))
+
+    return _tables(F.col(vec_col))
+
+
+def _adc_score_expr(tbl, codes_col: str, m: int, k: int):
+    """score = Σ_s tbl[s*k + code_s] as a native fold over the row's
+    flat m*k ADC table column ``tbl``."""
     return F.aggregate(
         F.zip_with(
             F.col(codes_col),
@@ -644,7 +698,14 @@ def ivf_pq_topk(
     probed cells via the per-query ADC lookup table. The scan reads a
     cell id + m codes per row — never the original vectors — and the
     probe join prunes (nc - nprobe)/nc of the table before any scoring.
-    Returns (query_id, rank, vec_id), ranked (ADC score ASC, id ASC)."""
+    Returns (query_id, rank, vec_id), ranked (ADC score ASC, id ASC).
+
+    Two regimes, same bit-exact scores (see ``pq_topk``): small query
+    sets inline per-query ADC tables as literals; above the
+    ``PQ_NATIVE_MAX_LITERALS`` budget the tables ride the broadcast
+    probe frame as an ``array<double>`` column built by
+    ``_adc_table_col`` — no ``collect()``, plan size independent of the
+    number of queries."""
     m, k, _ = codebooks.shape
     coded = pq_assign_codes(
         ivf_assign(df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cid"),
@@ -652,26 +713,44 @@ def ivf_pq_topk(
         vec_col,
         "__codes",
     )
-    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
-    tables = F.array(
-        *[
-            F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
-            for r in q_rows
-        ]
+    max_lit_q = PQ_NATIVE_MAX_LITERALS // (m * k)
+    q_head = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .limit(max_lit_q + 1)
+        .collect()
     )
-    qdf = df.sparkSession.createDataFrame(
-        [(i + 1, r[query_id_col]) for i, r in enumerate(q_rows)],
-        ["__qpos", query_id_col],
-    )
-    qprobe = (
-        ivf_probe(qdf.join(queries, query_id_col), centroids, nprobe, vec_col, "__cids")
-        .select(query_id_col, "__qpos", F.explode("__cids").alias("cid"))
-    )
+    if len(q_head) <= max_lit_q:
+        tables = F.array(
+            *[
+                F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
+                for r in q_head
+            ]
+        )
+        qdf = df.sparkSession.createDataFrame(
+            [(i + 1, r[query_id_col]) for i, r in enumerate(q_head)],
+            ["__qpos", query_id_col],
+        )
+        qprobe = (
+            ivf_probe(qdf.join(queries, query_id_col), centroids, nprobe, vec_col, "__cids")
+            .select(query_id_col, "__qpos", F.explode("__cids").alias("cid"))
+        )
+        tbl = F.element_at(tables, F.col("__qpos").cast("int"))
+    else:
+        qwt = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col),
+            _adc_table_col(vec_col, codebooks).alias("__table"),
+        )
+        qprobe = (
+            ivf_probe(qwt, centroids, nprobe, vec_col, "__cids")
+            .select(query_id_col, "__table", F.explode("__cids").alias("cid"))
+        )
+        tbl = F.col("__table")
     cand = coded.join(F.broadcast(qprobe), "cid")
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_score_expr(tables, "__codes", m, k).alias("__score"),
+        _adc_score_expr(tbl, "__codes", m, k).alias("__score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__score").asc(), F.col(id_col).asc()
@@ -694,35 +773,57 @@ def pq_topk(
 ) -> DataFrame:
     """PQ/ADC approximate top-k: encode the table once
     (``pq_assign_codes``), then score rows against each query with
-    asymmetric distance — score = Σ_s table[q][s][code_s] where the
-    per-query lookup tables (m*k L2² entries between the query subvector
-    and each centroid) are computed ONCE driver-side with the same
-    sequential fold arithmetic the oracle's list_reduce uses. The scan
+    asymmetric distance — score = Σ_s table[q][s][code_s]. The scan
     never touches the original vectors: per row it reads m small codes
     and does m array lookups — the classical memory shape that makes
     10⁹-vector search fit in RAM. Returns (query_id, rank, vec_id) with
-    (score ASC, id ASC) ranking."""
+    (score ASC, id ASC) ranking.
+
+    Two regimes, bit-equal scores:
+
+    * n_queries*m*k <= PQ_NATIVE_MAX_LITERALS: the per-query tables are
+      computed ONCE driver-side (``_adc_table_for``, the sequential fold
+      the oracle's list_reduce replays) and inlined as a nested literal
+      array indexed by a broadcast ``__qpos``.
+    * above the budget: NO driver collect — the tables ride the
+      broadcast query frame as an ``array<double>`` column built by
+      ``_adc_table_col`` (fixed-size codebook literals, or one
+      pandas-UDF node), so plan size and driver traffic are independent
+      of the query count.  Same fold order ⇒ identical scores
+      (pinned by tests/test_pq_regimes.py)."""
     m, k, _ = codebooks.shape
     coded = pq_assign_codes(df.select(F.col(id_col), F.col(vec_col)), codebooks, vec_col, "__codes")
 
-    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
-
-    # ONE scan of the coded table for ALL queries: broadcast the query
-    # positions, index a nested (query -> flat m*k table) literal
-    tables = F.array(
-        *[
-            F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
-            for r in q_rows
-        ]
+    max_lit_q = PQ_NATIVE_MAX_LITERALS // (m * k)
+    q_head = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .limit(max_lit_q + 1)
+        .collect()
     )
-    qdf = df.sparkSession.createDataFrame(
-        [(i + 1, r[query_id_col]) for i, r in enumerate(q_rows)],
-        ["__qpos", query_id_col],
-    )
+    if len(q_head) <= max_lit_q:
+        # ONE scan of the coded table for ALL queries: broadcast the
+        # query positions, index a nested (query -> flat m*k) literal
+        tables = F.array(
+            *[
+                F.array(*[F.lit(x) for x in _adc_table_for(r[vec_col], codebooks)])
+                for r in q_head
+            ]
+        )
+        qdf = df.sparkSession.createDataFrame(
+            [(i + 1, r[query_id_col]) for i, r in enumerate(q_head)],
+            ["__qpos", query_id_col],
+        )
+        tbl = F.element_at(tables, F.col("__qpos").cast("int"))
+    else:
+        qdf = queries.select(
+            F.col(query_id_col),
+            _adc_table_col(vec_col, codebooks).alias("__table"),
+        )
+        tbl = F.col("__table")
     scored = coded.crossJoin(F.broadcast(qdf)).select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_score_expr(tables, "__codes", m, k).alias("__score"),
+        _adc_score_expr(tbl, "__codes", m, k).alias("__score"),
     )
 
     w = Window.partitionBy(query_id_col).orderBy(
