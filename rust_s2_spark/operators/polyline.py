@@ -165,8 +165,19 @@ def polyline_crossing_join(
     linearly with cell width, and at +6 levels the same input runs in
     seconds with identical output. Sampling uses the straight lat/lng
     line — its deviation from the geodesic is O(len²) and far below the
-    half-cell margin for segments under ~1°; antimeridian-crossing
-    trajectories must be pre-rotated.
+    half-cell margin for segments under ~1°.
+
+    Antimeridian: each segment's lng delta is UNWRAPPED to the shortest
+    signed difference before interpolating (179.9 → -179.9 walks through
+    180.1, not 0), and the cell kernel is periodic in lng (cos/sin), so
+    date-line-crossing segments sample the correct sphere cells with no
+    pre-rotation — including mixed pairs where only one side spans the
+    line (pinned by tests).
+
+    The candidate guarantee needs every segment's arc length under
+    ``max_seg_deg``; actual spans are VALIDATED inline (the great-circle
+    length is bounded by sqrt(dlat² + dlng_unwrapped²) degrees), and an
+    oversized segment raises rather than silently losing recall.
     """
     from ..functions import s2_all_neighbors, s2_cell_from_latlng, s2_parent
     from ..kernels import metric as metrics
@@ -195,13 +206,38 @@ def polyline_crossing_join(
         F.col("col.blng").alias("blng"),
     )
     t = F.col("t").cast("double") / F.lit(float(n_samples))
+    dlat = F.col("blat") - F.col("alat")
+    dlng_raw = F.col("blng") - F.col("alng")
+    # shortest signed lng difference: unwrap so a 179.9 -> -179.9
+    # segment interpolates through 180.1 (the cell kernel is periodic
+    # in lng, so out-of-range sample lngs land on the right cells)
+    du = dlng_raw - F.lit(360.0) * F.round(dlng_raw / F.lit(360.0), 0)
+    span = F.sqrt(dlat * dlat + du * du)
+    # arc length <= sqrt(dlat² + du²) deg; an oversized segment breaks
+    # the half-cell candidate guarantee, so fail loudly instead of
+    # silently missing crossings. coalesce(assert.cast, 0.0) folds the
+    # check into the sample expression (assert_true is null on success)
+    # where the optimizer cannot prune it.
+    guard = F.coalesce(
+        F.assert_true(
+            span <= F.lit(max_seg_deg * (1.0 + 1e-9)),
+            F.concat(
+                F.lit(
+                    "polyline_crossing_join: segment span (deg) exceeds "
+                    f"max_seg_deg={max_seg_deg}: "
+                ),
+                span.cast("string"),
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     samples = segs.select(
         "tid", "sidx", "alat", "alng", "blat", "blng",
         F.explode(F.sequence(F.lit(0), F.lit(n_samples))).alias("t"),
     ).select(
         "tid", "sidx", "alat", "alng", "blat", "blng",
-        (F.col("alat") + (F.col("blat") - F.col("alat")) * t).alias("slat"),
-        (F.col("alng") + (F.col("blng") - F.col("alng")) * t).alias("slng"),
+        (F.col("alat") + dlat * t + guard).alias("slat"),
+        (F.col("alng") + du * t).alias("slng"),
     )
     cells = samples.withColumn(
         "scell", s2_parent(s2_cell_from_latlng("slat", "slng"), lvl)

@@ -296,8 +296,10 @@ def surprisal_score(
         surprisal(tok) = len(bin(total)) - len(bin(count(tok) + 1))
 
     i.e. floor(log2 total) - floor(log2 (count+1)) — a staircase
-    -log2 p estimate. Rare/unseen tokens (outside the ``top_k`` vocab,
-    count := 0) score the maximum; boilerplate scores ~0. A document's
+    -log2 p estimate, clamped at 0 (a token holding nearly ALL the mass
+    can make the raw difference -1, e.g. total=1, count=1). Rare/unseen
+    tokens (outside the ``top_k`` vocab, count := 0) score the maximum;
+    boilerplate scores ~0. A document's
     sum is an exact bigint, ORDER-FREE (integer addition commutes), so
     no sequential-fold discipline is needed.
 
@@ -322,8 +324,9 @@ def surprisal_score(
         counts.orderBy(F.desc("__c"), F.asc("tok")).limit(top_k)
     )
     total_bits = len(bin(int(total))) - 2 if total > 0 else 1  # len(bin(total))
-    surprisal = F.lit(total_bits) - F.length(
-        F.expr("bin(coalesce(__c, 0) + 1)")
+    surprisal = F.greatest(
+        F.lit(total_bits) - F.length(F.expr("bin(coalesce(__c, 0) + 1)")),
+        F.lit(0),
     )
     return (
         toks.join(vocab, "tok", "left")

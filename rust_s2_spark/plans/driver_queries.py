@@ -2643,8 +2643,8 @@ vocab AS (
   ) WHERE rn <= {SURPRISAL_TOP_K}
 )
 SELECT toks.doc_id, count(*) AS n_tokens,
-       CAST(sum(tot.tb - length(bin(coalesce(vocab.c, 0) + 1))) AS BIGINT)
-         AS sum_surprisal
+       CAST(sum(greatest(tot.tb - length(bin(coalesce(vocab.c, 0) + 1)), 0))
+            AS BIGINT) AS sum_surprisal
 FROM toks LEFT JOIN vocab USING (tok), tot
 GROUP BY toks.doc_id
 """.strip()

@@ -137,8 +137,10 @@ def images_mixed_sizes(
 ) -> DataFrame:
     """Deterministic MIXED-SIZE raster corpus: per-row w, h drawn from
     {8, 12, 16} via the shared key hash (w from k1, h from k2 — nine
-    size combinations), bytes = exactly w*h*3 bytes cut from a 48-block
-    chained-md5 stream. Exercises the resize-to-8x8 step of
+    size combinations), bytes = exactly w*h*3 bytes cut from 48
+    INDEPENDENT md5 blocks (md5(key || '_' || i) — a nested chain OOMs
+    Spark's codegen subexpression elimination). Exercises the
+    resize-to-8x8 step of
     ``average_hash`` on inputs the fixed-8x8 table can't; the whole
     derivation is the same bigint arithmetic DuckDB replays exactly.
 

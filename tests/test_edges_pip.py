@@ -352,3 +352,42 @@ def test_polyline_crossing_join_planted(spark):
     exec_plan = polyline_crossing_join(df, 0.8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in exec_plan
     assert "BroadcastNestedLoopJoin" not in exec_plan
+
+
+def test_polyline_crossing_join_antimeridian(spark):
+    """Date-line geometry needs no pre-rotation: unwrapped sampling must
+    find crossings for dateline-spanning tracks, including MIXED pairs
+    where only one side spans the line, and the span guard must raise on
+    a segment longer than max_seg_deg instead of silently losing
+    recall."""
+    from rust_s2_spark.operators.polyline import polyline_crossing_join
+
+    rows = [
+        # A: along the equator THROUGH the dateline (179.7 -> -179.9)
+        (1, [0.0, 0.0], [179.7, -179.9]),
+        # B: meridian arc just WEST of the line (does not span it)
+        (2, [-0.2, 0.2], [179.9, 179.9]),
+        # C: meridian arc just EAST of the line (does not span it)
+        (3, [-0.2, 0.2], [-179.95, -179.95]),
+        # D: parallel to A, shifted north — spans the line, no crossing
+        (4, [0.1, 0.1], [179.7, -179.9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "traj_id long, lats array<double>, lngs array<double>"
+    )
+    out = {
+        (r.a, r.b): r.n_crossings
+        for r in polyline_crossing_join(df, max_seg_deg=0.8).collect()
+    }
+    assert out.get((1, 2)) == 1  # dateline track x non-spanning track
+    assert out.get((1, 3)) == 1  # crossing on the far side of the line
+    assert (1, 4) not in out  # parallel dateline tracks don't cross
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(1, [0.0, 1.9], [10.0, 10.0]), (2, [1.0, 1.0], [9.0, 11.0])],
+        "traj_id long, lats array<double>, lngs array<double>",
+    )
+    with _pytest.raises(Exception, match="segment span"):
+        polyline_crossing_join(big, max_seg_deg=0.8).collect()

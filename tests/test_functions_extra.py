@@ -437,6 +437,11 @@ def test_surprisal_score_semantics(spark):
     # OOV: 4 - len(bin(1)) = 3 per token
     assert oov[2] == 6
 
+    # clamp: a token holding ~ALL the mass raw-scores -1 (total=1, c=1
+    # -> 1 - len(bin(2))); engine AND oracle clamp the staircase at 0
+    solo = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert surprisal_score(solo, "text", "doc_id").collect()[0].sum_surprisal == 0
+
 
 def test_redact_pii_semantics(spark):
     """Redaction: emails/SSN-shapes/phones replaced with tags, counts
