@@ -59,6 +59,24 @@ def brute_force_topk(
     )
 
 
+def _hyperplane_bucket_expr(colname: str, planes_2d: np.ndarray) -> "F.Column":
+    """Sign-bucket id Σ_p [dot(v, plane_p) > 0]·2^p as ONE SQL string
+    parsed by ONE F.expr call: building it plane-by-plane from
+    F.lit/lambda Columns costs thousands of py4j round trips (~10 s of
+    driver time per query at 4x12x64 planes, measured). repr(float)
+    round-trips exactly through Spark's double parser, so the fold
+    arithmetic is unchanged bit-for-bit vs the Column form."""
+    parts = []
+    for p in range(planes_2d.shape[0]):
+        arr = ", ".join(f"{float(c)!r}D" for c in planes_2d[p])
+        dot = (
+            f"aggregate(zip_with(`{colname}`, array({arr}), "
+            f"(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(parts) + ")")
+
+
 def lsh_bucket_topk(
     spark: SparkSession,
     df: DataFrame,
@@ -91,39 +109,38 @@ def lsh_bucket_topk(
         planes = np.asarray(planes, dtype=np.float64)
         n_tables, n_planes, dim = planes.shape
 
-    def bucket_expr(col, table: int):
-        b = F.lit(0)
-        for p in range(n_planes):
-            coeffs = planes[table, p]
-            dot = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(c)) for c in coeffs]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    # ALL tables in one pass: explode a (tbl, bkt) tag array and join on
+    # the pair — one cap shuffle + one join instead of n_tables of each
+    # (the per-table loop was 8 stages of fixed overhead; candidate set
+    # is identical because union-of-table-joins == join on (tbl, bkt))
+    def tagged(frame, keep_cols):
+        tags = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_bucket_expr(vec_col, planes[t]).alias("bkt"),
             )
-            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return b
-
-    cand = None
-    for t in range(n_tables):
-        d = df.select(
-            F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), t).alias("bkt")
+            for t in range(n_tables)
+        ]
+        return frame.select(*keep_cols, F.explode(F.array(*tags)).alias("tb")).select(
+            *keep_cols,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bkt").alias("bkt"),
         )
-        if max_bucket is not None:
-            from .dedup import _cap_buckets
 
-            d = _cap_buckets(d, ["bkt"], max_bucket)
-        q = queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            bucket_expr(F.col(vec_col), t).alias("bkt"),
-        )
-        c = d.join(F.broadcast(q), "bkt").drop("bkt")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates([query_id_col, id_col])
+    d = tagged(df.select(F.col(id_col), F.col(vec_col)), [id_col, vec_col])
+    if max_bucket is not None:
+        from .dedup import _cap_buckets
+
+        d = _cap_buckets(d, ["tbl", "bkt"], max_bucket)
+    q = tagged(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        [query_id_col, vec_col],
+    ).withColumnRenamed(vec_col, "__qvec")
+    cand = (
+        d.join(F.broadcast(q), ["tbl", "bkt"])
+        .drop("tbl", "bkt")
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cand.withColumn("cosine", cosine_cols(F.col(vec_col), F.col("__qvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -184,24 +201,11 @@ def cosine_near_dup_pairs(
         dim = len(first["v"])
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    def bucket_expr(col, table: int):
-        b = F.lit(0)
-        for p in range(n_planes):
-            coeffs = planes[table, p]
-            dot = F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(c)) for c in coeffs]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return b
-
     bands = [
-        F.struct(F.lit(t).alias("tbl"), bucket_expr(F.col("v"), t).alias("bkt"))
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _hyperplane_bucket_expr("v", planes[t]).alias("bkt"),
+        )
         for t in range(n_tables)
     ]
     blocked = d.select(
@@ -238,7 +242,7 @@ def cosine_near_dup_pairs(
 IVF_NATIVE_MAX_LITERALS = 2_048
 
 
-def _ivf_cos_array(col, centroids: np.ndarray):
+def _ivf_cos_array(colname: str, centroids: np.ndarray):
     """Array column of cosine(col, centroid_i) for every centroid, as
     pure native SQL — one zip_with/aggregate dot per centroid, evaluated
     ONCE into an array (a greatest+CASE argmax would re-evaluate every
@@ -258,22 +262,22 @@ def _ivf_cos_array(col, centroids: np.ndarray):
         for x in c:
             acc += float(x) * float(x)
         cns.append(float(np.sqrt(acc)))
+        arr = ", ".join(f"{float(x)!r}D" for x in c)
         dots.append(
-            F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            f"aggregate(zip_with(`{colname}`, array({arr}), "
+            f"(a, b) -> cast(a as double) * b), 0.0D, (acc, v) -> acc + v)"
         )
-    vn = _norm(F.transform(col, lambda x: x.cast("double")))
-    return F.zip_with(
-        F.array(*dots),
-        F.array(*[F.lit(c) for c in cns]),
-        lambda d, cn: F.when(cn == 0.0, F.lit(-2.0)).otherwise(d / (vn * cn)),
+    # one SQL string / one F.expr parse (the F.lit-per-coordinate Column
+    # form cost ~nc*dim py4j round trips of pure driver time); repr
+    # round-trips every double exactly, so values are bit-identical
+    vn = (
+        f"sqrt(aggregate(transform(`{colname}`, x -> cast(x as double)), 0.0D, "
+        f"(acc, v) -> acc + cast(v as double) * v))"
+    )
+    cns_arr = ", ".join(f"{c!r}D" for c in cns)
+    return F.expr(
+        f"zip_with(array({', '.join(dots)}), array({cns_arr}), "
+        f"(d, cn) -> CASE WHEN cn = 0.0D THEN -2.0D ELSE d / ({vn} * cn) END)"
     )
 
 
@@ -309,7 +313,7 @@ def ivf_assign(
     if native is None:
         native = nc * dim <= IVF_NATIVE_MAX_LITERALS
     if native:
-        return df.withColumn("__cos", _ivf_cos_array(F.col(vec_col), centroids)).withColumn(
+        return df.withColumn("__cos", _ivf_cos_array(vec_col, centroids)).withColumn(
             out_col,
             (F.array_position("__cos", F.array_max("__cos")) - 1).cast("int"),
         ).drop("__cos")
@@ -348,7 +352,7 @@ def ivf_probe(
         probe_arr = F.slice(
             F.array_sort(
                 F.zip_with(
-                    _ivf_cos_array(F.col(vec_col), centroids),
+                    _ivf_cos_array(vec_col, centroids),
                     F.sequence(F.lit(0), F.lit(nc - 1)),
                     lambda c, i: F.struct(
                         (-c).alias("neg"), i.cast("int").alias("cid")
@@ -495,20 +499,19 @@ def train_ivf_centroids(
     return cents
 
 
-def _sub_dist2_expr(col, s: int, subdim: int, centroid) -> "F.Column":
+def _sub_dist2_expr(colname: str, s: int, subdim: int, centroid) -> "F.Column":
     """Sequential-fold L2² between a vector column's subspace ``s`` and a
     centroid (python floats): aggregate(zip_with(sub, c, (a-b)²)) —
     left-to-right adds, so DuckDB's list_reduce fold reproduces every
-    intermediate bit."""
-    sub = F.slice(col, s * subdim + 1, subdim)
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            F.array(*[F.lit(float(x)) for x in centroid]),
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    intermediate bit. Built as ONE SQL string/F.expr parse — the
+    F.lit-per-coordinate Column form cost ~m*k*subdim py4j round trips
+    of driver time per encode call; repr round-trips doubles exactly."""
+    arr = ", ".join(f"{float(x)!r}D" for x in centroid)
+    return F.expr(
+        f"aggregate(zip_with(slice(`{colname}`, {s * subdim + 1}, {subdim}), "
+        f"array({arr}), "
+        f"(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
 
 
@@ -525,7 +528,7 @@ def pq_assign_codes(
     m, k, subdim = codebooks.shape
     per_sub = []
     for s in range(m):
-        d2 = F.array(*[_sub_dist2_expr(F.col(vec_col), s, subdim, codebooks[s][c]) for c in range(k)])
+        d2 = F.array(*[_sub_dist2_expr(vec_col, s, subdim, codebooks[s][c]) for c in range(k)])
         per_sub.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
     return df.withColumn(out_col, F.array(*per_sub))
 
@@ -639,7 +642,7 @@ def _adc_table_col(vec_col: str, codebooks: np.ndarray) -> "F.Column":
     if m * k * subdim <= PQ_NATIVE_MAX_LITERALS:
         return F.array(
             *[
-                _sub_dist2_expr(F.col(vec_col), s, subdim, codebooks[s][c])
+                _sub_dist2_expr(vec_col, s, subdim, codebooks[s][c])
                 for s in range(m)
                 for c in range(k)
             ]

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,9 +156,15 @@ def q_golden_parent_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = [(_signed(cid),) for cid, _, _ in LATLNG_GOLDEN] + [
         (_signed(c),) for c in PITTSBURG
     ]
+    # explode a literal array instead of crossJoin-ing two local
+    # frames: CartesianProduct over python-parallelized RDDs
+    # re-evaluates the right side per partition PAIR (16x16 python
+    # worker spawns, ~8 s for 114 output rows)
     df = spark.createDataFrame(ids, "cell_id long")
-    lv = spark.createDataFrame([(l,) for l in PARENT_LEVELS], "lvl int")
-    j = df.crossJoin(lv).where(s2_level("cell_id") >= F.col("lvl"))
+    j = df.select(
+        "cell_id",
+        F.explode(F.array(*[F.lit(l) for l in PARENT_LEVELS])).alias("lvl"),
+    ).where(s2_level("cell_id") >= F.col("lvl"))
     return j.select(
         "cell_id",
         "lvl",
@@ -394,6 +401,64 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_SHARED_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, builder):
+    """Session-scoped memo for artifacts SHARED across driver queries
+    (the correctness drive runs all 66 in one session): the minhash pair
+    graph feeds four queries, its connected components two, and the PQ
+    codebook training two — recomputing each per query was pure fixed
+    cost in the driver's budget. Keyed by applicationId so a fresh
+    session never sees another session's DataFrames."""
+    mk = (spark.sparkContext.applicationId, sf_dir, key)
+    if mk not in _SHARED_MEMO:
+        _SHARED_MEMO[mk] = builder()
+    return _SHARED_MEMO[mk]
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return _memo(
+        spark,
+        sf_dir,
+        "minhash_pairs_n5_b4",
+        lambda: minhash_lsh_pairs(
+            _docs(spark, sf_dir), "text", "doc_id", n=5, bands=4
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    return _memo(
+        spark,
+        sf_dir,
+        "minhash_cc",
+        lambda: connected_components(
+            _shared_minhash_pairs(spark, sf_dir), "a", "b"
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _shared_pq_books(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    from ..operators.similarity import train_pq_codebooks
+
+    return _memo(
+        spark,
+        sf_dir,
+        "pq_books",
+        lambda: train_pq_codebooks(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            PQ_M,
+            PQ_K,
+            n_iter=PQ_ITERS,
+        ),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
@@ -408,9 +473,7 @@ def o_dedup_exact() -> str:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_docs(spark, sf_dir), "text", "doc_id", n=5, bands=4)
+    return _shared_minhash_pairs(spark, sf_dir)
 
 
 def o_minhash_pairs(bands: int = 4, rows_per_band: int = 4) -> str:
@@ -443,10 +506,10 @@ FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.do
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard
+    from ..operators.dedup import ngram_jaccard
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     out = ngram_jaccard(docs, pairs, "text", "doc_id", n=5)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1096,25 +1159,53 @@ def _covering_case_region(d: dict):
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covering/interior/fast for EVERY dumped case; the engine's token
     sequence is digested by Spark's md5 (one row per case×kind — the
-    deep cases produce ~50-100k cells, far too many for VALUES rows)."""
-    rows = []
-    for d in _covering_gate_cases():
-        rc = RegionCoverer(
-            min_level=d["min_level"],
-            max_level=d["max_level"],
-            level_mod=d["level_mod"],
-            max_cells=d["max_cells"],
+    deep cases produce ~50-100k cells, far too many for VALUES rows).
+
+    The coverer runs on EXECUTORS (mapInPandas over the case-parameter
+    table): 699 coverings are embarrassingly parallel, and the serial
+    driver-side loop was the single most expensive query in the whole
+    correctness drive (~15 s -> ~2 s on 16 cores)."""
+    import json
+
+    params = [
+        (
+            json.dumps({k: v for k, v in d.items() if not isinstance(v, list)}),
+            kind,
         )
-        region = _covering_case_region(d)
-        case = f"{d['region']}:{d['name']}:{d['min_level']}:{d['max_level']}:{d['level_mod']}:{d['max_cells']}"
-        for kind, fn in (
-            ("covering", rc.covering),
-            ("interior", rc.interior_covering),
-            ("fast", rc.fast_covering),
-        ):
-            toks = [str(t) for t in fn(region).tokens()]
-            rows.append((case, kind, len(toks), ",".join(toks)))
-    df = spark.createDataFrame(rows, "case string, kind string, n int, toks string")
+        for d in _covering_gate_cases()
+        for kind in ("covering", "interior", "fast")
+    ]
+    # one (case, kind) per task: the straggler floor is the single
+    # heaviest covering (~2 s), not a whole case's three kinds
+    cdf = spark.createDataFrame(params, "js string, kind string").repartition(
+        len(params)
+    )
+
+    def gen(batches):
+        from ..geometry import RegionCoverer as RC
+
+        for pdf in batches:
+            out = []
+            for js, kind in zip(pdf["js"], pdf["kind"]):
+                d = json.loads(js)
+                rc = RC(
+                    min_level=d["min_level"],
+                    max_level=d["max_level"],
+                    level_mod=d["level_mod"],
+                    max_cells=d["max_cells"],
+                )
+                region = _covering_case_region(d)
+                case = f"{d['region']}:{d['name']}:{d['min_level']}:{d['max_level']}:{d['level_mod']}:{d['max_cells']}"
+                fn = {
+                    "covering": rc.covering,
+                    "interior": rc.interior_covering,
+                    "fast": rc.fast_covering,
+                }[kind]
+                toks = [str(t) for t in fn(region).tokens()]
+                out.append((case, kind, len(toks), ",".join(toks)))
+            yield pd.DataFrame(out, columns=["case", "kind", "n", "toks"])
+
+    df = cdf.mapInPandas(gen, "case string, kind string, n int, toks string")
     return df.select("case", "kind", "n", F.md5("toks").alias("digest"))
 
 
@@ -1887,11 +1978,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-LSH pair graph; component label = min doc_id = the canonical
     doc to keep. The oracle computes the same components via a recursive
     transitive-closure CTE over the identical pair set."""
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
-
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
-    comp = connected_components(pairs, "a", "b")
+    comp = _shared_components(spark, sf_dir)
     return comp.select(
         F.col("v").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -1901,8 +1988,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_dedup_clusters() -> str:
     cand = o_minhash_pairs()
     return f"""
-WITH RECURSIVE cand AS ({cand}),
-edges AS (
+WITH RECURSIVE cand AS MATERIALIZED ({cand}),
+edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM cand
   UNION ALL
   SELECT b AS src, a AS dst FROM cand
@@ -2836,25 +2923,30 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_winnow() -> str:
+    # relational form (gram table + window range-join + row_number with
+    # ties to the RIGHTMOST position) rather than a per-row list_reduce
+    # fold: identical output (verified set-equal), but DuckDB
+    # parallelizes the join/window where the serial per-document lambda
+    # ran ~10x slower in the correctness drive
     k, w = WINNOW_K, WINNOW_W
     return f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),
-                        i -> substr(md5(substr(text, i, {k})), 1, 16)) AS hs
-  FROM documents
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         substr(md5(substr(text, CAST(i AS INT), {k})), 1, 16) AS h,
+         greatest(length(text) - {k - 1}, 1) AS nh
+  FROM documents, unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS t(i)
 ),
-sel AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
-           j -> list_reduce(
-                  list_zip(hs[j : j + {w - 1}],
-                           range(j, j + len(hs[j : j + {w - 1}]))),
-                  (acc, x) -> CASE WHEN x[1] <= acc[1] THEN x ELSE acc END)) AS fps
-  FROM h
+wins AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j
+  FROM (SELECT DISTINCT doc_id, nh FROM grams),
+       unnest(generate_series(1, greatest(nh - {w - 1}, 1))) AS t(j)
+),
+cand AS (
+  SELECT w.doc_id, w.j, g.p, g.h,
+         row_number() OVER (PARTITION BY w.doc_id, w.j ORDER BY g.h ASC, g.p DESC) AS rn
+  FROM wins w JOIN grams g ON g.doc_id = w.doc_id AND g.p BETWEEN w.j AND w.j + {w - 1}
 )
-SELECT DISTINCT doc_id, CAST(fp[2] AS BIGINT) AS pos, fp[1] AS gram_hash
-FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS gram_hash FROM cand WHERE rn = 1
 """.strip()
 
 
@@ -2873,10 +2965,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the score fold relationally in DuckDB — every arithmetic step is
     a sequential fold, so scores are bit-equal and the ranking is
     hash-exact."""
-    from ..operators.similarity import pq_topk, train_pq_codebooks
+    from ..operators.similarity import pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    books = train_pq_codebooks(emb, PQ_M, PQ_K, n_iter=PQ_ITERS)
+    books = _shared_pq_books(spark, sf_dir)
     q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2962,11 +3054,11 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring of probed cells only. Oracle composes the IVF assignment/
     probing CTEs with the PQ training/encoding/scoring CTEs — the whole
     two-level index replays relationally, rank list hash-exact."""
-    from ..operators.similarity import ivf_pq_topk, train_pq_codebooks
+    from ..operators.similarity import ivf_pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = _ivf_centroids(sf_dir)
-    books = train_pq_codebooks(emb, PQ_M, PQ_K, n_iter=PQ_ITERS)
+    books = _shared_pq_books(spark, sf_dir)
     q = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3217,16 +3309,11 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → per-cluster canonical selection (highest
     quality_score, ties to lowest doc_id). Oracle: recursive closure +
     the same quality recomputation + window rank, all in DuckDB."""
-    from ..operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-        select_canonical,
-    )
+    from ..operators.dedup import select_canonical
     from ..operators.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=5, bands=4)
-    clusters = connected_components(pairs, "a", "b")
+    clusters = _shared_components(spark, sf_dir)
     scores = quality_score(docs, "text", "doc_id").select("doc_id", "quality")
     out = select_canonical(clusters, scores)
     return out.select(
@@ -3240,8 +3327,8 @@ def o_dedup_keepers() -> str:
     cand = o_minhash_pairs()
     quality = o_quality_score()
     return f"""
-WITH RECURSIVE cand AS ({cand}),
-edges AS (
+WITH RECURSIVE cand AS MATERIALIZED ({cand}),
+edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM cand
   UNION ALL
   SELECT b AS src, a AS dst FROM cand
