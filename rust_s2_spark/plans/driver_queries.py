@@ -2187,6 +2187,91 @@ SELECT image_id, CAST({total} AS BIGINT) AS dhash FROM g
 """.strip()
 
 
+PHASH_DCT_MODULUS = 75
+
+
+def q_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact DCT perceptual hash from pixels
+    (operators/multimodal.dct_phash) on the mixed-size corpus: 32x32
+    nearest-resize, fixed-point DCT-II (scaled-integer cosine table,
+    uniform scale), 8x8 low-frequency block, lower-median threshold.
+    The oracle replays the resize index arithmetic, BOTH integer
+    matmuls, the median rank, and all 64 comparisons relationally in
+    DuckDB over the shared constant table — exact 64-bit equality."""
+    from ..operators.multimodal import dct_phash
+    from ..sources.images import images_mixed_sizes
+
+    return dct_phash(images_mixed_sizes(spark, sf_dir, modulus=PHASH_DCT_MODULUS))
+
+
+def o_image_phash_dct() -> str:
+    from ..operators.multimodal import PHASH_DCT_N, _dct_matrix_int
+
+    C = _dct_matrix_int()
+    dct_rows = ", ".join(
+        f"({k}, {j}, {int(C[k, j])})"
+        for k in range(PHASH_DCT_N)
+        for j in range(PHASH_DCT_N)
+    )
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"2*({j})+1")
+        lo = digit.format(pos=f"2*({j})+2")
+        return f"({hi} * 16 + {lo})"
+
+    idx = f"(((i*h)//{PHASH_DCT_N})*w + ((j*w)//{PHASH_DCT_N}))"
+    sexpr = " + ".join(byte(f"3*({idx})+{c}") for c in range(3))
+    blocks = [
+        f"md5(CAST(o_orderkey AS VARCHAR) || '_{i}')" for i in range(48)
+    ]
+    hx = " || ".join(blocks)
+    d = _derivation_sql("o_orderkey")
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+         CAST(8 + 4 * ({d["k1"]} % 3) AS INT) AS w,
+         CAST(8 + 4 * ({d["k2"]} % 3) AS INT) AS h,
+         {hx} AS hx
+  FROM orders WHERE o_orderkey % {PHASH_DCT_MODULUS} = 0
+),
+dct(k, n, c) AS (SELECT * FROM (VALUES {dct_rows}) AS t(k, n, c)),
+g AS MATERIALIZED (
+  SELECT image_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         CAST({sexpr} AS BIGINT) AS s
+  FROM ids,
+       unnest(generate_series(0, {PHASH_DCT_N - 1})) AS t1(i),
+       unnest(generate_series(0, {PHASH_DCT_N - 1})) AS t2(j)
+),
+t AS MATERIALIZED (
+  SELECT g.image_id, d.k AS u, g.j, SUM(d.c * g.s) AS tv
+  FROM g JOIN dct d ON d.n = g.i AND d.k < 8
+  GROUP BY g.image_id, d.k, g.j
+),
+dd AS MATERIALIZED (
+  SELECT t.image_id, t.u, d.k AS v, CAST(SUM(t.tv * d.c) AS BIGINT) AS dv
+  FROM t JOIN dct d ON d.n = t.j AND d.k < 8
+  GROUP BY t.image_id, t.u, d.k
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY dv ASC, u ASC, v ASC) AS rn
+  FROM dd
+),
+med AS (SELECT image_id, dv AS m FROM ranked WHERE rn = 32),
+bits AS (
+  SELECT dd.image_id,
+         CASE WHEN dd.dv > med.m THEN
+           CASE WHEN dd.u*8 + dd.v = 63 THEN (-9223372036854775807 - 1)
+                ELSE (1::BIGINT << (dd.u*8 + dd.v)) END
+         ELSE 0 END AS term
+  FROM dd JOIN med USING (image_id)
+)
+SELECT image_id, CAST(SUM(term) AS BIGINT) AS phash64
+FROM bits GROUP BY image_id
+""".strip()
+
+
 NEARDUP_MAX_DIST = 6
 
 
@@ -3454,6 +3539,7 @@ def queries():
         "winnow": q_winnow,
         "sessionize": q_sessionize,
         "image_dhash": q_image_dhash,
+        "image_phash_dct": q_image_phash_dct,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
         "image_neardup": q_image_neardup,
@@ -3525,6 +3611,7 @@ def oracle_sql():
         "winnow": o_winnow(),
         "sessionize": o_sessionize(),
         "image_dhash": o_image_dhash(),
+        "image_phash_dct": o_image_phash_dct(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),
         "image_neardup": o_image_neardup(),

@@ -177,3 +177,59 @@ def test_audio_features_edge_semantics(spark):
     assert got[3].zero_crossings == 1 and got[3].peak == 32768
     assert got[3].sum_sq == 32768**2 + 32767**2
     assert got[4].n_samples == 1 and got[4].zero_crossings == 0
+
+
+def test_dct_phash_reference_and_robustness(spark):
+    """dct_phash vs an independent per-image python replay (any input
+    size, including 32x32 pass-through and >32 downscale), plus the
+    perceptual property: a one-pixel change moves few bits while an
+    unrelated image is far."""
+    import hashlib
+
+    import numpy as np
+
+    from rust_s2_spark.operators.multimodal import (
+        PHASH_DCT_N,
+        _dct_matrix_int,
+        dct_phash,
+    )
+
+    def raw(seed: str, w: int, h: int) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < w * h * 3:
+            out += hashlib.md5(f"{seed}_{i}".encode()).digest()
+            i += 1
+        return out[: w * h * 3]
+
+    rows = []
+    for i, (w, h) in enumerate([(8, 8), (12, 16), (16, 12), (32, 32), (40, 33)]):
+        rows.append((i, raw(f"img{i}", w, h), w, h, "raw"))
+    # row 5: row 0's bytes with ONE pixel blasted to white
+    b0 = bytearray(raw("img0", 8, 8))
+    b0[0:3] = b"\xff\xff\xff"
+    rows.append((5, bytes(b0), 8, 8, "raw"))
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: r.phash64 for r in dct_phash(df).collect()}
+
+    C8 = _dct_matrix_int()[:8]
+    for i, (iid, buf, w, h, _) in enumerate(rows):
+        px = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+        yi = np.minimum((np.arange(PHASH_DCT_N) * h) // PHASH_DCT_N, h - 1)
+        xi = np.minimum((np.arange(PHASH_DCT_N) * w) // PHASH_DCT_N, w - 1)
+        g = px[yi][:, xi].astype(np.int64).sum(axis=2)
+        D = (C8 @ g @ C8.T).reshape(64)
+        med = int(np.sort(D)[31])
+        hv = 0
+        for b in range(64):
+            if int(D[b]) > med:
+                hv |= 1 << b
+        if hv >= 1 << 63:
+            hv -= 1 << 64
+        assert got[iid] == hv, iid
+
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(got[0], got[5]) <= 10  # one-pixel change: few bits move
+    assert ham(got[0], got[1]) > 16  # unrelated image: far
