@@ -184,7 +184,15 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
 
     # simhash64 over the same corpus (round-3 verdict: measure it — the
     # explode hazard fixed this round only shows up under a bench)
-    out["simhash"], _ = timed(lambda: simhash64(docs, "text", "doc_id").count())
+    # aggregate over the hash itself (mod a prime: raw sum of int64
+    # hashes overflows under ANSI): a bare count() lets Catalyst prune
+    # the 64 vote aggregates AND the md5 — same pruning hazard as
+    # redact_pii
+    out["simhash"], _ = timed(
+        lambda: simhash64(docs, "text", "doc_id")
+        .agg(F.sum(F.col("simhash") % 1000003))
+        .collect()
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if mult > 1:
@@ -260,6 +268,80 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     # images/sec through the hash stage = n_images / this time
     imgb = images_from_orders(spark, sf_dir, with_bytes=True, multiplier=mult)
     out["image_ahash"], _ = timed(lambda: average_hash(imgb).count())
+
+    # ---- round-4/5 operators: the 10x scale rows VERDICT r4 asked for ----
+    from rust_s2_spark.operators.dedup import ensemble_dedup_vote
+    from rust_s2_spark.operators.text import (
+        redact_pii,
+        surprisal_score,
+        winnow_fingerprints,
+    )
+
+    out["winnow"], _ = timed(
+        lambda: winnow_fingerprints(docs, "text", "doc_id", k=8, w=8).count()
+    )
+    out["surprisal"], _ = timed(
+        lambda: surprisal_score(docs, "text", "doc_id")
+        .agg(F.sum("sum_surprisal"))
+        .collect()
+    )
+    out["dedup_vote"], _ = timed(
+        lambda: ensemble_dedup_vote(docs, "text", "doc_id").count()
+    )
+    # aggregate over the OUTPUT columns: redact_pii is a map-only
+    # projection, so a bare count() lets Catalyst prune every regex
+    # (the first measurement read 0.1 s at both 1x and 10x — it was
+    # measuring nothing)
+    out["redact_pii"], _ = timed(
+        lambda: redact_pii(docs, "text", "doc_id")
+        .agg(F.sum(F.length("redacted")), F.sum("n_email"), F.sum("n_ssn"))
+        .collect()
+    )
+
+    from rust_s2_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if mult > 1:
+        # replicate USERS (shifted ids, timestamps unchanged): per-user
+        # session structure is preserved, partition count scales
+        ev = ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"),
+            (F.col("event_id")).alias("event_id"),
+            "ts",
+            "user_id",
+        ).select(
+            (F.col("event_id") + F.col("__i") * F.lit(10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__i") * F.lit(10_000_000)).alias("user_id"),
+        ).localCheckpoint(eager=True)
+    out["sessionize"], _ = timed(lambda: session_stats(ev, gap_seconds=900).count())
+
+    from rust_s2_spark.operators.multimodal import audio_features, dct_phash
+    from rust_s2_spark.sources.images import (
+        audio_from_orders,
+        images_mixed_sizes,
+        images_near_dup_corpus,
+    )
+
+    out["audio_features"], _ = timed(
+        lambda: audio_features(
+            audio_from_orders(spark, sf_dir, modulus=5, multiplier=mult)
+        ).count()
+    )
+
+    def q_neardup():
+        h = average_hash(
+            images_near_dup_corpus(spark, sf_dir, modulus=5, multiplier=mult)
+        ).select(F.col("image_id").alias("img"), "ahash")
+        return phash_hamming_pairs(h, "img", "ahash", max_dist=6).count()
+
+    out["image_neardup"], _ = timed(q_neardup)
+
+    out["image_phash_dct"], _ = timed(
+        lambda: dct_phash(
+            images_mixed_sizes(spark, sf_dir, modulus=5, multiplier=mult)
+        ).count()
+    )
 
     out["_n_images"] = float(n_images)
     return out

@@ -133,7 +133,7 @@ def images_from_orders(
 
 
 def images_mixed_sizes(
-    spark: SparkSession, sf_dir: str, modulus: int = 5
+    spark: SparkSession, sf_dir: str, modulus: int = 5, multiplier: int = 1
 ) -> DataFrame:
     """Deterministic MIXED-SIZE raster corpus: per-row w, h drawn from
     {8, 12, 16} via the shared key hash (w from k1, h from k2 — nine
@@ -153,6 +153,7 @@ def images_mixed_sizes(
         orders = orders.repartition(par)
     if modulus > 1:
         orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    orders = _replicate_orders(orders, multiplier)
     d = _derivation_sql("o_orderkey")
     # 48 INDEPENDENT md5 blocks (key || '_i') = 768 bytes >= the
     # 16*16*3 max raster — independent, not chained, so the expression
@@ -176,8 +177,24 @@ def images_mixed_sizes(
     )
 
 
+def _replicate_orders(orders: DataFrame, multiplier: int) -> DataFrame:
+    """Bench-scaling replication of the orders keyspace: each replica i
+    shifts every key by i*10^7 (a multiple of every group_span in use),
+    so md5-derived corpus CONTENT is unique per replica and grouped
+    structures (e.g. the planted near-dup 5-groups) keep their shape
+    instead of merging into one multiplied group."""
+    if multiplier <= 1:
+        return orders
+    return orders.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1))).alias("__i"),
+    ).select(
+        (F.col("o_orderkey") + F.col("__i") * F.lit(10_000_000)).alias("o_orderkey")
+    )
+
+
 def audio_from_orders(
-    spark: SparkSession, sf_dir: str, modulus: int = 5
+    spark: SparkSession, sf_dir: str, modulus: int = 5, multiplier: int = 1
 ) -> DataFrame:
     """Deterministic variable-length 'audio' corpus: fmt='pcm16' mono
     clips of 16..48 16-byte md5 blocks (128..384 int16 samples), block
@@ -190,6 +207,7 @@ def audio_from_orders(
         orders = orders.repartition(par)
     if modulus > 1:
         orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    orders = _replicate_orders(orders, multiplier)
     d = _derivation_sql("o_orderkey")
     blocks = [
         F.md5(F.expr(f"CAST(o_orderkey AS STRING) || '_a{i}'")) for i in range(48)
@@ -207,7 +225,11 @@ def audio_from_orders(
 
 
 def images_near_dup_corpus(
-    spark: SparkSession, sf_dir: str, modulus: int = 5, group_span: int = 25
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 5,
+    group_span: int = 25,
+    multiplier: int = 1,
 ) -> DataFrame:
     """Deterministic 8x8 corpus with PLANTED pixel-level near-dups: the
     first 189 bytes (63 pixels) derive from the key's GROUP
@@ -222,6 +244,7 @@ def images_near_dup_corpus(
         orders = orders.repartition(par)
     if modulus > 1:
         orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    orders = _replicate_orders(orders, multiplier)
     g = F.expr(f"CAST(o_orderkey DIV {group_span} AS STRING)")
     blocks = [F.md5(F.concat(g, F.lit(f"_g{i}"))) for i in range(12)]
     hx = F.concat(
