@@ -1175,11 +1175,12 @@ def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in _covering_gate_cases()
         for kind in ("covering", "interior", "fast")
     ]
-    # one (case, kind) per task: the straggler floor is the single
-    # heaviest covering (~2 s), not a whole case's three kinds
-    cdf = spark.createDataFrame(params, "js string, kind string").repartition(
-        len(params)
-    )
+    # split by (case, kind) so the straggler floor is the single
+    # heaviest covering (~2 s), not a whole case's three kinds; a
+    # measured sweep put 96-192 partitions ahead of both one-task-per-
+    # row (459 task overheads) and coarse chunks (heavy-case collisions)
+    n_parts = min(len(params), max(96, 2 * spark.sparkContext.defaultParallelism))
+    cdf = spark.createDataFrame(params, "js string, kind string").repartition(n_parts)
 
     def gen(batches):
         from ..geometry import RegionCoverer as RC
