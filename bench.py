@@ -298,6 +298,23 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         .collect()
     )
 
+    from rust_s2_spark.operators.text import ngram_decontaminate, repetition_stats
+
+    out["decontaminate"], _ = timed(
+        lambda: ngram_decontaminate(
+            docs.where(F.col("doc_id") % 17 != 0),
+            docs.where(F.col("doc_id") % 17 == 0),
+            n=4,
+        ).count()
+    )
+    # group keys include the computed dup fractions, so count() cannot
+    # prune them; the top-share agg is forced by the sum
+    out["repetition"], _ = timed(
+        lambda: repetition_stats(docs, "text", "doc_id")
+        .agg(F.sum("top_token_share"), F.sum("dup2_frac"))
+        .collect()
+    )
+
     from rust_s2_spark.operators.sessions import session_stats
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -408,3 +408,120 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.round(subword_est, 6).alias("subword_estimate"),
     )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the standard pre-training hygiene
+    pass: flag every training document sharing at least one word
+    ``n``-gram with an evaluation set (the classic 13-gram rule, n
+    configurable). Returns (id, n_hits) for CONTAMINATED docs only,
+    where n_hits counts DISTINCT benchmark grams found in the doc.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus (an
+    eval suite vs 100 TB), so the join broadcasts; both sides reduce to
+    md5 gram hashes first (16 bytes/gram, never the text), and the
+    whole pipeline is one explode + one distinct + one equi-join + one
+    groupBy — no Python anywhere. With a large benchmark the same plan
+    degrades gracefully to a shuffled hash join on the gram hash.
+
+    Tokens are lowercase whitespace words; a doc with fewer than ``n``
+    tokens has no grams (the sequence() guard matters: Spark's
+    sequence(0, size-n) DESCENDS when size < n).
+    """
+
+    def grams(df: DataFrame, t_col: str, i_col: str, out_id: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(t_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__toks")) - F.lit(n)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))
+            ),
+        )
+        return (
+            df.select(F.col(i_col).alias(out_id), toks.alias("__toks"))
+            .where(F.size("__toks") >= n)
+            .select(out_id, F.explode(g).alias("gram"))
+            .dropDuplicates([out_id, "gram"])
+        )
+
+    bench = F.broadcast(
+        grams(benchmark, bench_text_col, bench_id_col, "__bid").select("gram").distinct()
+    )
+    hits = grams(docs, text_col, id_col, id_col).join(bench, "gram")
+    return hits.groupBy(id_col).agg(F.count("*").cast("long").alias("n_hits"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, exact-integer-derived:
+    per document the duplicate word-2-gram and 3-gram fractions
+    ((total - distinct)/total; 0.0 when the doc has no such grams) and
+    the share of the most frequent token. High values mark the
+    boilerplate/spam/looping documents a pre-training filter drops.
+
+    dup fractions are a pure native map pass (array_distinct is O(len));
+    the top-token share pays ONE (doc, token) groupBy + a per-doc join.
+    The two legs are deliberately SEPARATE frames joined on the id: a
+    single select that computes the fractions next to an explode gets
+    projection-collapsed by Catalyst so the O(len) array expressions
+    re-evaluate per TOKEN row — O(len²) per document (measured 37 s vs
+    ~3 s on 5k long docs).
+    Returns (id, n_tokens, dup2_frac, dup3_frac, top_token_share),
+    fractions rounded to 9 for hash-stable comparison."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+
+    def dup_frac(nn: int):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__toks")) - F.lit(nn)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, nn)),
+        )
+        total = F.size(F.col("__toks")) - F.lit(nn - 1)
+        return F.when(
+            F.size(F.col("__toks")) >= nn,
+            F.round(
+                (total - F.size(F.array_distinct(g))).cast("double")
+                / total.cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    per_doc = base.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup2_frac"),
+        dup_frac(3).alias("dup3_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__mc"))
+    )
+    return per_doc.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        "dup2_frac",
+        "dup3_frac",
+        F.round(
+            F.col("__mc").cast("double") / F.col("n_tokens").cast("double"), 9
+        ).alias("top_token_share"),
+    )

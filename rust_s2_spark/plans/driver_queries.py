@@ -1658,6 +1658,95 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
 """.strip()
 
 
+DECON_N = 4
+DECON_BENCH_MOD = 17
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.ngram_decontaminate):
+    treat every doc with doc_id % 17 == 0 as the EVAL SET, flag every
+    other doc sharing at least one word 4-gram with it, counting
+    distinct contaminated grams. One explode + distinct + broadcast
+    equi-join on md5 gram hashes + groupBy — the standard 13-gram
+    hygiene pass shape. The oracle rebuilds both gram sets and the join
+    relationally in DuckDB."""
+    from ..operators.text import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return ngram_decontaminate(corpus, bench, n=DECON_N)
+
+
+def o_decontaminate() -> str:
+    n = DECON_N
+    grams = (
+        "SELECT DISTINCT doc_id, "
+        f"md5(array_to_string(toks[CAST(i+1 AS INT) : CAST(i+{n} AS INT)], ' ')) AS gram "
+        "FROM {src}, unnest(generate_series(0, len(toks) - {n})) AS t(i) "
+        "WHERE len(toks) >= {n}"
+    )
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+cgrams AS ({grams.format(src=f"(SELECT * FROM toksrc WHERE doc_id % {DECON_BENCH_MOD} <> 0)", n=n)}),
+bgrams AS (SELECT DISTINCT gram FROM ({grams.format(src=f"(SELECT * FROM toksrc WHERE doc_id % {DECON_BENCH_MOD} = 0)", n=n)}))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM cgrams JOIN bgrams USING (gram)
+GROUP BY doc_id
+""".strip()
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.repetition_stats):
+    duplicate 2-gram/3-gram fractions (native map pass) + top-token
+    share (one groupBy) per document. Oracle replays the gram
+    construction, list_distinct counts, and the token histogram in
+    DuckDB — value-exact after shared round(…, 9)."""
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def o_repetition() -> str:
+    def dup(nn: int) -> str:
+        # DuckDB lists are 1-based: gram i covers toks[i+1 .. i+nn]
+        gram = " || ' ' || ".join(f"toks[CAST(i+{j + 1} AS INT)]" for j in range(nn))
+        return (
+            f"CASE WHEN nt >= {nn} THEN round(CAST(nt - {nn - 1} - "
+            f"len(list_distinct(list_transform(generate_series(0, nt - {nn}), "
+            f"i -> {gram}))) AS DOUBLE) / CAST(nt - {nn - 1} AS DOUBLE), 9) "
+            "ELSE 0.0 END"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS nt FROM base WHERE len(toks) > 0),
+d AS (
+  SELECT doc_id, nt, {dup(2)} AS dup2, {dup(3)} AS dup3 FROM nz
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM nz)
+  GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, max(c) AS mc FROM tc GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.nt AS BIGINT) AS n_tokens, d.dup2 AS dup2_frac,
+       d.dup3 AS dup3_frac,
+       round(CAST(top.mc AS DOUBLE) / CAST(d.nt AS DOUBLE), 9) AS top_token_share
+FROM d JOIN top ON d.doc_id = top.doc_id
+""".strip()
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_score
 
@@ -3541,6 +3630,8 @@ def queries():
         "sessionize": q_sessionize,
         "image_dhash": q_image_dhash,
         "image_phash_dct": q_image_phash_dct,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
         "image_neardup": q_image_neardup,
@@ -3613,6 +3704,8 @@ def oracle_sql():
         "sessionize": o_sessionize(),
         "image_dhash": o_image_dhash(),
         "image_phash_dct": o_image_phash_dct(),
+        "decontaminate": o_decontaminate(),
+        "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),
         "image_neardup": o_image_neardup(),

@@ -483,3 +483,38 @@ def test_ensemble_vote_blank_docs_get_verdicts(spark):
         assert out[p].jaccard == 1.0
         assert out[p].hamming is None  # simhash abstained
         assert out[p].keep is True
+
+
+def test_decontaminate_and_repetition_semantics(spark):
+    """Planted decontamination + Gopher-repetition cases: only the doc
+    sharing an n-gram with the benchmark is flagged (with the right
+    distinct-gram count); dup fractions and top-token share are exact;
+    token-less docs vanish; short docs guard the descending-sequence
+    hazard."""
+    from rust_s2_spark.operators.text import ngram_decontaminate, repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content with no overlap whatsoever here"),
+            (3, "spam spam spam spam spam spam"),
+            (4, "one two"),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in ngram_decontaminate(docs, bench, n=5).collect()}
+    # doc 1 shares exactly two 5-grams: 'the quick brown fox jumps'
+    # and 'quick brown fox jumps over'
+    assert hits == {1: 2}
+
+    rs = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert 5 not in rs  # whitespace-only doc has no tokens
+    assert rs[3].dup2_frac == 0.8 and rs[3].dup3_frac == 0.75
+    assert rs[3].top_token_share == 1.0
+    assert rs[4].n_tokens == 2 and rs[4].dup2_frac == 0.0 and rs[4].dup3_frac == 0.0
+    assert rs[1].top_token_share == 0.2  # 'the' twice in 10 tokens

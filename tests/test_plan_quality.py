@@ -452,3 +452,66 @@ def test_pq_plans_native_one_scan(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("FileScan parquet") == 1  # one scan for all queries
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_single_join_shape(spark, sf_dir):
+    """lsh_bucket_topk computes ALL tables in one explode and joins once
+    on (tbl, bkt): the plan carries exactly ONE broadcast join and ONE
+    bucket-cap window — not n_tables of each (r5 restructure) — and
+    stays fully native (the bucket exprs are parsed SQL, zero Python)."""
+    import numpy as np
+
+    from rust_s2_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = np.random.default_rng(3).standard_normal((4, 6, 64))
+    out = lsh_bucket_topk(spark, emb, q, 5, planes=planes, max_bucket=100)
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+    # 1 candidate join + 1 bucket-cap join (count-filter); the old
+    # per-table loop had 4 of each
+    assert joins <= 2, plan
+
+
+def test_dct_phash_single_python_stage(spark, sf_dir):
+    """dct_phash is ONE mapInPandas over the byte scan — no shuffle, no
+    second Python node: the 100 TB shape is a pure map pass."""
+    from rust_s2_spark.operators.multimodal import dct_phash
+    from rust_s2_spark.sources.images import images_mixed_sizes
+
+    out = dct_phash(images_mixed_sizes(spark, sf_dir, modulus=5))
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_pq_big_regime_no_collect_plan(spark, sf_dir):
+    """Above the literal budget, pq_topk's plan ships the per-query ADC
+    tables as a broadcast COLUMN: still one scan, one broadcast join,
+    no Python, and no nested per-query literal arrays."""
+    import numpy as np
+
+    from rust_s2_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = np.random.default_rng(5).standard_normal((4, 8, 16))
+    q = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    orig = sim.PQ_NATIVE_MAX_LITERALS
+    try:
+        # 40 queries * m*k=32 = 1280 > 600 -> column regime; codebook
+        # m*k*subdim = 512 <= 600 -> native table expression (the
+        # pandas fallback is exercised by test_pq_regimes)
+        sim.PQ_NATIVE_MAX_LITERALS = 600
+        out = sim.pq_topk(emb, q, 5, books)
+        plan = _plan(out)
+    finally:
+        sim.PQ_NATIVE_MAX_LITERALS = orig
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") <= 2  # coded scan + query scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
