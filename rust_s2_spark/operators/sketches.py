@@ -1,0 +1,118 @@
+"""Distributed sketches for OLAP rollups, in DETERMINISTIC form.
+
+The classical approximate-distinct sketch (HyperLogLog, Flajolet et
+al., public knowledge) is normally seeded-random; this implementation
+derives every register from md5 of the value, so two independent
+engines build IDENTICAL sketches — the DuckDB oracle replays the
+registers, the exact integer register sum, and the final estimate
+bit-for-bit. That turns an approximate operator into something the
+hash-compare correctness gate can still pin exactly.
+
+Arithmetic discipline (the repo-wide rule: no libm in hashed outputs):
+* the register sum is the EXACT integer Σ 2^(64-p-reg[b]) carried as
+  DECIMAL(38,0) (reported as a string — both engines print plain
+  integers), never a float sum of 2^-reg (whose rounding would be
+  addition-order-dependent);
+* the estimate is alpha*m²*2^(64-p) / S — ONE multiply-constant (a
+  python float literal shared verbatim with the oracle) and ONE IEEE
+  division of exactly-known operands, identical in any conforming
+  engine; the ln-based small-range (linear counting) refinement is
+  deliberately NOT applied inside the hashed output (ln is libm);
+  callers can refine client-side from the exported V (zero-register
+  count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 9,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via a deterministic
+    HyperLogLog: h = 64-bit md5 fold of the value, bucket = top ``p``
+    bits, rho = leading-zero-count of the remaining 64-p bits + 1,
+    register[b] = max rho.
+
+    Returns per group: ``hll_estimate`` (round 3), ``hll_s`` (the exact
+    integer register sum as a string — the sketch's hashable core),
+    ``hll_zero_regs`` (V, for client-side linear-counting refinement),
+    ``n_rows``.
+
+    Scale shape: ONE groupBy to (group, bucket) max-registers (map-side
+    partial max), ONE groupBy to fold the m=2^p registers per group —
+    both shuffles carry at most m rows per group. Registers are
+    mergeable (max), so the same op works as a streaming/rollup
+    combiner. Standard error ~1.04/sqrt(m) (~4.6% at p=9).
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    wbits = 64 - p
+    alpha_m2_scaled = _hll_alpha(m) * m * m * (2.0 ** wbits)
+
+    # 64-bit hash from md5 (two 32-bit halves: conv() on 16 hex chars
+    # would overflow signed int64 under ANSI — the simhash fold)
+    md5 = F.md5(F.col(value_col).cast("string"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    bucket = F.shiftrightunsigned(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rho = wbits - bit_length(w) + 1; bin(w) has no leading zeros and
+    # bin(0) = '0', so the w=0 case (rho = wbits+1) is explicit
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+
+    regs = (
+        df.select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.max("__rho").alias("__reg"), F.count("*").alias("__n"))
+    )
+    # present bucket contributes 2^(wbits-reg) (reg in [1, wbits+1] so
+    # the exponent is in [-1+wbits... well, [wbits-1 .. -1]]) — wait:
+    # reg <= wbits+1 -> exponent >= -1; reg=wbits+1 (w=0) contributes
+    # 2^-1, carried as the scaled integer 2*X where X = 2^(wbits-reg+1)
+    # keeps everything integral: S_scaled = Σ 2^(wbits-reg+1) over
+    # present buckets + missing * 2^(wbits+1), estimate uses S/2.
+    contrib = F.expr("CAST(power(2.0, {} - __reg) AS DECIMAL(38,0))".format(wbits + 1))
+    folded = regs.groupBy(*group_cols).agg(
+        F.sum(contrib).alias("__s_present"),
+        F.count("*").alias("__n_buckets"),
+        F.sum("__n").alias("n_rows"),
+    )
+    missing = F.lit(m) - F.col("__n_buckets")
+    s_scaled = (
+        F.col("__s_present")
+        + missing.cast("decimal(38,0)")
+        * F.expr(f"CAST(power(2.0, {wbits + 1}) AS DECIMAL(38,0))")
+    )
+    est = F.round(
+        F.lit(2.0 * alpha_m2_scaled) / F.col("hll_s").cast("double"), 3
+    )
+    return (
+        folded.withColumn("hll_s", s_scaled)
+        .withColumn("hll_zero_regs", missing.cast("long"))
+        .select(
+            *group_cols,
+            est.alias("hll_estimate"),
+            F.col("hll_s").cast("string").alias("hll_s"),
+            "hll_zero_regs",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

@@ -1658,6 +1658,70 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
 """.strip()
 
 
+HLL_P = 9
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count rollup
+    (operators/sketches.hll_count_distinct): approximate
+    COUNT(DISTINCT l_orderkey) per l_returnflag, p=9 (512 registers,
+    ~4.6% standard error). Every register derives from md5, so the
+    oracle rebuilds the identical sketch: the exact integer register
+    sum (DECIMAL, compared as a string), the zero-register count, AND
+    the estimate (one shared float constant, one IEEE division — no
+    libm) are all hash-exact."""
+    from ..operators.sketches import hll_count_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_count_distinct(li, "l_orderkey", ["l_returnflag"], p=HLL_P)
+
+
+def o_hll_distinct() -> str:
+    from ..operators.sketches import _hll_alpha
+
+    p_, m = HLL_P, 1 << HLL_P
+    wbits = 64 - p_
+    top_div = 1 << (32 - p_)
+    lo_mod = 1 << (32 - p_)
+    const = 2.0 * _hll_alpha(m) * m * m * (2.0 ** wbits)
+    return f"""
+WITH parts AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS hi,
+         CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 9, 8) AS UBIGINT) AS BIGINT) AS lo
+  FROM lineitem
+),
+bw AS (
+  SELECT g, hi // {top_div} AS b,
+         (hi % {lo_mod}) * 4294967296 + lo AS w
+  FROM parts
+),
+regs AS (
+  SELECT g, b,
+         max(CASE WHEN w = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(w)) END) AS reg,
+         count(*) AS n
+  FROM bw GROUP BY g, b
+),
+folded AS (
+  SELECT g, SUM(CAST(power(2.0, {wbits + 1} - reg) AS DECIMAL(38,0))) AS s_present,
+         COUNT(*) AS nb, SUM(n) AS n_rows
+  FROM regs GROUP BY g
+),
+tot AS (
+  SELECT g, s_present + ({m} - nb) * CAST(power(2.0, {wbits + 1}) AS DECIMAL(38,0)) AS s,
+         nb, n_rows
+  FROM folded
+)
+SELECT g AS l_returnflag,
+       round({const!r} / CAST(s AS DOUBLE), 3) AS hll_estimate,
+       CAST(s AS VARCHAR) AS hll_s,
+       CAST({m} - nb AS BIGINT) AS hll_zero_regs,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM tot
+""".strip()
+
+
 DECON_N = 4
 DECON_BENCH_MOD = 17
 
@@ -3631,6 +3695,7 @@ def queries():
         "image_dhash": q_image_dhash,
         "image_phash_dct": q_image_phash_dct,
         "decontaminate": q_decontaminate,
+        "hll_distinct": q_hll_distinct,
         "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3705,6 +3770,7 @@ def oracle_sql():
         "image_dhash": o_image_dhash(),
         "image_phash_dct": o_image_phash_dct(),
         "decontaminate": o_decontaminate(),
+        "hll_distinct": o_hll_distinct(),
         "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),

@@ -518,3 +518,26 @@ def test_decontaminate_and_repetition_semantics(spark):
     assert rs[3].top_token_share == 1.0
     assert rs[4].n_tokens == 2 and rs[4].dup2_frac == 0.0 and rs[4].dup3_frac == 0.0
     assert rs[1].top_token_share == 0.2  # 'the' twice in 10 tokens
+
+
+def test_hll_count_distinct_properties(spark):
+    """Deterministic HLL: estimate within the expected band, EXACT
+    invariance under row duplication (the sketch sees values, not
+    rows), and determinism across runs (identical register sums)."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.sketches import hll_count_distinct
+
+    df = spark.range(30000).select((F.col("id") % 3).alias("g"), (F.col("id") % 9973).alias("v"))
+    one = hll_count_distinct(df, "v", ["g"]).collect()
+    exact = {r.g: r.c for r in df.groupBy("g").agg(F.countDistinct("v").alias("c")).collect()}
+    for r in one:
+        assert abs(r.hll_estimate - exact[r.g]) / exact[r.g] < 0.15, r
+    # duplication invariance: union with itself -> identical sketch
+    dup = hll_count_distinct(df.unionAll(df), "v", ["g"]).collect()
+    assert {(r.g, r.hll_s, r.hll_estimate) for r in dup} == {
+        (r.g, r.hll_s, r.hll_estimate) for r in one
+    }
+    # determinism: a second independent evaluation is bit-identical
+    two = hll_count_distinct(df, "v", ["g"]).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, one))
