@@ -38,6 +38,67 @@ def _hll_alpha(m: int) -> float:
     return 0.673
 
 
+def hll_register_cols(value_col: str, p: int = 9):
+    """(bucket, rho) columns of the deterministic 64-bit md5 HLL hash —
+    the stateless per-row half of the sketch, shared by the batch
+    operator and the streaming rollup (registers are max-mergeable, so
+    a streaming groupBy max IS the sketch state)."""
+    wbits = 64 - p
+    md5 = F.md5(F.col(value_col).cast("string"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    bucket = F.shiftrightunsigned(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return bucket, rho
+
+
+def hll_finalize(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 9,
+    reg_col: str = "__reg",
+    n_col: str = "__n",
+) -> DataFrame:
+    """Fold a (group, bucket, max-rho register) table into per-group
+    estimates — the batch half shared with the streaming rollup. See
+    ``hll_count_distinct`` for the exact-integer arithmetic contract."""
+    m = 1 << p
+    wbits = 64 - p
+    alpha_m2_scaled = _hll_alpha(m) * m * m * (2.0 ** wbits)
+    contrib = F.expr(
+        "CAST(power(2.0, {} - {}) AS DECIMAL(38,0))".format(wbits + 1, reg_col)
+    )
+    folded = regs.groupBy(*group_cols).agg(
+        F.sum(contrib).alias("__s_present"),
+        F.count("*").alias("__n_buckets"),
+        F.sum(n_col).alias("n_rows"),
+    )
+    missing = F.lit(m) - F.col("__n_buckets")
+    s_scaled = (
+        F.col("__s_present")
+        + missing.cast("decimal(38,0)")
+        * F.expr(f"CAST(power(2.0, {wbits + 1}) AS DECIMAL(38,0))")
+    )
+    est = F.round(
+        F.lit(2.0 * alpha_m2_scaled) / F.col("hll_s").cast("double"), 3
+    )
+    return (
+        folded.withColumn("hll_s", s_scaled)
+        .withColumn("hll_zero_regs", missing.cast("long"))
+        .select(
+            *group_cols,
+            est.alias("hll_estimate"),
+            F.col("hll_s").cast("string").alias("hll_s"),
+            "hll_zero_regs",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
 def hll_count_distinct(
     df: DataFrame,
     value_col: str,
@@ -61,58 +122,14 @@ def hll_count_distinct(
     combiner. Standard error ~1.04/sqrt(m) (~4.6% at p=9).
     """
     group_cols = list(group_cols or [])
-    m = 1 << p
-    wbits = 64 - p
-    alpha_m2_scaled = _hll_alpha(m) * m * m * (2.0 ** wbits)
-
     # 64-bit hash from md5 (two 32-bit halves: conv() on 16 hex chars
-    # would overflow signed int64 under ANSI — the simhash fold)
-    md5 = F.md5(F.col(value_col).cast("string"))
-    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-    h = F.shiftleft(hi, 32).bitwiseOR(lo)
-    bucket = F.shiftrightunsigned(h, wbits).cast("int")
-    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
-    # rho = wbits - bit_length(w) + 1; bin(w) has no leading zeros and
-    # bin(0) = '0', so the w=0 case (rho = wbits+1) is explicit
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.bin(w))
-    )
-
+    # would overflow signed int64 under ANSI — the simhash fold);
+    # reg in [1, wbits+1] so the scaled contribution 2^(wbits+1-reg) is
+    # always integral (the w=0 bucket's classical 2^-1 term rides as 1)
+    bucket, rho = hll_register_cols(value_col, p)
     regs = (
         df.select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*group_cols, "__b")
         .agg(F.max("__rho").alias("__reg"), F.count("*").alias("__n"))
     )
-    # present bucket contributes 2^(wbits-reg) (reg in [1, wbits+1] so
-    # the exponent is in [-1+wbits... well, [wbits-1 .. -1]]) — wait:
-    # reg <= wbits+1 -> exponent >= -1; reg=wbits+1 (w=0) contributes
-    # 2^-1, carried as the scaled integer 2*X where X = 2^(wbits-reg+1)
-    # keeps everything integral: S_scaled = Σ 2^(wbits-reg+1) over
-    # present buckets + missing * 2^(wbits+1), estimate uses S/2.
-    contrib = F.expr("CAST(power(2.0, {} - __reg) AS DECIMAL(38,0))".format(wbits + 1))
-    folded = regs.groupBy(*group_cols).agg(
-        F.sum(contrib).alias("__s_present"),
-        F.count("*").alias("__n_buckets"),
-        F.sum("__n").alias("n_rows"),
-    )
-    missing = F.lit(m) - F.col("__n_buckets")
-    s_scaled = (
-        F.col("__s_present")
-        + missing.cast("decimal(38,0)")
-        * F.expr(f"CAST(power(2.0, {wbits + 1}) AS DECIMAL(38,0))")
-    )
-    est = F.round(
-        F.lit(2.0 * alpha_m2_scaled) / F.col("hll_s").cast("double"), 3
-    )
-    return (
-        folded.withColumn("hll_s", s_scaled)
-        .withColumn("hll_zero_regs", missing.cast("long"))
-        .select(
-            *group_cols,
-            est.alias("hll_estimate"),
-            F.col("hll_s").cast("string").alias("hll_s"),
-            "hll_zero_regs",
-            F.col("n_rows").cast("long").alias("n_rows"),
-        )
-    )
+    return hll_finalize(regs, group_cols, p)

@@ -1722,6 +1722,90 @@ FROM tot
 """.strip()
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL rollup (streaming/cell_stream.
+    streaming_hll_registers): distinct-user sketch registers maintained
+    as windowed streaming state (bounded at 2^p rows per window — max
+    is the mergeable aggregate), run to completion with availableNow;
+    finalization (register fold → estimate) is a batch query over the
+    emitted registers. The oracle rebuilds the identical sketch per 6h
+    bucket relationally in DuckDB — estimates, register sums, and
+    zero-counts hash-exact."""
+    import tempfile
+
+    from ..operators.sketches import hll_finalize
+    from ..streaming.cell_stream import streaming_hll_registers
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamhll_")
+    events.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    regs = streaming_hll_registers(stream, "user_id", p=HLL_P)
+    name = "stream_hll_regs"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_hll availableNow query did not finish in 300s")
+    mat = spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS ws, "
+        f"__b, __reg, __n FROM {name}"
+    )
+    return hll_finalize(mat, ["ws"], p=HLL_P)
+
+
+def o_stream_hll() -> str:
+    from ..operators.sketches import _hll_alpha
+
+    p_, m = HLL_P, 1 << HLL_P
+    wbits = 64 - p_
+    top_div = 1 << (32 - p_)
+    const = 2.0 * _hll_alpha(m) * m * m * (2.0 ** wbits)
+    return f"""
+WITH parts AS (
+  SELECT strftime(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS ws,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS hi,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8) AS UBIGINT) AS BIGINT) AS lo
+  FROM events
+),
+bw AS (
+  SELECT ws, hi // {top_div} AS b,
+         (hi % {top_div}) * 4294967296 + lo AS w
+  FROM parts
+),
+regs AS (
+  SELECT ws, b,
+         max(CASE WHEN w = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(w)) END) AS reg,
+         count(*) AS n
+  FROM bw GROUP BY ws, b
+),
+folded AS (
+  SELECT ws, SUM(CAST(power(2.0, {wbits + 1} - reg) AS DECIMAL(38,0))) AS s_present,
+         COUNT(*) AS nb, SUM(n) AS n_rows
+  FROM regs GROUP BY ws
+),
+tot AS (
+  SELECT ws, s_present + ({m} - nb) * CAST(power(2.0, {wbits + 1}) AS DECIMAL(38,0)) AS s,
+         nb, n_rows
+  FROM folded
+)
+SELECT ws,
+       round({const!r} / CAST(s AS DOUBLE), 3) AS hll_estimate,
+       CAST(s AS VARCHAR) AS hll_s,
+       CAST({m} - nb AS BIGINT) AS hll_zero_regs,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM tot
+""".strip()
+
+
 DECON_N = 4
 DECON_BENCH_MOD = 17
 
@@ -3696,6 +3780,7 @@ def queries():
         "image_phash_dct": q_image_phash_dct,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
+        "stream_hll": q_stream_hll,
         "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3771,6 +3856,7 @@ def oracle_sql():
         "image_phash_dct": o_image_phash_dct(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
+        "stream_hll": o_stream_hll(),
         "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),

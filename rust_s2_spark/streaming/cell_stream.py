@@ -191,3 +191,34 @@ def streaming_sessions(
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming half of the deterministic HLL rollup: per event-time
+    window, maintain the sketch REGISTERS as streaming state — the
+    register is a max, and max is exactly the mergeable aggregate
+    Structured Streaming's incremental state model wants, so the state
+    per window is bounded at 2^p rows regardless of stream volume.
+
+    Finalization (register fold → estimate) is a BATCH query over the
+    emitted registers (operators/sketches.hll_finalize) — streaming
+    forbids chained aggregates, and splitting state-maintenance from
+    query-time finalize is exactly how production sketch stores work.
+    """
+    from ..operators.sketches import hll_register_cols
+
+    bucket, rho = hll_register_cols(value_col, p)
+    return (
+        stream.withColumn("__b", bucket)
+        .withColumn("__rho", rho)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("__b"))
+        .agg(F.max("__rho").alias("__reg"), F.count("*").alias("__n"))
+    )
