@@ -3725,8 +3725,43 @@ FROM img
 # registry
 
 
+# Cheapest-first ordering for the driver's correctness pass: if the
+# driver stops on a time budget (r4's artifact silently ended at 50 of
+# 66 rows), the cutoff should cost the FEW most expensive tails, not an
+# arbitrary run of 16. Measured per-query costs at sf0.01, ascending;
+# queries not listed keep their registration order after these.
+_CHEAP_FIRST = [
+    "fingerprint", "bpe_tokens", "quality_score", "text_stats",
+    "dedup_exact", "quantize_embeddings", "stratified_sample",
+    "redact_pii", "cell_avg_area", "tiling_range", "cellunion_algebra",
+    "region_predicates", "golden_containment", "cell_area_golden",
+    "latlng_distance", "tokens_scale", "sessionize", "repetition",
+    "angle_encodings", "golden_tokens", "lang_profiles",
+    "cells_per_parent7", "surprisal", "pack_documents", "hll_distinct",
+    "similarity_topk", "decontaminate", "near_polyline",
+    "face_histogram", "neighbors", "raster_vector", "lang_stopword",
+    "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
+    "multimodal_features", "audio_features", "image_phash_dct",
+    "within_distance", "minhash_pairs", "ngram_jaccard", "simhash",
+    "cosine_near_dup", "roundtrip_scale", "image_neardup",
+    "golden_parent_level", "region_join_1k", "winnow", "bpe_encode",
+    "bpe_train", "pip_triangle", "stream_sessions", "stream_rollup",
+    "ivf_topk", "dedup_clusters", "dedup_keepers", "ivf_topk_trained",
+    "phash_hamming", "pip_polygon", "traj_crossings", "dedup_vote",
+    "pq_topk", "knn", "stream_dedup", "golden_latlng", "stream_hll",
+    "ivf_pq_topk", "lsh_recall", "stream_spatial_join",
+    "covering_tokens",
+]
+
+
+def _cheap_first(d: dict) -> dict:
+    out = {k: d[k] for k in _CHEAP_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries():
-    return {
+    return _cheap_first({
         "golden_latlng": q_golden_latlng,
         "golden_tokens": q_golden_tokens,
         "golden_parent_level": q_golden_parent_level,
@@ -3798,7 +3833,7 @@ def queries():
         "latlng_distance": q_latlng_distance,
         "within_distance": q_within_distance,
         "dedup_keepers": q_dedup_keepers,
-    }
+    })
 
 
 def oracle_sql():
