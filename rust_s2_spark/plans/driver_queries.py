@@ -2510,6 +2510,77 @@ FROM bits GROUP BY image_id
 """.strip()
 
 
+EDGE_MODULUS = 25
+
+
+def q_image_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Sobel edge statistics from pixels
+    (operators/multimodal.image_edge_stats) on the mixed-size corpus:
+    3x3 integer convolution over interior pixels, edge iff Gx²+Gy² >
+    360000, plus exact Σ|Gx|, Σ|Gy|. The oracle replays the convolution
+    relationally (pixel table joined to a kernel VALUES table, grouped
+    sums) — every count and sum bit-exact."""
+    from ..operators.multimodal import image_edge_stats
+    from ..sources.images import images_mixed_sizes
+
+    return image_edge_stats(images_mixed_sizes(spark, sf_dir, modulus=EDGE_MODULUS))
+
+
+def o_image_edges() -> str:
+    from ..operators.multimodal import SOBEL_EDGE_T2
+
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"2*({j})+1")
+        lo = digit.format(pos=f"2*({j})+2")
+        return f"({hi} * 16 + {lo})"
+
+    idx = "(i*w + j)"
+    sexpr = " + ".join(byte(f"3*({idx})+{c}") for c in range(3))
+    blocks = [
+        f"md5(CAST(o_orderkey AS VARCHAR) || '_{i}')" for i in range(48)
+    ]
+    hx = " || ".join(blocks)
+    d = _derivation_sql("o_orderkey")
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+         CAST(8 + 4 * ({d["k1"]} % 3) AS INT) AS w,
+         CAST(8 + 4 * ({d["k2"]} % 3) AS INT) AS h,
+         {hx} AS hx
+  FROM orders WHERE o_orderkey % {EDGE_MODULUS} = 0
+),
+px AS MATERIALIZED (
+  SELECT image_id, w, h, CAST(i AS INT) AS y, CAST(j AS INT) AS x,
+         CAST({sexpr} AS BIGINT) AS s
+  FROM ids,
+       unnest(generate_series(0, h - 1)) AS t1(i),
+       unnest(generate_series(0, w - 1)) AS t2(j)
+),
+kern(dy, dx, wx, wy) AS (VALUES
+  (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+  (0,-1,-2,0), (0,1,2,0),
+  (1,-1,-1,1), (1,0,0,2), (1,1,1,1)),
+conv AS (
+  SELECT c.image_id, c.y, c.x,
+         SUM(kern.wx * n.s) AS gx, SUM(kern.wy * n.s) AS gy
+  FROM px c
+  JOIN kern ON TRUE
+  JOIN px n ON n.image_id = c.image_id
+           AND n.y = c.y + kern.dy AND n.x = c.x + kern.dx
+  WHERE c.y BETWEEN 1 AND c.h - 2 AND c.x BETWEEN 1 AND c.w - 2
+  GROUP BY c.image_id, c.y, c.x
+)
+SELECT image_id,
+       CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(CASE WHEN gx*gx + gy*gy > {SOBEL_EDGE_T2} THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+       CAST(sum(abs(gx)) AS BIGINT) AS sum_abs_gx,
+       CAST(sum(abs(gy)) AS BIGINT) AS sum_abs_gy
+FROM conv GROUP BY image_id
+""".strip()
+
+
 NEARDUP_MAX_DIST = 6
 
 
@@ -3741,7 +3812,7 @@ _CHEAP_FIRST = [
     "similarity_topk", "decontaminate", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
-    "multimodal_features", "audio_features", "image_phash_dct",
+    "multimodal_features", "audio_features", "image_phash_dct", "image_edges",
     "within_distance", "minhash_pairs", "ngram_jaccard", "simhash",
     "cosine_near_dup", "roundtrip_scale", "image_neardup",
     "golden_parent_level", "region_join_1k", "winnow", "bpe_encode",
@@ -3813,6 +3884,7 @@ def queries():
         "sessionize": q_sessionize,
         "image_dhash": q_image_dhash,
         "image_phash_dct": q_image_phash_dct,
+        "image_edges": q_image_edges,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
         "stream_hll": q_stream_hll,
@@ -3889,6 +3961,7 @@ def oracle_sql():
         "sessionize": o_sessionize(),
         "image_dhash": o_image_dhash(),
         "image_phash_dct": o_image_phash_dct(),
+        "image_edges": o_image_edges(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
         "stream_hll": o_stream_hll(),

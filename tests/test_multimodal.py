@@ -233,3 +233,30 @@ def test_dct_phash_reference_and_robustness(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(got[0], got[5]) <= 10  # one-pixel change: few bits move
     assert ham(got[0], got[1]) > 16  # unrelated image: far
+
+
+def test_image_edge_stats_planted(spark):
+    """Planted step edge: left half black, right half white — only the
+    two interior columns spanning the boundary are edges, Gy is zero
+    everywhere, and the sums are the exact Sobel responses."""
+    import numpy as np
+
+    from rust_s2_spark.operators.multimodal import image_edge_stats
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, 4:, :] = 255
+    flat = np.full((2, 2, 3), 128, dtype=np.uint8)  # too small: no interior
+    df = spark.createDataFrame(
+        [
+            (1, px.tobytes(), 8, 8, "raw"),
+            (2, flat.tobytes(), 2, 2, "raw"),
+        ],
+        "image_id long, bytes binary, w int, h int, fmt string",
+    )
+    out = {r.image_id: r for r in image_edge_stats(df).collect()}
+    r = out[1]
+    assert r.n_interior == 36
+    assert r.n_edges == 12  # interior x in {3, 4}, 6 rows each
+    assert r.sum_abs_gx == 12 * 4 * 765  # each boundary pixel |Gx| = 4*765
+    assert r.sum_abs_gy == 0
+    assert tuple(out[2])[1:] == (0, 0, 0, 0)  # no interior pixels
