@@ -496,3 +496,93 @@ def image_edge_stats(df: DataFrame, t2: int = SOBEL_EDGE_T2) -> DataFrame:
         F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
     )
     return cols.mapInPandas(fn, EDGE_SCHEMA)
+
+
+AUDIO_FP_FRAME = 64
+AUDIO_FP_BINS = tuple(range(1, 9))
+AUDIO_FP_SCALE = 512
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("clip_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("peak_bin", LongType()),
+        StructField("peak_power", LongType()),
+    ]
+)
+
+
+def _audio_dft_tables(
+    frame: int = AUDIO_FP_FRAME,
+    bins: tuple = AUDIO_FP_BINS,
+    scale: int = AUDIO_FP_SCALE,
+):
+    """Fixed-point DFT basis rows for the selected bins:
+    C[k][n] = round(cos(2πkn/N)·scale), S[k][n] = round(−sin(…)·scale)
+    as int64 — computed once driver-side and shipped to executors AND
+    into the oracle SQL, so both engines share identical constants
+    (the dct_phash discipline). scale=512 keeps re/im ≤ 64·2^15·2^9 =
+    2^30, so power = re²+im² ≤ 2^61 — exact int64."""
+    import math
+
+    C = np.array(
+        [
+            [int(round(math.cos(2 * math.pi * k * n / frame) * scale)) for n in range(frame)]
+            for k in bins
+        ],
+        dtype=np.int64,
+    )
+    S = np.array(
+        [
+            [int(round(-math.sin(2 * math.pi * k * n / frame) * scale)) for n in range(frame)]
+            for k in bins
+        ],
+        dtype=np.int64,
+    )
+    return C, S
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Spectral-peak 'constellation' fingerprint over pcm16 clips — the
+    classical audio-fingerprinting front end (frame the signal, find
+    the dominant frequency per frame; landmark PAIRING is a trivial
+    self-join on the emitted rows), in integer-exact form:
+
+      1. non-overlapping 64-sample frames (incomplete tails dropped),
+      2. per frame, integer DFT power at bins 1..8: re/im are int64
+         dot products against the shared fixed-point basis,
+         power = re² + im² (exact — see ``_audio_dft_tables``),
+      3. peak bin = argmax power, ties to the LOWEST bin.
+
+    Returns (clip_id, frame_idx, peak_bin, peak_power) — all integers,
+    so the DuckDB oracle replays framing, both dot products, and the
+    argmax relationally, bit-for-bit. Vectorized: one (frames x 64) @
+    (64 x bins) int64 matmul pair per clip."""
+    C, S = _audio_dft_tables()
+    frame = AUDIO_FP_FRAME
+    bins = np.array(AUDIO_FP_BINS, dtype=np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for row in pdf.itertuples():
+                buf = bytes(row.bytes)
+                x = np.frombuffer(buf, dtype="<i2", count=len(buf) // 2).astype(
+                    np.int64
+                )
+                nf = len(x) // frame
+                if nf == 0:
+                    continue
+                xs = x[: nf * frame].reshape(nf, frame)
+                re = xs @ C.T
+                im = xs @ S.T
+                p = re * re + im * im
+                pk = np.argmax(p, axis=1)  # first max -> lowest bin
+                out["clip_id"].extend([int(row.clip_id)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["peak_bin"].extend(int(b) for b in bins[pk])
+                out["peak_power"].extend(int(v) for v in p[np.arange(nf), pk])
+            yield pd.DataFrame(out)
+
+    cols = df.select(F.col("clip_id").cast("long").alias("clip_id"), "bytes")
+    return cols.mapInPandas(fn, AUDIO_FP_SCHEMA)

@@ -2510,6 +2510,87 @@ FROM bits GROUP BY image_id
 """.strip()
 
 
+AUDIO_FP_MODULUS = 15
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-peak constellation fingerprint
+    (operators/multimodal.audio_fingerprint): 64-sample frames, integer
+    DFT power at bins 1..8 via the shared fixed-point basis, per-frame
+    peak bin + exact power. Oracle replays framing, both dot products,
+    and the tie-to-lowest-bin argmax relationally in DuckDB —
+    bit-exact."""
+    from ..operators.multimodal import audio_fingerprint
+    from ..sources.images import audio_from_orders
+
+    return audio_fingerprint(
+        audio_from_orders(spark, sf_dir, modulus=AUDIO_FP_MODULUS)
+    )
+
+
+def o_audio_fingerprint() -> str:
+    from ..operators.multimodal import (
+        AUDIO_FP_BINS,
+        AUDIO_FP_FRAME,
+        _audio_dft_tables,
+    )
+
+    C, S = _audio_dft_tables()
+    dft_rows = ", ".join(
+        f"({k}, {n}, {int(C[i, n])}, {int(S[i, n])})"
+        for i, k in enumerate(AUDIO_FP_BINS)
+        for n in range(AUDIO_FP_FRAME)
+    )
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"4*({j})+{1}")
+        lo = digit.format(pos=f"4*({j})+{2}")
+        return f"({hi} * 16 + {lo})"
+
+    def byte_hi(j: str) -> str:
+        hi = digit.format(pos=f"4*({j})+{3}")
+        lo = digit.format(pos=f"4*({j})+{4}")
+        return f"({hi} * 16 + {lo})"
+
+    b0 = byte("j")
+    b1 = byte_hi("j")
+    blocks = " || ".join(
+        f"md5(CAST(o_orderkey AS VARCHAR) || '_a{i}')" for i in range(48)
+    )
+    d = _derivation_sql("o_orderkey")
+    fr = AUDIO_FP_FRAME
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS clip_id,
+         CAST(16 + ({d["k1"]} % 33) AS INT) AS nb,
+         {blocks} AS hx
+  FROM orders WHERE o_orderkey % {AUDIO_FP_MODULUS} = 0
+),
+v AS MATERIALIZED (
+  SELECT clip_id, CAST(j AS BIGINT) AS j,
+         ({b0} + 256*{b1} - CASE WHEN {b1} >= 128 THEN 65536 ELSE 0 END) AS v
+  FROM (SELECT clip_id, unnest(range(0, (nb * 8 // {fr}) * {fr})) AS j, hx FROM ids)
+),
+dft(k, n, c, s) AS (SELECT * FROM (VALUES {dft_rows}) AS t(k, n, c, s)),
+spec AS (
+  SELECT v.clip_id, v.j // {fr} AS frame_idx, dft.k,
+         SUM(v.v * dft.c) AS re, SUM(v.v * dft.s) AS im
+  FROM v JOIN dft ON dft.n = v.j % {fr}
+  GROUP BY v.clip_id, v.j // {fr}, dft.k
+),
+ranked AS (
+  SELECT clip_id, frame_idx, k, re*re + im*im AS p,
+         row_number() OVER (PARTITION BY clip_id, frame_idx
+                            ORDER BY re*re + im*im DESC, k ASC) AS rn
+  FROM spec
+)
+SELECT clip_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(k AS BIGINT) AS peak_bin, CAST(p AS BIGINT) AS peak_power
+FROM ranked WHERE rn = 1
+""".strip()
+
+
 EDGE_MODULUS = 25
 
 
@@ -3812,7 +3893,7 @@ _CHEAP_FIRST = [
     "similarity_topk", "decontaminate", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
-    "multimodal_features", "audio_features", "image_phash_dct", "image_edges",
+    "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint",
     "within_distance", "minhash_pairs", "ngram_jaccard", "simhash",
     "cosine_near_dup", "roundtrip_scale", "image_neardup",
     "golden_parent_level", "region_join_1k", "winnow", "bpe_encode",
@@ -3885,6 +3966,7 @@ def queries():
         "image_dhash": q_image_dhash,
         "image_phash_dct": q_image_phash_dct,
         "image_edges": q_image_edges,
+        "audio_fingerprint": q_audio_fingerprint,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
         "stream_hll": q_stream_hll,
@@ -3962,6 +4044,7 @@ def oracle_sql():
         "image_dhash": o_image_dhash(),
         "image_phash_dct": o_image_phash_dct(),
         "image_edges": o_image_edges(),
+        "audio_fingerprint": o_audio_fingerprint(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
         "stream_hll": o_stream_hll(),

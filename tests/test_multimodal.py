@@ -260,3 +260,38 @@ def test_image_edge_stats_planted(spark):
     assert r.sum_abs_gx == 12 * 4 * 765  # each boundary pixel |Gx| = 4*765
     assert r.sum_abs_gy == 0
     assert tuple(out[2])[1:] == (0, 0, 0, 0)  # no interior pixels
+
+
+def test_audio_fingerprint_planted_tones(spark):
+    """Planted pure tones: a bin-3 cosine peaks at bin 3 in every
+    frame, a bin-5 tone at bin 5; a sub-frame clip emits nothing."""
+    import math
+
+    import numpy as np
+
+    from rust_s2_spark.operators.multimodal import audio_fingerprint
+
+    def tone(k, n_samples, amp=10000):
+        x = np.array(
+            [round(amp * math.cos(2 * math.pi * k * n / 64)) for n in range(n_samples)],
+            dtype="<i2",
+        )
+        return x.tobytes()
+
+    df = spark.createDataFrame(
+        [
+            (1, tone(3, 128), "pcm16"),
+            (2, tone(5, 192), "pcm16"),
+            (3, tone(2, 48), "pcm16"),  # < one frame
+        ],
+        "clip_id long, bytes binary, fmt string",
+    )
+    rows = audio_fingerprint(df).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.clip_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_clip[1]) == [0, 1]
+    assert all(r.peak_bin == 3 for r in by_clip[1])
+    assert sorted(r.frame_idx for r in by_clip[2]) == [0, 1, 2]
+    assert all(r.peak_bin == 5 for r in by_clip[2])
+    assert 3 not in by_clip
