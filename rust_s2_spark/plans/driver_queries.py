@@ -2513,6 +2513,20 @@ FROM bits GROUP BY image_id
 AUDIO_FP_MODULUS = 15
 
 
+def _shared_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_fingerprint
+    from ..sources.images import audio_from_orders
+
+    return _memo(
+        spark,
+        sf_dir,
+        "audio_fp_m15",
+        lambda: audio_fingerprint(
+            audio_from_orders(spark, sf_dir, modulus=AUDIO_FP_MODULUS)
+        ).localCheckpoint(eager=True),
+    )
+
+
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral-peak constellation fingerprint
     (operators/multimodal.audio_fingerprint): 64-sample frames, integer
@@ -2520,12 +2534,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak bin + exact power. Oracle replays framing, both dot products,
     and the tie-to-lowest-bin argmax relationally in DuckDB —
     bit-exact."""
-    from ..operators.multimodal import audio_fingerprint
-    from ..sources.images import audio_from_orders
-
-    return audio_fingerprint(
-        audio_from_orders(spark, sf_dir, modulus=AUDIO_FP_MODULUS)
-    )
+    return _shared_audio_fp(spark, sf_dir)
 
 
 def o_audio_fingerprint() -> str:
@@ -2587,6 +2596,95 @@ ranked AS (
 )
 SELECT clip_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(k AS BIGINT) AS peak_bin, CAST(p AS BIGINT) AS peak_power
+FROM ranked WHERE rn = 1
+""".strip()
+
+
+AUDIO_MATCH_QMOD = 45  # query clips: the 1-in-3 subset of the fp corpus
+
+
+def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark matching on top of the constellation fingerprint — the
+    full retrieval shape: landmarks = (anchor peak, target peak, dt) for
+    dt in 1..3 hashed to one small key, query clips (the 1-in-3 subset)
+    join the corpus on the landmark hash, votes = count per (query,
+    candidate, frame offset), winner = max votes (ties: offset ASC,
+    candidate ASC). Self-matches dominate at offset 0.
+
+    Scale note: with 8 bins the landmark alphabet is 8*8*3 = 192 keys —
+    fine here, a hot-key join at 10^9 clips; production uses 1024-bin
+    frames (alphabet ~10^7) with the IDENTICAL plan shape (equi-join +
+    offset-vote groupBy). Oracle replays landmarks, the join, and the
+    vote argmax relationally."""
+    fp = _shared_audio_fp(spark, sf_dir)
+    a, b = fp.alias("a"), fp.alias("b")
+    dt = F.col("b.frame_idx") - F.col("a.frame_idx")
+    lm = (
+        a.join(
+            b,
+            (F.col("a.clip_id") == F.col("b.clip_id")) & dt.between(1, 3),
+        )
+        .select(
+            F.col("a.clip_id").alias("clip_id"),
+            F.col("a.frame_idx").alias("t"),
+            (F.col("a.peak_bin") * 100 + F.col("b.peak_bin") * 10 + dt).alias("h"),
+        )
+    )
+    q = lm.where(F.col("clip_id") % AUDIO_MATCH_QMOD == 0).select(
+        F.col("clip_id").alias("query_id"),
+        F.col("t").alias("qt"),
+        F.col("h"),
+    )
+    votes = (
+        lm.join(q, "h")
+        .groupBy(
+            "query_id", F.col("clip_id").alias("cand"),
+            (F.col("t") - F.col("qt")).alias("off"),
+        )
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("off").asc(), F.col("cand").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand").cast("long").alias("match_id"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("off").cast("long").alias("best_offset"),
+        )
+    )
+
+
+def o_audio_match() -> str:
+    fp = o_audio_fingerprint()
+    return f"""
+WITH fp AS ({fp}),
+lm AS (
+  SELECT a.clip_id, a.frame_idx AS t,
+         a.peak_bin * 100 + b.peak_bin * 10 + (b.frame_idx - a.frame_idx) AS h
+  FROM fp a JOIN fp b
+    ON a.clip_id = b.clip_id
+   AND b.frame_idx - a.frame_idx BETWEEN 1 AND 3
+),
+q AS (
+  SELECT clip_id AS query_id, t AS qt, h FROM lm
+  WHERE clip_id % {AUDIO_MATCH_QMOD} = 0
+),
+votes AS (
+  SELECT q.query_id, lm.clip_id AS cand, lm.t - q.qt AS off, count(*) AS votes
+  FROM lm JOIN q ON lm.h = q.h
+  GROUP BY q.query_id, lm.clip_id, lm.t - q.qt
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, off ASC, cand ASC) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(cand AS BIGINT) AS match_id,
+       CAST(votes AS BIGINT) AS votes, CAST(off AS BIGINT) AS best_offset
 FROM ranked WHERE rn = 1
 """.strip()
 
@@ -3893,7 +3991,7 @@ _CHEAP_FIRST = [
     "similarity_topk", "decontaminate", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
-    "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint",
+    "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint", "audio_match",
     "within_distance", "minhash_pairs", "ngram_jaccard", "simhash",
     "cosine_near_dup", "roundtrip_scale", "image_neardup",
     "golden_parent_level", "region_join_1k", "winnow", "bpe_encode",
@@ -3967,6 +4065,7 @@ def queries():
         "image_phash_dct": q_image_phash_dct,
         "image_edges": q_image_edges,
         "audio_fingerprint": q_audio_fingerprint,
+        "audio_match": q_audio_match,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
         "stream_hll": q_stream_hll,
@@ -4045,6 +4144,7 @@ def oracle_sql():
         "image_phash_dct": o_image_phash_dct(),
         "image_edges": o_image_edges(),
         "audio_fingerprint": o_audio_fingerprint(),
+        "audio_match": o_audio_match(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
         "stream_hll": o_stream_hll(),
