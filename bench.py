@@ -360,6 +360,19 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         ).count()
     )
 
+    from rust_s2_spark.operators.multimodal import audio_fingerprint, image_edge_stats
+
+    out["image_edges"], _ = timed(
+        lambda: image_edge_stats(
+            images_mixed_sizes(spark, sf_dir, modulus=5, multiplier=mult)
+        ).count()
+    )
+    out["audio_fingerprint"], _ = timed(
+        lambda: audio_fingerprint(
+            audio_from_orders(spark, sf_dir, modulus=5, multiplier=mult)
+        ).count()
+    )
+
     out["_n_images"] = float(n_images)
     return out
 
