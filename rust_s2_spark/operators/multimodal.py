@@ -586,3 +586,48 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
 
     cols = df.select(F.col("clip_id").cast("long").alias("clip_id"), "bytes")
     return cols.mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sad", LongType()),
+        StructField("is_cut", LongType()),
+    ]
+)
+
+SCENE_CUT_SAD = 8_000  # between ~16-byte intra-scene diffs and full redraws
+
+
+def video_scene_cuts(
+    df: DataFrame, frame_bytes: int = 192, threshold: int = SCENE_CUT_SAD
+) -> DataFrame:
+    """Scene-cut detection over a fixed-frame-size video binary: per
+    consecutive frame pair the integer SAD (sum of absolute byte
+    differences), cut iff SAD > threshold. Emits one row per LATER
+    frame (frame_idx >= 1): (id, frame_idx, sad, is_cut). Exact integer
+    arithmetic — the DuckDB oracle replays every byte difference.
+    Vectorized: one (n_frames, frame_bytes) reshape + one abs-diff
+    reduction per clip; incomplete trailing frames are dropped."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SCENE_SCHEMA.fields}
+            for row in pdf.itertuples():
+                buf = bytes(row.bytes)
+                nf = len(buf) // frame_bytes
+                if nf < 2:
+                    continue
+                arr = np.frombuffer(
+                    buf, dtype=np.uint8, count=nf * frame_bytes
+                ).reshape(nf, frame_bytes).astype(np.int64)
+                sad = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                out["image_id"].extend([int(row.image_id)] * (nf - 1))
+                out["frame_idx"].extend(range(1, nf))
+                out["sad"].extend(int(x) for x in sad)
+                out["is_cut"].extend(int(x > threshold) for x in sad)
+            yield pd.DataFrame(out)
+
+    cols = df.select(F.col("image_id").cast("long").alias("image_id"), "bytes")
+    return cols.mapInPandas(fn, SCENE_SCHEMA)

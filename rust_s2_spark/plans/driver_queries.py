@@ -2689,6 +2689,68 @@ FROM ranked WHERE rn = 1
 """.strip()
 
 
+VIDEO_MODULUS = 75
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection (operators/multimodal.video_scene_cuts)
+    over the planted two-scene corpus (sources.videos_from_orders): SAD
+    between consecutive 192-byte frames, cut iff SAD > 8000. The planted
+    structure makes frame 4 the only cut in every clip; the oracle
+    re-derives every byte of all 8 frames from the md5 chain and replays
+    each of the 7 x 192 absolute differences — exact."""
+    from ..operators.multimodal import video_scene_cuts
+    from ..sources.images import videos_from_orders
+
+    return video_scene_cuts(videos_from_orders(spark, sf_dir, modulus=VIDEO_MODULUS))
+
+
+def o_scene_cuts() -> str:
+    from ..operators.multimodal import SCENE_CUT_SAD
+
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: str) -> str:
+        hi = digit.format(pos=f"2*({j})+1")
+        lo = digit.format(pos=f"2*({j})+2")
+        return f"({hi} * 16 + {lo})"
+
+    frames = []
+    for f in range(8):
+        seg = f // 4
+        scene_blocks = " || ".join(
+            f"md5(CAST(o_orderkey AS VARCHAR) || '_s{seg}_{i}')" for i in range(11)
+        )
+        frame_block = f"md5(CAST(o_orderkey AS VARCHAR) || '_f{f}')"
+        frames.append(f"substring({scene_blocks}, 1, 352) || {frame_block}")
+    hx = " || ".join(frames)
+    v = byte("f*192 + b")
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id, {hx} AS hx
+  FROM orders WHERE o_orderkey % {VIDEO_MODULUS} = 0
+),
+px AS MATERIALIZED (
+  SELECT image_id, CAST(f AS INT) AS f, CAST(b AS INT) AS b,
+         CAST({v} AS BIGINT) AS v
+  FROM ids,
+       unnest(generate_series(0, 7)) AS t1(f),
+       unnest(generate_series(0, 191)) AS t2(b)
+),
+sad AS (
+  SELECT cur.image_id, cur.f AS frame_idx, SUM(abs(cur.v - prv.v)) AS sad
+  FROM px cur JOIN px prv
+    ON prv.image_id = cur.image_id AND prv.b = cur.b AND prv.f = cur.f - 1
+  WHERE cur.f >= 1
+  GROUP BY cur.image_id, cur.f
+)
+SELECT image_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sad AS BIGINT) AS sad,
+       CAST(CASE WHEN sad > {SCENE_CUT_SAD} THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM sad
+""".strip()
+
+
 EDGE_MODULUS = 25
 
 
@@ -3991,7 +4053,7 @@ _CHEAP_FIRST = [
     "similarity_topk", "decontaminate", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
-    "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint", "audio_match",
+    "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint", "audio_match", "scene_cuts",
     "within_distance", "minhash_pairs", "ngram_jaccard", "simhash",
     "cosine_near_dup", "roundtrip_scale", "image_neardup",
     "golden_parent_level", "region_join_1k", "winnow", "bpe_encode",
@@ -4066,6 +4128,7 @@ def queries():
         "image_edges": q_image_edges,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_match": q_audio_match,
+        "scene_cuts": q_scene_cuts,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
         "stream_hll": q_stream_hll,
@@ -4145,6 +4208,7 @@ def oracle_sql():
         "image_edges": o_image_edges(),
         "audio_fingerprint": o_audio_fingerprint(),
         "audio_match": o_audio_match(),
+        "scene_cuts": o_scene_cuts(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
         "stream_hll": o_stream_hll(),

@@ -313,3 +313,44 @@ def oracle_images_sql(with_k: bool = False) -> str:
         "'img ' || CAST(o_orderkey AS VARCHAR) AS caption"
         f"{extra} FROM orders"
     )
+
+
+def videos_from_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = 15,
+    multiplier: int = 1,
+) -> DataFrame:
+    """Deterministic 'video' corpus with PLANTED scene structure: 8
+    frames of 192 bytes (each frame an 8x8 RGB raster), two 4-frame
+    scenes. A frame's first 176 bytes derive from its SCENE
+    (md5(key||'_s'||seg||'_'||i), seg = frame//4) and its last 16 bytes
+    from the frame itself — so consecutive frames within a scene differ
+    in ~16 bytes (small SAD) while the frame-3→4 boundary redraws every
+    byte (large SAD): a clean planted target for scene-cut detection,
+    re-derivable byte-for-byte in SQL."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+    if modulus > 1:
+        orders = orders.where(F.col("o_orderkey") % modulus == 0)
+    orders = _replicate_orders(orders, multiplier)
+    key = "CAST(o_orderkey AS STRING)"
+    frames = []
+    for f in range(8):
+        seg = f // 4
+        # 11 scene blocks (176 hex pairs) + 1 frame block (16 bytes)
+        scene_blocks = " || ".join(
+            f"md5({key} || '_s{seg}_{i}')" for i in range(11)
+        )
+        frame_block = f"md5({key} || '_f{f}')"
+        frames.append(f"substring({scene_blocks}, 1, 352) || {frame_block}")
+    hx = " || ".join(frames)
+    return orders.select(
+        F.col("o_orderkey").cast("long").alias("image_id"),
+        F.unhex(F.expr(hx)).alias("bytes"),
+        F.lit(8).alias("n_frames"),
+        F.lit(192).alias("frame_bytes"),
+        F.lit("rawvideo").alias("fmt"),
+    )

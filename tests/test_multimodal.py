@@ -295,3 +295,36 @@ def test_audio_fingerprint_planted_tones(spark):
     assert sorted(r.frame_idx for r in by_clip[2]) == [0, 1, 2]
     assert all(r.peak_bin == 5 for r in by_clip[2])
     assert 3 not in by_clip
+
+
+def test_video_scene_cuts_planted(spark):
+    """Planted scenes: identical frames -> SAD 0, a full redraw -> cut;
+    sub-2-frame clips emit nothing; trailing partial frames dropped."""
+    import hashlib
+
+    import numpy as np
+
+    from rust_s2_spark.operators.multimodal import video_scene_cuts
+
+    def blob(seed, n):
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}_{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    f1, f2 = blob("sceneA", 192), blob("sceneB", 192)
+    clip = f1 + f1 + f2 + f2 + b"\x00" * 10  # partial tail dropped
+    df = spark.createDataFrame(
+        [(1, clip), (2, f1)], "image_id long, bytes binary"
+    )
+    rows = video_scene_cuts(df).collect()
+    got = {(r.image_id, r.frame_idx): (r.sad, r.is_cut) for r in rows}
+    assert set(got) == {(1, 1), (1, 2), (1, 3)}
+    assert got[(1, 1)] == (0, 0)
+    assert got[(1, 3)] == (0, 0)
+    sad_cut = int(np.abs(
+        np.frombuffer(f2, np.uint8).astype(int) - np.frombuffer(f1, np.uint8).astype(int)
+    ).sum())
+    assert got[(1, 2)] == (sad_cut, 1) and sad_cut > 8000
