@@ -373,6 +373,36 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         ).count()
     )
 
+    from rust_s2_spark.operators.multimodal import video_scene_cuts
+    from rust_s2_spark.sources.images import videos_from_orders
+
+    out["scene_cuts"], _ = timed(
+        lambda: video_scene_cuts(
+            videos_from_orders(spark, sf_dir, modulus=5, multiplier=mult)
+        ).count()
+    )
+
+    from rust_s2_spark.operators.sketches import hll_count_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if mult > 1:
+        # value-shifted replicas: the DISTINCT orderkey count scales
+        # honestly with the data (a plain row copy would leave the
+        # sketch's input set unchanged)
+        li = li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"),
+            "l_orderkey",
+            "l_returnflag",
+        ).select(
+            (F.col("l_orderkey") + F.col("__i") * F.lit(10_000_000)).alias(
+                "l_orderkey"
+            ),
+            "l_returnflag",
+        ).localCheckpoint(eager=True)
+    out["hll_distinct"], _ = timed(
+        lambda: hll_count_distinct(li, "l_orderkey", ["l_returnflag"]).count()
+    )
+
     out["_n_images"] = float(n_images)
     return out
 
