@@ -133,3 +133,61 @@ def hll_count_distinct(
         .agg(F.max("__rho").alias("__reg"), F.count("*").alias("__n"))
     )
     return hll_finalize(regs, group_cols, p)
+
+
+def cm_sketch_estimate(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode/Muthukrishnan, public
+    knowledge) in deterministic form: d md5-derived hash rows of w
+    counters; a key's estimated count = min over rows of its counter —
+    always >= the true count, tight for heavy hitters.
+
+    Returns (key, cm_count) for every DISTINCT key. Scale shape: the
+    sketch itself is ONE explode(d tags) + groupBy — d*w counters total
+    regardless of input size (the streaming/mergeable shape: counters
+    add) — and estimation broadcasts those d*w rows against the
+    distinct keys. Deterministic md5 bucketing means the DuckDB oracle
+    rebuilds every counter and every min bit-for-bit.
+    """
+    v = F.col(value_col).cast("string")
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % w
+        )
+
+    tags = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), bucket(i, v).alias("b"))
+            for i in range(d)
+        ]
+    )
+    counts = (
+        df.select(F.explode(tags).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = df.select(v.alias("key")).distinct()
+    kb = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i, F.col("key")).alias("b"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("t"),
+    ).select("key", F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+    return (
+        kb.join(F.broadcast(counts), ["i", "b"])
+        .groupBy("key")
+        .agg(F.min("c").cast("long").alias("cm_count"))
+    )

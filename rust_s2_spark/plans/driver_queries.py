@@ -1806,6 +1806,40 @@ FROM tot
 """.strip()
 
 
+CM_D, CM_W = 4, 256
+
+
+def q_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.cm_sketch_estimate)
+    over lineitem part keys: d=4 md5 hash rows x w=256 counters, per-key
+    estimate = min counter (always >= truth). The oracle rebuilds every
+    counter and every min relationally — 2,000 keys bit-exact."""
+    from ..operators.sketches import cm_sketch_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cm_sketch_estimate(li, "l_partkey", d=CM_D, w=CM_W)
+
+
+def o_cm_counts() -> str:
+    return f"""
+WITH vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+tags AS (
+  SELECT i,
+         CAST(CAST('0x' || substring(md5('r' || i || ':' || v), 1, 8) AS UBIGINT) AS BIGINT) % {CM_W} AS b
+  FROM vals, unnest(generate_series(0, {CM_D - 1})) AS t(i)
+),
+counts AS (SELECT i, b, count(*) AS c FROM tags GROUP BY i, b),
+keys AS (SELECT DISTINCT v AS key FROM vals),
+kb AS (
+  SELECT key, i,
+         CAST(CAST('0x' || substring(md5('r' || i || ':' || key), 1, 8) AS UBIGINT) AS BIGINT) % {CM_W} AS b
+  FROM keys, unnest(generate_series(0, {CM_D - 1})) AS t(i)
+)
+SELECT key, CAST(min(c) AS BIGINT) AS cm_count
+FROM kb JOIN counts USING (i, b) GROUP BY key
+""".strip()
+
+
 DECON_N = 4
 DECON_BENCH_MOD = 17
 
@@ -4049,7 +4083,7 @@ _CHEAP_FIRST = [
     "region_predicates", "golden_containment", "cell_area_golden",
     "latlng_distance", "tokens_scale", "sessionize", "repetition",
     "angle_encodings", "golden_tokens", "lang_profiles",
-    "cells_per_parent7", "surprisal", "pack_documents", "hll_distinct",
+    "cells_per_parent7", "surprisal", "pack_documents", "hll_distinct", "cm_counts",
     "similarity_topk", "decontaminate", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
@@ -4131,6 +4165,7 @@ def queries():
         "scene_cuts": q_scene_cuts,
         "decontaminate": q_decontaminate,
         "hll_distinct": q_hll_distinct,
+        "cm_counts": q_cm_counts,
         "stream_hll": q_stream_hll,
         "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
@@ -4211,6 +4246,7 @@ def oracle_sql():
         "scene_cuts": o_scene_cuts(),
         "decontaminate": o_decontaminate(),
         "hll_distinct": o_hll_distinct(),
+        "cm_counts": o_cm_counts(),
         "stream_hll": o_stream_hll(),
         "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),

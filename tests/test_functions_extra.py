@@ -541,3 +541,24 @@ def test_hll_count_distinct_properties(spark):
     # determinism: a second independent evaluation is bit-identical
     two = hll_count_distinct(df, "v", ["g"]).collect()
     assert sorted(map(tuple, two)) == sorted(map(tuple, one))
+
+
+def test_cm_sketch_properties(spark):
+    """Count-Min: estimates NEVER undercount, are exact when a key's d
+    counters are collision-free, and are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.sketches import cm_sketch_estimate
+
+    df = spark.range(40000).select((F.col("id") % 400).alias("v"))
+    est = {r.key: r.cm_count for r in cm_sketch_estimate(df, "v", d=4, w=256).collect()}
+    exact = {str(r.v): r.c for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # one-sided error
+    # a wide sketch vs few keys: no collisions -> exact everywhere
+    small = spark.range(3000).select((F.col("id") % 10).alias("v"))
+    est2 = {r.key: r.cm_count for r in cm_sketch_estimate(small, "v", d=4, w=4096).collect()}
+    exact2 = {str(r.v): r.c for r in small.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert est2 == exact2
+    again = {r.key: r.cm_count for r in cm_sketch_estimate(df, "v", d=4, w=256).collect()}
+    assert again == est
