@@ -486,3 +486,63 @@ def ensemble_dedup_vote(
             & (ham.isNull() | (ham <= F.lit(simhash_max_dist)))
         ).alias("keep"),
     )
+
+
+def substring_containment_join(
+    docs: DataFrame,
+    snippets: DataFrame,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    snip_text: str = "text",
+    snip_id: str = "snip_id",
+    k: int = 8,
+    w: int = 8,
+    min_matches: int = 1,
+    doc_fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring-containment join (quote/boilerplate detection —
+    'which corpus documents contain this snippet verbatim?') at scale:
+
+      1. candidates: winnowing fingerprints of BOTH sides joined on the
+         gram hash — by the winnowing guarantee any shared substring of
+         length >= w + k - 1 shares at least one selected fingerprint,
+         so every true containment (snippet length >= w+k-1) survives
+         candidate generation: RECALL IS GUARANTEED, not probabilistic;
+      2. verification: native instr() on the candidate pairs only.
+
+    One fingerprint join + one groupBy + an exact map-side check — never
+    the quadratic docs x snippets instr scan the oracle runs. The
+    driver oracle IS that exhaustive scan, so the gate proves the
+    candidate stage misses nothing."""
+    from .text import winnow_fingerprints  # circular-safe: function-level
+
+    # ``doc_fingerprints``: precomputed winnow_fingerprints(docs, k, w)
+    # output — the corpus fingerprint table is the expensive side and is
+    # typically materialized once and shared across consumers
+    fp_d = (
+        doc_fingerprints
+        if doc_fingerprints is not None
+        else winnow_fingerprints(docs, doc_text, doc_id, k=k, w=w)
+    )
+    df_d = fp_d.select(F.col(doc_id).alias("__d"), F.col("gram_hash"))
+    df_s = winnow_fingerprints(snippets, snip_text, snip_id, k=k, w=w).select(
+        F.col(snip_id).alias("__s"), F.col("gram_hash")
+    ).dropDuplicates(["__s", "gram_hash"])
+    cand = (
+        df_d.dropDuplicates(["__d", "gram_hash"])
+        .join(df_s, "gram_hash")
+        .groupBy("__d", "__s")
+        .agg(F.count("*").alias("__m"))
+        .where(F.col("__m") >= min_matches)
+    )
+    verified = (
+        cand.join(docs.select(F.col(doc_id).alias("__d"), F.col(doc_text).alias("__dt")), "__d")
+        .join(
+            snippets.select(F.col(snip_id).alias("__s"), F.col(snip_text).alias("__st")),
+            "__s",
+        )
+        .where(F.expr("instr(__dt, __st) > 0"))
+    )
+    return verified.select(
+        F.col("__s").alias(snip_id), F.col("__d").alias(doc_id)
+    )

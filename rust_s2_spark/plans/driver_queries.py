@@ -1840,6 +1840,45 @@ FROM kb JOIN counts USING (i, b) GROUP BY key
 """.strip()
 
 
+SNIP_MOD = 31
+
+
+def q_substring_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-containment join (quote detection,
+    operators/dedup.substring_containment_join): snippets = chars
+    21..120 of every 1-in-31 long-enough doc; find every corpus doc
+    containing each snippet verbatim. Candidates come from a winnowing
+    fingerprint join (recall GUARANTEED by the winnowing property for
+    shared substrings >= w+k-1 chars), verification is exact instr().
+    The oracle is the EXHAUSTIVE docs x snippets instr scan — fully
+    algorithm-independent, so a single missed candidate fails the
+    gate."""
+    from ..operators.dedup import substring_containment_join
+
+    docs = _docs(spark, sf_dir)
+    snips = (
+        docs.where((F.col("doc_id") % SNIP_MOD == 0) & (F.length("text") >= 120))
+        .select(
+            F.col("doc_id").alias("snip_id"),
+            F.expr("substring(text, 21, 100)").alias("text"),
+        )
+    )
+    return substring_containment_join(
+        docs, snips, doc_fingerprints=_shared_doc_winnow(spark, sf_dir)
+    )
+
+
+def o_substring_hosts() -> str:
+    return f"""
+WITH snips AS (
+  SELECT doc_id AS snip_id, substring(text, 21, 100) AS st
+  FROM documents WHERE doc_id % {SNIP_MOD} = 0 AND length(text) >= 120
+)
+SELECT s.snip_id, d.doc_id
+FROM snips s JOIN documents d ON instr(d.text, s.st) > 0
+""".strip()
+
+
 DECON_N = 4
 DECON_BENCH_MOD = 17
 
@@ -3578,17 +3617,26 @@ WINNOW_K = 8
 WINNOW_W = 8
 
 
+def _shared_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_fingerprints
+
+    return _memo(
+        spark,
+        sf_dir,
+        "doc_winnow_k8w8",
+        lambda: winnow_fingerprints(
+            _docs(spark, sf_dir), "text", "doc_id", k=WINNOW_K, w=WINNOW_W
+        ).localCheckpoint(eager=True),
+    )
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.winnow_fingerprints):
     k-gram md5-hex hashes, rightmost-min of each w-window, distinct
     selections. The oracle replays the identical fold (list_reduce with
     the same <= rightmost-tie rule) over the identical hex strings in
     DuckDB — hash-exact on every (doc, pos, hash) row."""
-    from ..operators.text import winnow_fingerprints
-
-    return winnow_fingerprints(
-        _docs(spark, sf_dir), "text", "doc_id", k=WINNOW_K, w=WINNOW_W
-    )
+    return _shared_doc_winnow(spark, sf_dir)
 
 
 def o_winnow() -> str:
@@ -4084,7 +4132,7 @@ _CHEAP_FIRST = [
     "latlng_distance", "tokens_scale", "sessionize", "repetition",
     "angle_encodings", "golden_tokens", "lang_profiles",
     "cells_per_parent7", "surprisal", "pack_documents", "hll_distinct", "cm_counts",
-    "similarity_topk", "decontaminate", "near_polyline",
+    "similarity_topk", "decontaminate", "substring_hosts", "near_polyline",
     "face_histogram", "neighbors", "raster_vector", "lang_stopword",
     "cap_count", "xyz_cellid_scale", "image_ahash", "image_dhash",
     "multimodal_features", "audio_features", "image_phash_dct", "image_edges", "audio_fingerprint", "audio_match", "scene_cuts",
@@ -4164,6 +4212,7 @@ def queries():
         "audio_match": q_audio_match,
         "scene_cuts": q_scene_cuts,
         "decontaminate": q_decontaminate,
+        "substring_hosts": q_substring_hosts,
         "hll_distinct": q_hll_distinct,
         "cm_counts": q_cm_counts,
         "stream_hll": q_stream_hll,
@@ -4245,6 +4294,7 @@ def oracle_sql():
         "audio_match": o_audio_match(),
         "scene_cuts": o_scene_cuts(),
         "decontaminate": o_decontaminate(),
+        "substring_hosts": o_substring_hosts(),
         "hll_distinct": o_hll_distinct(),
         "cm_counts": o_cm_counts(),
         "stream_hll": o_stream_hll(),

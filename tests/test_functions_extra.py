@@ -562,3 +562,32 @@ def test_cm_sketch_properties(spark):
     assert est2 == exact2
     again = {r.key: r.cm_count for r in cm_sketch_estimate(df, "v", d=4, w=256).collect()}
     assert again == est
+
+
+def test_substring_containment_join_planted(spark):
+    """Planted quotes: the snippet lives verbatim in two docs (host +
+    origin), a mutated snippet matches nothing, and a short-overlap
+    fragment below w+k-1 chars is legitimately not guaranteed."""
+    from rust_s2_spark.operators.dedup import substring_containment_join
+
+    base = "the winnowing fingerprint guarantee holds for any shared run of characters"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix text " + base + " and a suffix here"),
+            (2, base),
+            (3, "completely unrelated content with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    snips = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base.replace("guarantee", "guaranteX")),
+        ],
+        "snip_id long, text string",
+    )
+    got = {
+        (r.snip_id, r.doc_id)
+        for r in substring_containment_join(docs, snips).collect()
+    }
+    assert got == {(100, 1), (100, 2)}
