@@ -403,6 +403,24 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: hll_count_distinct(li, "l_orderkey", ["l_returnflag"]).count()
     )
 
+    # within-distance spatial self-join on a 1-in-7 sample (the driver
+    # query's shape); replicas derive NEW positions from new keys, so
+    # density — and the pair output — scales honestly
+    from rust_s2_spark.operators.covering_join import within_distance_pairs
+
+    sub = img.withColumn("image_id", F.col("image_id").cast("long")).where(
+        F.col("image_id") % 7 == 0
+    )
+    # fixed-SELECTIVITY scaling: replicas densify the same city
+    # hotspots, so at a fixed radius the pair OUTPUT is quadratic in
+    # mult (the r3 near-dup-replica lesson); shrinking the radius by
+    # sqrt(mult) keeps expected pairs-per-point constant and measures
+    # the join machinery, not result materialization
+    wd_radius = 0.2 / (mult ** 0.5)
+    out["within_distance"], _ = timed(
+        lambda: within_distance_pairs(sub, wd_radius).count()
+    )
+
     out["_n_images"] = float(n_images)
     return out
 
