@@ -74,10 +74,19 @@ def stable_sign(a, b, c) -> np.ndarray:
     ca2 = _dot(ca, ca)
 
     # use the two shortest edges, det = (x-z)×(y-z)·z with z the vertex
-    # between them; three symmetric cases
+    # between them; three symmetric cases. Reference form is
+    # det = -(e1×e2)·op (predicates.rs:137); the negation is folded in
+    # by flipping e2: (ca×cb) ≡ -(ca×bc), (ab×ac) ≡ -(ab×ca),
+    # (bc×ba) ≡ -(bc×ab). The original port forgot the flip in the
+    # AB-longest branch ((ca, bc) verbatim — determinant NEGATED), a
+    # live wrong-sign window whenever triage is uncertain but the
+    # relative bound is confident; found by the hypothesis
+    # rotation-invariance property, invisible to the goldens because
+    # stable certainty in that branch needs short-edge triangles the
+    # dumped cases never hit.
     det = np.where(
         (ab2 >= bc2) & (ab2 >= ca2),
-        _dot(_cross(ca, bc), c),  # c between the two shortest
+        _dot(_cross(ca, cb), c),  # c between the two shortest
         np.where(
             bc2 >= ca2,
             _dot(_cross(ab, ac), a),
@@ -91,8 +100,17 @@ def stable_sign(a, b, c) -> np.ndarray:
     )
     max_err = DET_ERROR_MULTIPLIER * np.sqrt(e2)
     out = np.zeros(det.shape, dtype=np.int8)
-    out[det > max_err] = 1
-    out[det < -max_err] = -1
+    # a certainty claim needs a NORMAL positive error bound: with
+    # subnormal coordinates (hypothesis found lng ~ 2e-311) max_err
+    # UNDERFLOWS below the det's own rounding garbage and stable_sign
+    # confidently returned the WRONG sign (breaking robust_sign's
+    # rotation invariance); a subnormal bound now reports uncertain so
+    # the cascade falls through to exact_sign. Normal-range inputs —
+    # including every reference-dumped verdict — are unaffected
+    # (their bounds are far above the smallest normal double).
+    certain = max_err >= np.finfo(np.float64).tiny
+    out[(det > max_err) & certain] = 1
+    out[(det < -max_err) & certain] = -1
     return out
 
 
