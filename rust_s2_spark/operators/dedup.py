@@ -499,6 +499,7 @@ def substring_containment_join(
     w: int = 8,
     min_matches: int = 1,
     doc_fingerprints: DataFrame | None = None,
+    allow_lossy_min_matches: bool = False,
 ) -> DataFrame:
     """Exact substring-containment join (quote/boilerplate detection —
     'which corpus documents contain this snippet verbatim?') at scale:
@@ -513,8 +514,23 @@ def substring_containment_join(
     One fingerprint join + one groupBy + an exact map-side check — never
     the quadratic docs x snippets instr scan the oracle runs. The
     driver oracle IS that exhaustive scan, so the gate proves the
-    candidate stage misses nothing."""
+    candidate stage misses nothing.
+
+    The guaranteed-recall contract holds ONLY for ``min_matches=1``
+    (winnowing guarantees >= 1 shared fingerprint, not more) and for
+    snippets of length >= w + k - 1 (shorter snippets may select no
+    fingerprint at all). ``min_matches > 1`` is a deliberate
+    precision/recall trade (fewer candidates, possible misses) and must
+    be opted into explicitly via ``allow_lossy_min_matches=True``."""
     from .text import winnow_fingerprints  # circular-safe: function-level
+
+    if min_matches != 1 and not allow_lossy_min_matches:
+        raise ValueError(
+            f"min_matches={min_matches} voids the guaranteed-recall "
+            "contract (winnowing guarantees exactly one shared "
+            "fingerprint); pass allow_lossy_min_matches=True to opt "
+            "into the lossy candidate filter deliberately"
+        )
 
     # ``doc_fingerprints``: precomputed winnow_fingerprints(docs, k, w)
     # output — the corpus fingerprint table is the expensive side and is

@@ -59,6 +59,20 @@ def brute_force_topk(
     )
 
 
+def _assert_finite(arr: np.ndarray, what: str) -> None:
+    """The repr(float)+'D' SQL-literal builders render NaN/inf as
+    'nanD'/'infD', which fails SQL parsing with an opaque error (the
+    old F.lit form at least produced a valid literal) — so reject
+    non-finite constants (e.g. k-means on degenerate input) up front
+    with a clear message."""
+    if not np.isfinite(arr).all():
+        raise ValueError(
+            f"{what} contain non-finite values (NaN/inf) — cannot be "
+            "rendered as SQL double literals; check the training input "
+            "(a degenerate k-means cluster?) before building the plan"
+        )
+
+
 def _hyperplane_bucket_expr(colname: str, planes_2d: np.ndarray) -> "F.Column":
     """Sign-bucket id Σ_p [dot(v, plane_p) > 0]·2^p as ONE SQL string
     parsed by ONE F.expr call: building it plane-by-plane from
@@ -66,6 +80,7 @@ def _hyperplane_bucket_expr(colname: str, planes_2d: np.ndarray) -> "F.Column":
     driver time per query at 4x12x64 planes, measured). repr(float)
     round-trips exactly through Spark's double parser, so the fold
     arithmetic is unchanged bit-for-bit vs the Column form."""
+    _assert_finite(planes_2d, "hyperplanes")
     parts = []
     for p in range(planes_2d.shape[0]):
         arr = ", ".join(f"{float(c)!r}D" for c in planes_2d[p])
@@ -254,6 +269,7 @@ def _ivf_cos_array(colname: str, centroids: np.ndarray):
     (below any cosine) instead of the NaN that 0/0 would produce — NaN
     sorts GREATEST in Spark, which would make a dead centroid win every
     argmax; the pandas regime uses the same sentinel."""
+    _assert_finite(centroids, "IVF centroids")
     dots, cns = [], []
     for c in centroids:
         # sequential accumulation (not numpy pairwise sum) so the
@@ -506,6 +522,7 @@ def _sub_dist2_expr(colname: str, s: int, subdim: int, centroid) -> "F.Column":
     intermediate bit. Built as ONE SQL string/F.expr parse — the
     F.lit-per-coordinate Column form cost ~m*k*subdim py4j round trips
     of driver time per encode call; repr round-trips doubles exactly."""
+    _assert_finite(np.asarray(centroid, dtype=np.float64), f"PQ codebook[{s}] centroid")
     arr = ", ".join(f"{float(x)!r}D" for x in centroid)
     return F.expr(
         f"aggregate(zip_with(slice(`{colname}`, {s * subdim + 1}, {subdim}), "

@@ -1910,7 +1910,7 @@ def o_decontaminate() -> str:
     return f"""
 WITH toksrc AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
 ),
@@ -1947,7 +1947,7 @@ def o_repetition() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
 ),

@@ -182,9 +182,21 @@ def _replicate_orders(orders: DataFrame, multiplier: int) -> DataFrame:
     shifts every key by i*10^7 (a multiple of every group_span in use),
     so md5-derived corpus CONTENT is unique per replica and grouped
     structures (e.g. the planted near-dup 5-groups) keep their shape
-    instead of merging into one multiplied group."""
+    instead of merging into one multiplied group.
+
+    The fixed 10^7 shift is only collision-free while every source key
+    is below it (TPC-H o_orderkey reaches 6M at sf1, ~6M·sf beyond);
+    a larger keyspace would silently merge replica content and group
+    structure, so refuse it loudly rather than skew the scaling bench."""
     if multiplier <= 1:
         return orders
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    if mx is not None and mx >= 10_000_000:
+        raise ValueError(
+            f"_replicate_orders: max(o_orderkey)={mx} >= 10^7 shift — "
+            "replica keyspaces would collide; raise the shift to a "
+            "multiple of every group_span above the max key first"
+        )
     return orders.select(
         "o_orderkey",
         F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1))).alias("__i"),

@@ -1,0 +1,57 @@
+"""Guard-rail tests for the round-6 ADVICE items: clear failures
+instead of silent corruption / opaque SQL parse errors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hyperplane_nonfinite_rejected():
+    from rust_s2_spark.operators.similarity import _hyperplane_bucket_expr
+
+    planes = np.zeros((2, 4))
+    planes[1, 2] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        _hyperplane_bucket_expr("embedding", planes)
+
+
+def test_ivf_centroid_nonfinite_rejected():
+    from rust_s2_spark.operators.similarity import _ivf_cos_array
+
+    cent = np.ones((3, 4))
+    cent[0, 0] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        _ivf_cos_array("embedding", cent)
+
+
+def test_pq_centroid_nonfinite_rejected():
+    from rust_s2_spark.operators.similarity import _sub_dist2_expr
+
+    with pytest.raises(ValueError, match="non-finite"):
+        _sub_dist2_expr("embedding", 0, 2, [1.0, float("nan")])
+
+
+def test_substring_join_min_matches_guard(spark):
+    from rust_s2_spark.operators.dedup import substring_containment_join
+
+    docs = spark.createDataFrame([(1, "abcdefghijklmnop")], "doc_id long, text string")
+    snips = spark.createDataFrame([(1, "cdefghijk")], "snip_id long, text string")
+    with pytest.raises(ValueError, match="guaranteed-recall"):
+        substring_containment_join(docs, snips, min_matches=2)
+    # explicit opt-in builds a plan without raising
+    out = substring_containment_join(
+        docs, snips, min_matches=2, allow_lossy_min_matches=True
+    )
+    assert set(out.columns) == {"snip_id", "doc_id"}
+
+
+def test_replicate_orders_keyspace_guard(spark):
+    from rust_s2_spark.sources.images import _replicate_orders
+
+    small = spark.range(1, 100).select(F.col("id").alias("o_orderkey"))
+    assert _replicate_orders(small, 3).count() == 99 * 3
+    big = spark.createDataFrame([(10_000_000,)], "o_orderkey long")
+    with pytest.raises(ValueError, match="collide"):
+        _replicate_orders(big, 2)
