@@ -500,6 +500,10 @@ def image_edge_stats(df: DataFrame, t2: int = SOBEL_EDGE_T2) -> DataFrame:
 
 AUDIO_FP_FRAME = 64
 AUDIO_FP_BINS = tuple(range(1, 9))
+# Wide regime: every bin up to Nyquist-1 for the 64-sample frame. Same
+# frame/scale, so the 2^62 power guard is unchanged (it depends on the
+# frame length and scale, not the bin count).
+AUDIO_FP_BINS_WIDE = tuple(range(1, 32))
 AUDIO_FP_SCALE = 512
 
 AUDIO_FP_SCHEMA = StructType(
@@ -525,6 +529,12 @@ def _audio_dft_tables(
     2^30, so power = re²+im² ≤ 2^61 — exact int64."""
     import math
 
+    # |re|,|im| <= frame * 2^15 * scale; power = re^2 + im^2 must stay
+    # below 2^63 for exact int64 arithmetic in BOTH engines.
+    assert 2 * (frame * 32768 * scale) ** 2 < 2**63, (
+        f"audio DFT overflow: frame={frame} scale={scale} exceeds the "
+        "int64 power budget — lower the fixed-point scale"
+    )
     C = np.array(
         [
             [int(round(math.cos(2 * math.pi * k * n / frame) * scale)) for n in range(frame)]
@@ -542,7 +552,12 @@ def _audio_dft_tables(
     return C, S
 
 
-def audio_fingerprint(df: DataFrame) -> DataFrame:
+def audio_fingerprint(
+    df: DataFrame,
+    frame: int = AUDIO_FP_FRAME,
+    bins: tuple = AUDIO_FP_BINS,
+    scale: int = AUDIO_FP_SCALE,
+) -> DataFrame:
     """Spectral-peak 'constellation' fingerprint over pcm16 clips — the
     classical audio-fingerprinting front end (frame the signal, find
     the dominant frequency per frame; landmark PAIRING is a trivial
@@ -557,10 +572,14 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     Returns (clip_id, frame_idx, peak_bin, peak_power) — all integers,
     so the DuckDB oracle replays framing, both dot products, and the
     argmax relationally, bit-for-bit. Vectorized: one (frames x 64) @
-    (64 x bins) int64 matmul pair per clip."""
-    C, S = _audio_dft_tables()
-    frame = AUDIO_FP_FRAME
-    bins = np.array(AUDIO_FP_BINS, dtype=np.int64)
+    (64 x bins) int64 matmul pair per clip.
+
+    ``bins`` selects the analysis bins: the 8-bin default is the cheap
+    demo regime; ``AUDIO_FP_BINS_WIDE`` (1..31, full positive spectrum
+    of the 64-sample frame) feeds the production-alphabet landmark key
+    in ``audio_landmark_match``."""
+    C, S = _audio_dft_tables(frame=frame, bins=bins, scale=scale)
+    bins = np.array(bins, dtype=np.int64)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -586,6 +605,126 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
 
     cols = df.select(F.col("clip_id").cast("long").alias("clip_id"), "bytes")
     return cols.mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+def audio_landmark_alphabet(
+    max_bin: int, dt_min: int = 1, dt_max: int = 3, quantize_power: bool = False
+) -> int:
+    """Capacity (distinct possible keys) of the landmark alphabet built
+    by ``audio_landmarks`` — the quantity that decides whether the
+    retrieval equi-join is healthy or a hot-key explosion at scale."""
+    nb = max_bin + 1
+    return nb * nb * (dt_max - dt_min + 1) * (256 if quantize_power else 1)
+
+
+def _quantized_power_expr(colname: str) -> "F.Column":
+    """6-bit-exponent + 2-bit-mantissa quantization of an int64 power:
+    qp = L*4 + ((p >> max(L-3, 0)) % 4) with L = length(bin(p)) — the
+    bit-length 'integer log2' both engines compute identically as
+    string length (no libm), plus the two mantissa bits below the
+    leading 1. L <= 62 under the DFT power guard, so qp < 252 < 256.
+    Built as ONE SQL expr: the Python-API shiftright only accepts a
+    literal bit count, the SQL form takes any integer expression."""
+    ln = f"length(bin({colname}))"
+    return F.expr(
+        f"(CAST({ln} AS INT) * 4 + CAST(shiftright({colname}, "
+        f"greatest(CAST({ln} AS INT) - 3, 0)) % 4 AS INT))"
+    )
+
+
+def audio_landmarks(
+    fp: DataFrame,
+    dt_min: int = 1,
+    dt_max: int = 3,
+    max_bin: int = 8,
+    quantize_power: bool = False,
+    id_out: str = "clip_id",
+) -> DataFrame:
+    """Constellation landmarks from a fingerprint frame
+    (clip_id, frame_idx, peak_bin, peak_power): pair each anchor frame
+    with the peaks dt_min..dt_max frames ahead in the same clip and
+    hash (anchor peak, target peak, dt[, quantized anchor power]) into
+    ONE integer key::
+
+        h = ((a_bin*(max_bin+1) + b_bin) * (dt_max+1) + dt) [*256 + qp]
+
+    ``quantize_power=False`` is the demo regime (8 bins, dt 1..3 ->
+    192 keys — a deliberately hot-key alphabet for tiny corpora).
+    ``quantize_power=True`` with the wide fingerprint
+    (``AUDIO_FP_BINS_WIDE``) is the production shape: 32*32*3*256 =
+    786,432 key capacity (>= 10^5 realistically attained), so the
+    corpus-side join on ``h`` stays selective instead of matching
+    ~1/192 of every landmark at 10^9 clips. Same plan either way —
+    one self-join banded on dt."""
+    a, b = fp.alias("a"), fp.alias("b")
+    dt = F.col("b.frame_idx") - F.col("a.frame_idx")
+    nb = max_bin + 1
+    h = (F.col("a.peak_bin") * nb + F.col("b.peak_bin")) * (dt_max + 1) + dt
+    if quantize_power:
+        h = h * 256 + _quantized_power_expr("a.peak_power")
+    return a.join(
+        b,
+        (F.col("a.clip_id") == F.col("b.clip_id")) & dt.between(dt_min, dt_max),
+    ).select(
+        F.col("a.clip_id").alias(id_out),
+        F.col("a.frame_idx").alias("t"),
+        h.cast("long").alias("h"),
+    )
+
+
+def audio_landmark_match(
+    fp: DataFrame,
+    query_fp: DataFrame,
+    dt_min: int = 1,
+    dt_max: int = 3,
+    max_bin: int = 8,
+    quantize_power: bool = False,
+    min_alphabet: int | None = None,
+) -> DataFrame:
+    """Landmark-vote audio retrieval: corpus landmarks equi-join query
+    landmarks on the hash, votes grouped per (query, candidate, frame
+    offset), winner = max votes (ties: offset ASC, candidate ASC).
+    Returns (query_id, match_id, votes, best_offset).
+
+    ``min_alphabet`` guards the scale regime: pass the key cardinality
+    the deployment needs (e.g. 10^5) and the call refuses an alphabet
+    too small for a healthy equi-join instead of silently building the
+    hot-key plan."""
+    cap = audio_landmark_alphabet(max_bin, dt_min, dt_max, quantize_power)
+    if min_alphabet is not None and cap < min_alphabet:
+        raise ValueError(
+            f"landmark alphabet capacity {cap} < required {min_alphabet}: "
+            "use the wide fingerprint (AUDIO_FP_BINS_WIDE) and/or "
+            "quantize_power=True, or the corpus join will hot-key"
+        )
+    from pyspark.sql import Window
+
+    lm = audio_landmarks(fp, dt_min, dt_max, max_bin, quantize_power)
+    q = audio_landmarks(
+        query_fp, dt_min, dt_max, max_bin, quantize_power, id_out="query_id"
+    ).withColumnRenamed("t", "qt")
+    votes = (
+        lm.join(q, "h")
+        .groupBy(
+            "query_id",
+            F.col("clip_id").alias("cand"),
+            (F.col("t") - F.col("qt")).alias("off"),
+        )
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("off").asc(), F.col("cand").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand").cast("long").alias("match_id"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("off").cast("long").alias("best_offset"),
+        )
+    )
 
 
 SCENE_SCHEMA = StructType(

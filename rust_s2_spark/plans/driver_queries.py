@@ -2610,17 +2610,19 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_audio_fp(spark, sf_dir)
 
 
-def o_audio_fingerprint() -> str:
+def o_audio_fingerprint(bins: tuple | None = None) -> str:
     from ..operators.multimodal import (
         AUDIO_FP_BINS,
         AUDIO_FP_FRAME,
         _audio_dft_tables,
     )
 
-    C, S = _audio_dft_tables()
+    if bins is None:
+        bins = AUDIO_FP_BINS
+    C, S = _audio_dft_tables(bins=bins)
     dft_rows = ", ".join(
         f"({k}, {n}, {int(C[i, n])}, {int(S[i, n])})"
-        for i, k in enumerate(AUDIO_FP_BINS)
+        for i, k in enumerate(bins)
         for n in range(AUDIO_FP_FRAME)
     )
     digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
@@ -2684,50 +2686,19 @@ def q_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate, frame offset), winner = max votes (ties: offset ASC,
     candidate ASC). Self-matches dominate at offset 0.
 
-    Scale note: with 8 bins the landmark alphabet is 8*8*3 = 192 keys —
-    fine here, a hot-key join at 10^9 clips; production uses 1024-bin
-    frames (alphabet ~10^7) with the IDENTICAL plan shape (equi-join +
-    offset-vote groupBy). Oracle replays landmarks, the join, and the
-    vote argmax relationally."""
+    DEMO-ALPHABET regime: 8 bins, no power quantization — 9*9*3 = 243
+    key capacity (192 attainable), a deliberately hot-key join that is
+    only healthy on tiny corpora. ``audio_match_wide`` is the
+    production regime (wide bins + quantized power, >= 10^5 keys) with
+    the identical plan shape. Oracle replays landmarks, the join, and
+    the vote argmax relationally."""
+    from ..operators.multimodal import audio_landmark_match
+
     fp = _shared_audio_fp(spark, sf_dir)
-    a, b = fp.alias("a"), fp.alias("b")
-    dt = F.col("b.frame_idx") - F.col("a.frame_idx")
-    lm = (
-        a.join(
-            b,
-            (F.col("a.clip_id") == F.col("b.clip_id")) & dt.between(1, 3),
-        )
-        .select(
-            F.col("a.clip_id").alias("clip_id"),
-            F.col("a.frame_idx").alias("t"),
-            (F.col("a.peak_bin") * 100 + F.col("b.peak_bin") * 10 + dt).alias("h"),
-        )
-    )
-    q = lm.where(F.col("clip_id") % AUDIO_MATCH_QMOD == 0).select(
-        F.col("clip_id").alias("query_id"),
-        F.col("t").alias("qt"),
-        F.col("h"),
-    )
-    votes = (
-        lm.join(q, "h")
-        .groupBy(
-            "query_id", F.col("clip_id").alias("cand"),
-            (F.col("t") - F.col("qt")).alias("off"),
-        )
-        .agg(F.count("*").alias("votes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("off").asc(), F.col("cand").asc()
-    )
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.col("cand").cast("long").alias("match_id"),
-            F.col("votes").cast("long").alias("votes"),
-            F.col("off").cast("long").alias("best_offset"),
-        )
+    return audio_landmark_match(
+        fp,
+        fp.where(F.col("clip_id") % AUDIO_MATCH_QMOD == 0),
+        max_bin=8,
     )
 
 
@@ -2738,6 +2709,87 @@ WITH fp AS ({fp}),
 lm AS (
   SELECT a.clip_id, a.frame_idx AS t,
          a.peak_bin * 100 + b.peak_bin * 10 + (b.frame_idx - a.frame_idx) AS h
+  FROM fp a JOIN fp b
+    ON a.clip_id = b.clip_id
+   AND b.frame_idx - a.frame_idx BETWEEN 1 AND 3
+),
+q AS (
+  SELECT clip_id AS query_id, t AS qt, h FROM lm
+  WHERE clip_id % {AUDIO_MATCH_QMOD} = 0
+),
+votes AS (
+  SELECT q.query_id, lm.clip_id AS cand, lm.t - q.qt AS off, count(*) AS votes
+  FROM lm JOIN q ON lm.h = q.h
+  GROUP BY q.query_id, lm.clip_id, lm.t - q.qt
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, off ASC, cand ASC) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(cand AS BIGINT) AS match_id,
+       CAST(votes AS BIGINT) AS votes, CAST(off AS BIGINT) AS best_offset
+FROM ranked WHERE rn = 1
+""".strip()
+
+
+def _shared_audio_fp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import AUDIO_FP_BINS_WIDE, audio_fingerprint
+    from ..sources.images import audio_from_orders
+
+    return _memo(
+        spark,
+        sf_dir,
+        "audio_fp_wide_m15",
+        lambda: audio_fingerprint(
+            audio_from_orders(spark, sf_dir, modulus=AUDIO_FP_MODULUS),
+            bins=AUDIO_FP_BINS_WIDE,
+        ).localCheckpoint(eager=True),
+    )
+
+
+def q_audio_match_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-ALPHABET landmark retrieval
+    (operators/multimodal.audio_landmark_match): the wide fingerprint
+    (full positive spectrum, bins 1..31) plus quantized-anchor-power
+    key composition gives 32*32*3*256 = 786,432 landmark-key capacity
+    (>= 10^5 attained), so the corpus equi-join on ``h`` is selective
+    at 10^9 clips instead of matching ~1/192 of every landmark — the
+    regime the demo ``audio_match`` deliberately is not. min_alphabet
+    pins the claim: the call REFUSES a hot-key configuration. Same
+    plan shape (landmark self-join -> equi-join -> offset-vote groupBy
+    -> per-query argmax); oracle replays the wide DFT, the composed
+    key (bit-length 'integer log2' + 2 mantissa bits), the join, and
+    the vote argmax relationally — exact."""
+    from ..operators.multimodal import audio_landmark_match
+
+    fp = _shared_audio_fp_wide(spark, sf_dir)
+    return audio_landmark_match(
+        fp,
+        fp.where(F.col("clip_id") % AUDIO_MATCH_QMOD == 0),
+        max_bin=31,
+        quantize_power=True,
+        min_alphabet=100_000,
+    )
+
+
+def o_audio_match_wide() -> str:
+    from ..operators.multimodal import AUDIO_FP_BINS_WIDE
+
+    fp = o_audio_fingerprint(bins=AUDIO_FP_BINS_WIDE)
+    # composed key: ((a_bin*32 + b_bin)*4 + dt)*256 + qp, with
+    # qp = L*4 + ((power >> max(L-3,0)) % 4), L = length(bin(power)) —
+    # the same bit-length integer-log2 Spark computes via F.bin
+    qp = (
+        "(length(bin(a.peak_power)) * 4 + "
+        "((a.peak_power >> greatest(length(bin(a.peak_power)) - 3, 0)) % 4))"
+    )
+    return f"""
+WITH fp AS MATERIALIZED ({fp}),
+lm AS MATERIALIZED (
+  SELECT a.clip_id, a.frame_idx AS t,
+         ((a.peak_bin * 32 + b.peak_bin) * 4
+          + (b.frame_idx - a.frame_idx)) * 256 + {qp} AS h
   FROM fp a JOIN fp b
     ON a.clip_id = b.clip_id
    AND b.frame_idx - a.frame_idx BETWEEN 1 AND 3
@@ -4210,6 +4262,7 @@ def queries():
         "image_edges": q_image_edges,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_match": q_audio_match,
+        "audio_match_wide": q_audio_match_wide,
         "scene_cuts": q_scene_cuts,
         "decontaminate": q_decontaminate,
         "substring_hosts": q_substring_hosts,
@@ -4292,6 +4345,7 @@ def oracle_sql():
         "image_edges": o_image_edges(),
         "audio_fingerprint": o_audio_fingerprint(),
         "audio_match": o_audio_match(),
+        "audio_match_wide": o_audio_match_wide(),
         "scene_cuts": o_scene_cuts(),
         "decontaminate": o_decontaminate(),
         "substring_hosts": o_substring_hosts(),

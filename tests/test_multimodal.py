@@ -328,3 +328,59 @@ def test_video_scene_cuts_planted(spark):
         np.frombuffer(f2, np.uint8).astype(int) - np.frombuffer(f1, np.uint8).astype(int)
     ).sum())
     assert got[(1, 2)] == (sad_cut, 1) and sad_cut > 8000
+
+
+def test_audio_landmark_match_planted_trimmed_copies(spark):
+    """Planted retrieval: query clips are frame-aligned TRIMMED COPIES
+    (frames 2..7) of three corpus clips, under fresh query ids — the
+    landmark voter must retrieve each source clip at best_offset=2 in
+    the wide (production-alphabet) regime."""
+    import numpy as np
+
+    from rust_s2_spark.operators.multimodal import (
+        AUDIO_FP_BINS_WIDE,
+        audio_fingerprint,
+        audio_landmark_match,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = {
+        cid: rng.integers(-30000, 30000, size=10 * 64, dtype=np.int64).astype("<i2")
+        for cid in range(1, 9)
+    }
+    rows = [(cid, x.tobytes(), "pcm16") for cid, x in corpus.items()]
+    # queries 101..103 = frames 2..7 of corpus clips 3, 5, 8
+    qrows = [
+        (100 + i, corpus[src][2 * 64 : 8 * 64].tobytes(), "pcm16")
+        for i, src in enumerate((3, 5, 8), start=1)
+    ]
+    cdf = spark.createDataFrame(rows, "clip_id long, bytes binary, fmt string")
+    qdf = spark.createDataFrame(qrows, "clip_id long, bytes binary, fmt string")
+    fp = audio_fingerprint(cdf, bins=AUDIO_FP_BINS_WIDE)
+    qfp = audio_fingerprint(qdf, bins=AUDIO_FP_BINS_WIDE)
+    out = {
+        r.query_id: r
+        for r in audio_landmark_match(
+            fp, qfp, max_bin=31, quantize_power=True, min_alphabet=100_000
+        ).collect()
+    }
+    assert set(out) == {101, 102, 103}
+    for qid, src in ((101, 3), (102, 5), (103, 8)):
+        assert out[qid].match_id == src, (qid, out[qid])
+        assert out[qid].best_offset == 2
+        # a full 6-frame overlap votes with every shared landmark
+        assert out[qid].votes >= 10
+
+
+def test_audio_landmark_alphabet_guard():
+    from rust_s2_spark.operators.multimodal import (
+        audio_landmark_alphabet,
+        audio_landmark_match,
+    )
+
+    assert audio_landmark_alphabet(8) == 9 * 9 * 3
+    assert audio_landmark_alphabet(31, quantize_power=True) == 32 * 32 * 3 * 256
+    import pytest
+
+    with pytest.raises(ValueError, match="hot-key"):
+        audio_landmark_match(None, None, max_bin=8, min_alphabet=100_000)
