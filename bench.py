@@ -458,6 +458,17 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: cm_sketch_estimate(li, "l_orderkey", d=4, w=256).count()
     )
 
+    # exact heavy hitters: CM-literal map-side filter + exact verify.
+    # TPC-H keys are uniform (no true skew), so CM collisions keep most
+    # rows past the filter — this measures the WORST-case regime
+    # (sketch build + d lookups/row + full-width exact verify), an
+    # upper bound on the Zipfian deployments the operator targets
+    from rust_s2_spark.operators.sketches import heavy_hitters
+
+    out["heavy_hitters"], _ = timed(
+        lambda: heavy_hitters(li, "l_orderkey", 10, d=4, w=256).count()
+    )
+
     # wide-alphabet audio landmark retrieval: fp precomputed (decode +
     # fingerprint cost is the audio_fingerprint row) — this measures the
     # landmark self-join + key equi-join + offset vote

@@ -163,17 +163,7 @@ def cm_sketch_estimate(
             % w
         )
 
-    tags = F.array(
-        *[
-            F.struct(F.lit(i).alias("i"), bucket(i, v).alias("b"))
-            for i in range(d)
-        ]
-    )
-    counts = (
-        df.select(F.explode(tags).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.b").alias("b"))
-        .agg(F.count("*").alias("c"))
-    )
+    counts = _cm_counters(df, value_col, d, w)
     keys = df.select(v.alias("key")).distinct()
     kb = keys.select(
         "key",
@@ -190,4 +180,85 @@ def cm_sketch_estimate(
         kb.join(F.broadcast(counts), ["i", "b"])
         .groupBy("key")
         .agg(F.min("c").cast("long").alias("cm_count"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """EXACT heavy hitters (support count >= threshold) with
+    sketch-bounded memory — the candidates + exact-verify discipline
+    (same contract shape as substring_containment_join):
+
+      1. build the d x w Count-Min counters (one explode + groupBy over
+         a FIXED d*w-row output, mergeable/streamable), collect them to
+         the driver (d*w bounded scalars — the k-means-sums pattern)
+         and fold them into ONE literal lookup expression;
+      2. filter rows MAP-SIDE by estimated count >= threshold — no
+         join, no shuffle, no distinct-keys pass: each row computes its
+         d md5 buckets and takes the least of d array lookups;
+      3. exact groupBy over the surviving rows only, final filter on
+         the true count.
+
+    CM never underestimates, so step 2 keeps every truly-heavy key's
+    rows (RECALL GUARANTEED); a key's rows all share the estimate, so
+    step 3's counts are the true totals — the result is EXACT while
+    the big shuffle only ever sees candidate rows (at 100 TB with a
+    Zipfian key column that is a tiny fraction of the input). The
+    driver oracle is the exhaustive GROUP BY ... HAVING — fully
+    algorithm-independent."""
+    counts = {
+        (r["i"], r["b"]): r["c"]
+        for r in _cm_counters(df, value_col, d, w).collect()
+    }
+    v = f"CAST(`{value_col}` AS STRING)"
+
+    def bucket_sql(i: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('r{i}:', {v})), 1, 8), 16, 10) "
+            f"AS BIGINT) % {w})"
+        )
+
+    ests = []
+    for i in range(d):
+        arr = ", ".join(str(int(counts.get((i, b), 0))) + "L" for b in range(w))
+        ests.append(
+            f"element_at(array({arr}), CAST({bucket_sql(i)} + 1 AS INT))"
+        )
+    est = F.expr("least(" + ", ".join(ests) + ")")
+    cand = df.where(est >= F.lit(threshold))
+    return (
+        cand.groupBy(F.expr(v).alias("key"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= threshold)
+    )
+
+
+def _cm_counters(df: DataFrame, value_col: str, d: int, w: int) -> DataFrame:
+    """The d x w counter table of ``cm_sketch_estimate`` (shared
+    bucketing: b_i = first-8-hex(md5('r{i}:' || value)) % w)."""
+    v = F.col(value_col).cast("string")
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % w
+        )
+
+    tags = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), bucket(i, v).alias("b"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(tags).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+        .agg(F.count("*").alias("c"))
     )

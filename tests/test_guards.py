@@ -55,3 +55,22 @@ def test_replicate_orders_keyspace_guard(spark):
     big = spark.createDataFrame([(10_000_000,)], "o_orderkey long")
     with pytest.raises(ValueError, match="collide"):
         _replicate_orders(big, 2)
+
+
+def test_heavy_hitters_exact_planted(spark):
+    """Planted Zipf-ish corpus: exact results at the threshold edge
+    (>= T kept, T-1 dropped), and the returned plan is map-filter +
+    ONE aggregation — no join anywhere (the CM lookup is a literal
+    expression, not a counters join)."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    for key, n in (("a", 12), ("b", 5), ("c", 4), ("d", 1), ("e", 5)):
+        rows += [(key,)] * n
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = {r.key: r.n for r in heavy_hitters(df, "k", 5, d=3, w=16).collect()}
+    assert out == {"a": 12, "b": 5, "e": 5}
+    plan = heavy_hitters(df, "k", 5, d=3, w=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
