@@ -151,6 +151,17 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     img = read_images_table(spark, table_path)
     n_images = img.count()
 
+    # fidelity spot-check (BASELINE.json input_hint invariant): stored
+    # captions must match the first-principles derivation on a 1-in-97
+    # sample of the laid-out table (bytes are audited end-to-end by the
+    # fidelity_roundtrip driver query; the bench table omits them)
+    bad = (
+        img.where(F.col("image_id").cast("long") % 97 == 0)
+        .where(F.col("caption") != F.concat(F.lit("img "), F.col("image_id")))
+        .count()
+    )
+    assert bad == 0, f"fidelity: {bad} stored captions diverged"
+
     out["spatial_join"], _ = timed(lambda: spatial_pipeline(spark, img))
 
     def q_tile():

@@ -1840,6 +1840,58 @@ FROM kb JOIN counts USING (i, b) GROUP BY key
 """.strip()
 
 
+def _stored_images_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized write of the Hilbert-laid-out images table
+    (sources.images.write_images_table, WITH bytes) — the stored-table
+    side of the fidelity invariant."""
+    import tempfile
+
+    def build():
+        from ..sources.images import write_images_table
+
+        path = tempfile.mkdtemp(prefix="s2fid_") + "/images"
+        write_images_table(spark, sf_dir, path, with_bytes=True)
+        return path
+
+    return _memo(spark, sf_dir, "fidelity_images_path", build)
+
+
+def q_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline fidelity invariant (BASELINE.json input_hint: decoded
+    pixels + caption preserved through the pipeline): WRITE the images
+    table the production way (range-partitioned + Hilbert-sorted
+    parquet, bytes included), READ it back, and emit every row's
+    caption and full pixel-bytes hex. The oracle re-derives both from
+    the orders keys from FIRST PRINCIPLES in DuckDB (the md5 block
+    chain), so a single row lost, duplicated, or corrupted anywhere in
+    encode -> layout-write -> scan fails the gate. fmt='raw' makes the
+    decoded-pixel comparison exact (PSNR infinite); for lossy formats
+    the same audit would carry an SSE column with a PSNR >= 40 dB
+    threshold."""
+    from ..sources.images import read_images_table
+
+    stored = read_images_table(spark, _stored_images_path(spark, sf_dir))
+    return stored.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "caption",
+        F.lower(F.hex("bytes")).alias("stored_hex"),
+    )
+
+
+def o_fidelity_roundtrip() -> str:
+    blocks = ["md5(image_id)"]
+    for _ in range(11):
+        blocks.append(f"md5({blocks[-1]})")
+    hx = " || ".join(blocks)
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       caption,
+       {hx} AS stored_hex
+FROM img
+""".strip()
+
+
 HH_THRESHOLD = 40
 
 
@@ -4347,6 +4399,8 @@ def _suites():
         ("sessions", q_sessionize, o_sessionize,
          {"i1": "user_id", "i2": "session_idx", "i3": "n_events",
           "i4": "duration_us", "i5": "first_event"}),
+        ("fidelity", q_fidelity_roundtrip, o_fidelity_roundtrip,
+         {"i1": "image_id", "s1": "caption", "s2": "stored_hex"}),
     ]
     return {
         "golden_cellid_suite": golden_cellid,
@@ -4399,7 +4453,7 @@ _CHEAP_FIRST = [
     "xyz_cellid_scale", "image_ahash", "image_dhash",
     "audio_features", "minhash_pairs", "ngram_jaccard", "simhash",
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
-    "pip_triangle", "ivf_topk", "dedup_keepers",
+    "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
 ]
 
 
@@ -4475,6 +4529,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "cm_counts": q_cm_counts,
         "heavy_hitters": q_heavy_hitters,
+        "fidelity_roundtrip": q_fidelity_roundtrip,
         "stream_hll": q_stream_hll,
         "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
@@ -4563,6 +4618,7 @@ def oracle_sql():
         "hll_distinct": o_hll_distinct(),
         "cm_counts": o_cm_counts(),
         "heavy_hitters": o_heavy_hitters(),
+        "fidelity_roundtrip": o_fidelity_roundtrip(),
         "stream_hll": o_stream_hll(),
         "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),
