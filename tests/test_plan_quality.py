@@ -515,3 +515,30 @@ def test_pq_big_regime_no_collect_plan(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("FileScan parquet") <= 2  # coded scan + query scan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_audio_landmark_match_broadcasts_queries(spark):
+    """The retrieval join must broadcast the (small) query-side
+    landmarks: the corpus landmark table comes out of mapInPandas with
+    no stats, so without the hint the planner shuffles the full corpus
+    on the landmark key."""
+    from rust_s2_spark.operators.multimodal import (
+        AUDIO_FP_BINS_WIDE,
+        audio_fingerprint,
+        audio_landmark_match,
+    )
+
+    clips = spark.createDataFrame(
+        [(i, bytes(range(256)) * 2, "pcm16") for i in range(6)],
+        "clip_id long, bytes binary, fmt string",
+    )
+    fp = audio_fingerprint(clips, bins=AUDIO_FP_BINS_WIDE)
+    out = audio_landmark_match(
+        fp, fp.where(F.col("clip_id") < 2), max_bin=31, quantize_power=True
+    )
+    plan = _plan(out)
+    # the h-key join is a broadcast join; the only exchanges left are
+    # the vote aggregation and the per-query window
+    assert "BroadcastHashJoin" in plan, plan
+    head = plan.split("BroadcastHashJoin")[0]
+    assert "SortMergeJoin" not in head, head

@@ -98,3 +98,38 @@ def test_xyz_roundtrip_is_unit_and_stable(lat, lng):
     via_xyz = k.cell_from_xyz(x, y, z)
     direct = _leaf(lat, lng)
     assert via_xyz[0] == direct[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_s, lng=lng_s, lvl=level_s)
+def test_curve_consecutive_cells_are_edge_neighbors(lat, lng, lvl):
+    """The S2 space-filling curve is CONTINUOUS: consecutive cells at
+    any level — including across face boundaries via advance_wrap —
+    share an edge. (The property that makes Hilbert-clustered storage
+    locality-preserving: a range scan walks physically adjacent
+    cells.)"""
+    c = k.parent(_leaf(lat, lng), np.array([lvl]))
+    nxt = k.advance_wrap(c, np.array([1]))
+    en = {int(x) for x in k.edge_neighbors(nxt)[0]}
+    assert int(c[0]) in en, (lat, lng, lvl, hex(int(c[0])), hex(int(nxt[0])))
+    # and symmetrically backwards
+    prv = k.advance_wrap(c, np.array([-1]))
+    ep = {int(x) for x in k.edge_neighbors(prv)[0]}
+    assert int(c[0]) in ep
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_s, lng=lng_s, lvl=level_s)
+def test_curve_leaf_ranges_are_contiguous(lat, lng, lvl):
+    """range_min of the next cell continues exactly where range_max of
+    the current cell ends (unsigned order) — the invariant that makes
+    covering range predicates equivalent to curve-position intervals.
+    Leaf ids carry the trailing lsb set, so consecutive leaves differ
+    by 2 in id space."""
+    c = k.parent(_leaf(lat, lng), np.array([lvl]))
+    nxt = k.advance_wrap(c, np.array([1]))
+    hi = int(k.range_max(c)[0])
+    lo = int(k.range_min(nxt)[0])
+    wrapped = lo < int(k.range_min(c)[0])  # advance_wrap cycled past the end
+    if not wrapped:
+        assert lo == hi + 2, (hex(hi), hex(lo))
