@@ -262,3 +262,51 @@ def _cm_counters(df: DataFrame, value_col: str, d: int, w: int) -> DataFrame:
         .groupBy(F.col("t.i").alias("i"), F.col("t.b").alias("b"))
         .agg(F.count("*").alias("c"))
     )
+
+
+def cm_estimate_from_counters(
+    counters: DataFrame,
+    group_cols: list[str],
+    keys: DataFrame,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Batch finalize for (possibly streaming-emitted) Count-Min
+    counter tables: for every (group x key) cell of the grid, the
+    estimate = min over the d rows of the key's counters, with ABSENT
+    counters counting as zero (an inner join would silently drop the
+    estimate-0 rows). ``counters``: group_cols + (i, b, c);
+    ``keys``: one column ``key`` (string)."""
+    kb = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"r{i}:"), F.col("key"))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % w
+                        ).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("t"),
+    ).select("key", F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+    grid = counters.select(*group_cols).distinct().crossJoin(F.broadcast(kb))
+    est = grid.join(counters, [*group_cols, "i", "b"], "left").select(
+        *group_cols, "key", F.coalesce(F.col("c"), F.lit(0)).alias("__c")
+    )
+    return (
+        est.groupBy(*group_cols, "key")
+        .agg(F.min("__c").cast("long").alias("cm_count"))
+    )

@@ -1761,6 +1761,85 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_finalize(mat, ["ws"], p=HLL_P)
 
 
+STREAM_CM_D, STREAM_CM_W = 4, 64
+
+
+def q_stream_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min rollup (streaming/cell_stream.
+    streaming_cm_counters): per-6h-window d x w counters maintained as
+    streaming state (a counter is a COUNT — counts add, the mergeable
+    aggregate the incremental model wants; state bounded at d*w rows
+    per window), run to completion with availableNow; estimation is a
+    batch query over the emitted counters (grid of every user x window,
+    absent counters = 0, estimate = min over d). Oracle rebuilds every
+    window's counters and every grid min relationally in DuckDB —
+    counter-exact."""
+    import tempfile
+
+    from ..operators.sketches import cm_estimate_from_counters
+    from ..streaming.cell_stream import streaming_cm_counters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="s2streamcm_")
+    events.write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    counters = streaming_cm_counters(
+        stream, "user_id", d=STREAM_CM_D, w=STREAM_CM_W
+    )
+    name = "stream_cm_counters"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cm availableNow query did not finish in 300s")
+    mat = spark.sql(
+        f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS ws, "
+        f"i, b, c FROM {name}"
+    )
+    keys = events.select(
+        F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    return cm_estimate_from_counters(
+        mat, ["ws"], keys, d=STREAM_CM_D, w=STREAM_CM_W
+    )
+
+
+def o_stream_cm() -> str:
+    d, w = STREAM_CM_D, STREAM_CM_W
+    b = (
+        "CAST(CAST('0x' || substring(md5('r' || i || ':' || {v}), 1, 8) "
+        f"AS UBIGINT) AS BIGINT) % {w}"
+    )
+    return f"""
+WITH ev AS (
+  SELECT strftime(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS ws,
+         CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+tags AS (
+  SELECT ws, i, {b.format(v='v')} AS b
+  FROM ev, unnest(generate_series(0, {d - 1})) AS t(i)
+),
+counts AS (SELECT ws, i, b, count(*) AS c FROM tags GROUP BY ws, i, b),
+keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+kb AS (
+  SELECT key, i, {b.format(v='key')} AS b
+  FROM keys, unnest(generate_series(0, {d - 1})) AS t(i)
+),
+grid AS (SELECT ws, key, i, b FROM (SELECT DISTINCT ws FROM ev) CROSS JOIN kb)
+SELECT ws, key, CAST(min(coalesce(c, 0)) AS BIGINT) AS cm_count
+FROM grid LEFT JOIN counts USING (ws, i, b)
+GROUP BY ws, key
+""".strip()
+
+
 def o_stream_hll() -> str:
     from ..operators.sketches import _hll_alpha
 
@@ -4402,6 +4481,13 @@ def _suites():
         ("fidelity", q_fidelity_roundtrip, o_fidelity_roundtrip,
          {"i1": "image_id", "s1": "caption", "s2": "stored_hex"}),
     ]
+    stream_sketch = [
+        ("s_hll", q_stream_hll, o_stream_hll,
+         {"s1": "ws", "d1": "hll_estimate", "s2": "hll_s",
+          "i1": "hll_zero_regs", "i2": "n_rows"}),
+        ("s_cm", q_stream_cm, o_stream_cm,
+         {"s1": "ws", "s2": "key", "i1": "cm_count"}),
+    ]
     return {
         "golden_cellid_suite": golden_cellid,
         "cellid_scale_suite": cellid_scale,
@@ -4409,6 +4495,7 @@ def _suites():
         "media_hash_suite": media_hash,
         "neardup_pairs_suite": neardup_pairs,
         "pipeline_suite": pipeline,
+        "stream_sketch_suite": stream_sketch,
     }
 
 
@@ -4441,7 +4528,7 @@ _CHEAP_FIRST = [
     "bpe_train", "stream_sessions", "stream_rollup", "dedup_clusters",
     "ivf_topk_trained", "phash_hamming", "pip_polygon",
     "traj_crossings", "dedup_vote", "pq_topk", "knn", "stream_dedup",
-    "stream_hll", "ivf_pq_topk", "lsh_recall", "stream_spatial_join",
+    "stream_sketch_suite", "ivf_pq_topk", "lsh_recall", "stream_spatial_join",
     "covering_tokens", "heavy_hitters",
     # ---- 51+: suite components and twins (covered above) ----
     "audio_match", "fingerprint", "bpe_tokens", "quality_score", "text_stats",
@@ -4454,6 +4541,7 @@ _CHEAP_FIRST = [
     "audio_features", "minhash_pairs", "ngram_jaccard", "simhash",
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
+    "stream_hll", "stream_cm",
 ]
 
 
@@ -4531,6 +4619,7 @@ def queries():
         "heavy_hitters": q_heavy_hitters,
         "fidelity_roundtrip": q_fidelity_roundtrip,
         "stream_hll": q_stream_hll,
+        "stream_cm": q_stream_cm,
         "repetition": q_repetition,
         "stream_spatial_join": q_stream_spatial_join,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -4620,6 +4709,7 @@ def oracle_sql():
         "heavy_hitters": o_heavy_hitters(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
         "stream_hll": o_stream_hll(),
+        "stream_cm": o_stream_cm(),
         "repetition": o_repetition(),
         "stream_spatial_join": o_stream_spatial_join(),
         "ivf_pq_topk": o_ivf_pq_topk(),

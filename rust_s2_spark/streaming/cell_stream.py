@@ -222,3 +222,47 @@ def streaming_hll_registers(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("__b"))
         .agg(F.max("__rho").alias("__reg"), F.count("*").alias("__n"))
     )
+
+
+def streaming_cm_counters(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Streaming half of the Count-Min rollup: per event-time window,
+    maintain the d x w COUNTERS as streaming state — a counter is a
+    COUNT, and counts ADD, so (like the HLL register max) this is
+    exactly the mergeable aggregate the incremental state model wants;
+    state per window is bounded at d*w rows regardless of volume.
+
+    Estimation (grid keys x counters -> min) is a BATCH query over the
+    emitted counters (operators/sketches.cm_estimate_from_counters) —
+    the same state-maintenance/query-time-finalize split as the HLL
+    rollup."""
+    v = F.col(value_col).cast("string")
+
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), v)), 1, 8), 16, 10
+            ).cast("long")
+            % w
+        )
+
+    tags = F.array(
+        *[F.struct(F.lit(i).alias("i"), bucket(i).alias("b")) for i in range(d)]
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("__t", F.explode(tags))
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("__t.i").alias("i"),
+            F.col("__t.b").alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
