@@ -25,13 +25,40 @@ from pyspark.sql import functions as F
 from ..functions import s2_biased, s2_parent
 
 LINEAGE_SCHEMA = (
-    "step string, bucket long, n_rows long, min_cell_biased long, "
-    "max_cell_biased long, wall_sec double, completed_at double"
+    "step string, bucket long, n_rows long, n_bytes long, "
+    "min_cell_biased long, max_cell_biased long, wall_sec double, "
+    "completed_at double"
 )
 
 
 def _lineage_path(base: str) -> str:
     return f"{base}/_lineage"
+
+
+def _bucket_bytes(spark: SparkSession, base: str) -> dict[int, int]:
+    """On-disk bytes per bucket partition of the written table, from
+    the Hadoop FileSystem API (works for any scheme the session can
+    reach — local, HDFS, s3a; the Iceberg equivalent reads the same
+    numbers from the manifest's file sizes)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base)
+    fs = path.getFileSystem(conf)
+    out: dict[int, int] = {}
+    if not fs.exists(path):
+        return out
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        total = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            total += it.next().getLen()
+        out[b] = total
+    return out
 
 
 def completed_buckets(spark: SparkSession, base: str, step: str) -> set[int]:
@@ -106,11 +133,13 @@ def write_with_lineage(
         .collect()
     )
     now = time.time()
+    sizes = _bucket_bytes(spark, base)
     rows = [
         (
             step,
             int(r["bucket"]),
             int(r["n"]),
+            int(sizes.get(int(r["bucket"]), 0)),
             int(r["mn"]),
             int(r["mx"]),
             float(wall),  # wall of the shared single write job

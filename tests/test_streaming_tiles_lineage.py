@@ -126,10 +126,22 @@ def test_lineage_write_and_resume(spark, images):
         got_ids = set(r.image_id for r in out.select("image_id").collect())
         want_ids = set(r.image_id for r in df.select("image_id").collect())
         assert got_ids == want_ids
-        # lineage metrics are sane
+        # lineage metrics are sane: rows account for every input row,
+        # and every bucket's byte metric reflects real files on disk
         ln = spark.read.parquet(f"{base}/_lineage")
         tot = ln.agg(F.sum("n_rows")).collect()[0][0]
         assert tot == df.count()
+        per_bucket = {r.bucket: r.n_bytes for r in ln.collect()}
+        assert all(v > 0 for v in per_bucket.values()), per_bucket
+        import os
+
+        disk = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, files in os.walk(base)
+            for f in files
+            if "bucket=" in root and f.endswith(".parquet")
+        )
+        assert sum(per_bucket.values()) == disk
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
