@@ -492,10 +492,18 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         audio_from_orders(spark, sf_dir, modulus=5, multiplier=mult),
         bins=AUDIO_FP_BINS_WIDE,
     ).localCheckpoint(eager=True)
+    # query batch FIXED to the replica-0 keyspace (clip_id < 10^7 —
+    # replicas shift by i*10^7): retrieval scales as fixed-queries x
+    # growing-corpus; letting the query set grow with mult made the
+    # vote join quadratic in mult (the near-dup-replica lesson) and
+    # measured result materialization, not the engine
     out["audio_match_wide"], _ = timed(
         lambda: audio_landmark_match(
             fp_w,
-            fp_w.where(F.col("clip_id") % 3 == 0),
+            fp_w.where(
+                (F.col("clip_id") % 3 == 0)
+                & (F.col("clip_id") < 10_000_000)
+            ),
             max_bin=31,
             quantize_power=True,
             min_alphabet=100_000,

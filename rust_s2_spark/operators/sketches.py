@@ -210,7 +210,20 @@ def heavy_hitters(
     the big shuffle only ever sees candidate rows (at 100 TB with a
     Zipfian key column that is a tiny fraction of the input). The
     driver oracle is the exhaustive GROUP BY ... HAVING — fully
-    algorithm-independent."""
+    algorithm-independent.
+
+    NULL keys are excluded (their md5 bucket is null, so they are
+    never candidates); the oracle must filter them too if the column
+    is nullable. d*w is capped at 2048 literals — beyond that Spark
+    spends seconds in whole-stage-codegen COMPILE (the measured
+    IVF-literal cliff); a wider sketch should go through the
+    counters-join shape of ``cm_sketch_estimate`` instead."""
+    if d * w > 2048:
+        raise ValueError(
+            f"d*w = {d * w} > 2048 literal budget: the lookup expression "
+            "would stall whole-stage codegen; use a wider-sketch "
+            "counters JOIN (cm_sketch_estimate shape) instead"
+        )
     counts = {
         (r["i"], r["b"]): r["c"]
         for r in _cm_counters(df, value_col, d, w).collect()
@@ -276,7 +289,10 @@ def cm_estimate_from_counters(
     estimate = min over the d rows of the key's counters, with ABSENT
     counters counting as zero (an inner join would silently drop the
     estimate-0 rows). ``counters``: group_cols + (i, b, c);
-    ``keys``: one column ``key`` (string)."""
+    ``keys``: one column ``key`` (string) — a BOUNDED watchlist (it is
+    broadcast against the group grid): Count-Min's query model is
+    'estimate these keys', not 'enumerate all keys'; for full-key
+    enumeration use the exact groupBy the sketch exists to avoid."""
     kb = keys.select(
         "key",
         F.explode(

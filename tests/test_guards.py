@@ -74,3 +74,10 @@ def test_heavy_hitters_exact_planted(spark):
     assert out == {"a": 12, "b": 5, "e": 5}
     plan = heavy_hitters(df, "k", 5, d=3, w=16)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_heavy_hitters_literal_budget_guard():
+    from rust_s2_spark.operators.sketches import heavy_hitters
+
+    with pytest.raises(ValueError, match="literal budget"):
+        heavy_hitters(None, "k", 5, d=4, w=1024)
