@@ -155,9 +155,16 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     # captions must match the first-principles derivation on a 1-in-97
     # sample of the laid-out table (bytes are audited end-to-end by the
     # fidelity_roundtrip driver query; the bench table omits them)
+    # null-safe comparison: a NULLed caption column must FAIL the gate,
+    # not vanish from it (caption != expected is NULL for null rows and
+    # a plain where() would drop them)
     bad = (
         img.where(F.col("image_id").cast("long") % 97 == 0)
-        .where(F.col("caption") != F.concat(F.lit("img "), F.col("image_id")))
+        .where(
+            ~F.col("caption").eqNullSafe(
+                F.concat(F.lit("img "), F.col("image_id"))
+            )
+        )
         .count()
     )
     assert bad == 0, f"fidelity: {bad} stored captions diverged"

@@ -38,6 +38,30 @@ def _hll_alpha(m: int) -> float:
     return 0.673
 
 
+def _cm_bucket(i: int, col, w: int):
+    """THE Count-Min bucketing contract, in one place:
+    b_i = conv(first-8-hex(md5('r{i}:' || value)), 16, 10) % w.
+    Counters and lookups must agree bit-for-bit, so every consumer
+    (batch counters, streaming counters, estimate joins, the
+    heavy-hitter literal lookup via ``_cm_bucket_sql``) derives from
+    here — editing the prefix, slice width, or cast in one copy would
+    silently break estimates with no error."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % w
+    )
+
+
+def _cm_bucket_sql(i: int, v_sql: str, w: int) -> str:
+    """SQL-string twin of ``_cm_bucket`` for expression-built plans."""
+    return (
+        f"(CAST(conv(substring(md5(concat('r{i}:', {v_sql})), 1, 8), 16, 10) "
+        f"AS BIGINT) % {w})"
+    )
+
+
 def hll_register_cols(value_col: str, p: int = 9):
     """(bucket, rho) columns of the deterministic 64-bit md5 HLL hash —
     the stateless per-row half of the sketch, shared by the batch
@@ -155,14 +179,6 @@ def cm_sketch_estimate(
     """
     v = F.col(value_col).cast("string")
 
-    def bucket(i: int, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
-            ).cast("long")
-            % w
-        )
-
     counts = _cm_counters(df, value_col, d, w)
     keys = df.select(v.alias("key")).distinct()
     kb = keys.select(
@@ -170,7 +186,10 @@ def cm_sketch_estimate(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("i"), bucket(i, F.col("key")).alias("b"))
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(i, F.col("key"), w).alias("b"),
+                    )
                     for i in range(d)
                 ]
             )
@@ -230,17 +249,11 @@ def heavy_hitters(
     }
     v = f"CAST(`{value_col}` AS STRING)"
 
-    def bucket_sql(i: int) -> str:
-        return (
-            f"(CAST(conv(substring(md5(concat('r{i}:', {v})), 1, 8), 16, 10) "
-            f"AS BIGINT) % {w})"
-        )
-
     ests = []
     for i in range(d):
         arr = ", ".join(str(int(counts.get((i, b), 0))) + "L" for b in range(w))
         ests.append(
-            f"element_at(array({arr}), CAST({bucket_sql(i)} + 1 AS INT))"
+            f"element_at(array({arr}), CAST({_cm_bucket_sql(i, v, w)} + 1 AS INT))"
         )
     est = F.expr("least(" + ", ".join(ests) + ")")
     cand = df.where(est >= F.lit(threshold))
@@ -256,17 +269,9 @@ def _cm_counters(df: DataFrame, value_col: str, d: int, w: int) -> DataFrame:
     bucketing: b_i = first-8-hex(md5('r{i}:' || value)) % w)."""
     v = F.col(value_col).cast("string")
 
-    def bucket(i: int, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
-            ).cast("long")
-            % w
-        )
-
     tags = F.array(
         *[
-            F.struct(F.lit(i).alias("i"), bucket(i, v).alias("b"))
+            F.struct(F.lit(i).alias("i"), _cm_bucket(i, v, w).alias("b"))
             for i in range(d)
         ]
     )
@@ -300,18 +305,7 @@ def cm_estimate_from_counters(
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"r{i}:"), F.col("key"))),
-                                    1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % w
-                        ).alias("b"),
+                        _cm_bucket(i, F.col("key"), w).alias("b"),
                     )
                     for i in range(d)
                 ]

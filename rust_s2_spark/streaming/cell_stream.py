@@ -243,18 +243,14 @@ def streaming_cm_counters(
     emitted counters (operators/sketches.cm_estimate_from_counters) —
     the same state-maintenance/query-time-finalize split as the HLL
     rollup."""
+    from ..operators.sketches import _cm_bucket
+
     v = F.col(value_col).cast("string")
-
-    def bucket(i: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"r{i}:"), v)), 1, 8), 16, 10
-            ).cast("long")
-            % w
-        )
-
     tags = F.array(
-        *[F.struct(F.lit(i).alias("i"), bucket(i).alias("b")) for i in range(d)]
+        *[
+            F.struct(F.lit(i).alias("i"), _cm_bucket(i, v, w).alias("b"))
+            for i in range(d)
+        ]
     )
     return (
         stream.withWatermark(ts_col, watermark)
