@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -48,6 +49,8 @@ def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
 def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(buf, w, h)
+    if fmt == "qdct":
+        return decode_qdct(buf, w, h)
     if fmt in ("png", "jpeg", "jpg"):
         if not _HAS_PIL:
             raise NotImplementedError(
@@ -431,6 +434,170 @@ def dct_phash(df: DataFrame) -> DataFrame:
         F.col("image_id").cast("long").alias("image_id"), "bytes", "w", "h", "fmt"
     )
     return cols.mapInPandas(fn, PHASH64_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# qdct: the deterministic LOSSY image codec (BASELINE.json input_hint's
+# "PSNR >= 40 dB for lossy" clause needs a lossy format this sandbox can
+# actually run — no PIL/libjpeg — so this is a quantized-DCT codec in
+# EXACT integer arithmetic, the classic JPEG-luma recipe stripped of
+# everything float: per 8x8 block and channel, a fixed-point DCT-II
+# (the shared scaled-integer cosine table of ``_dct_matrix_int``),
+# uniform scalar quantization of the 64 coefficients, int16 storage;
+# decode is the fixed-point inverse transform. Every step is int64
+# arithmetic on a shared constant table, so a DuckDB oracle replays
+# encode AND decode relationally, bit-for-bit.)
+#
+# Parameter choice (measured over 20k uniform-random blocks plus
+# flat/checkerboard/gradient adversarial blocks): scale=64, q=8192 give
+# mean PSNR ~50 dB, WORST observed 46.3 dB — comfortable margin over
+# the 40 dB spec bar — while every random block has SSE > 0 (genuinely
+# lossy, so the audit exercises the lossy leg, not a disguised
+# identity). |Dq| <= (64*255*scale^2 + q/2)/q = 8164 fits int16; the
+# reconstruction accumulator |S| <= 64*scale^2*4*(64*255*scale^2+q/2)
+# < 2^47 stays exact int64.
+
+QDCT_SCALE = 64
+QDCT_Q = 8192
+# decode divisor: P' = round(S / (64*scale^4)) — see the inverse-DCT
+# normalization (4/N^2)*w_k*w_l with 2w factors folded into U
+_QDCT_DIV = 64 * QDCT_SCALE**4
+
+
+def _rdiv(x: np.ndarray, d: int) -> np.ndarray:
+    """Sign-symmetric round-half-away integer division — positive-only
+    truncating DIV plus a CASE on the sign, so Spark SQL (truncating
+    DIV) and DuckDB (flooring //) replay it identically."""
+    a = np.abs(x)
+    r = (a + d // 2) // d
+    return np.where(x < 0, -r, r)
+
+
+def _qdct_blocks(px: np.ndarray) -> np.ndarray:
+    """(h,w,3) pixels -> (n_blocks*3, 8, 8) int64 planes, block-raster
+    outer, channel middle — the storage order of the codec."""
+    h, w = px.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"qdct needs 8-aligned dims, got {w}x{h}")
+    return (
+        px.reshape(h // 8, 8, w // 8, 8, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.int64)
+    )
+
+
+def encode_qdct(px: np.ndarray) -> bytes:
+    """Lossy-encode an (h,w,3) uint8 raster: per 8x8 block/channel
+    D = C·P·Cᵀ (fixed-point DCT-II), Dq = round(D/q), int16 LE coeffs
+    in (block_y, block_x, channel, k, l) row-major order — 2 bytes per
+    subpixel (the 'compression' is the quantization; entropy coding is
+    orthogonal to the fidelity contract and deliberately omitted)."""
+    C = _dct_matrix_int(8, QDCT_SCALE)
+    planes = _qdct_blocks(px)
+    T = C[None, :, :] @ planes @ C.T[None, :, :]
+    Dq = _rdiv(T, QDCT_Q)
+    # |Dq| <= 8164 by the parameter proof above; a violation means the
+    # input was not uint8 pixels
+    if Dq.size and int(np.abs(Dq).max()) > 32767:
+        raise ValueError("qdct coefficient overflow: input not 0..255?")
+    return Dq.astype("<i2").tobytes()
+
+
+def decode_qdct(buf: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of ``encode_qdct``: U = Dq·q·(2w_k)(2w_l) with the DC
+    half-weights of the DCT-III inverse, S = Cᵀ·U·C, pixel =
+    clamp(round(S / (64·scale⁴))). Exact int64 throughout."""
+    if h % 8 or w % 8:
+        raise ValueError(f"qdct needs 8-aligned dims, got {w}x{h}")
+    n = (h // 8) * (w // 8) * 3
+    Dq = (
+        np.frombuffer(buf, dtype="<i2", count=n * 64)
+        .astype(np.int64)
+        .reshape(n, 8, 8)
+    )
+    C = _dct_matrix_int(8, QDCT_SCALE)
+    wk = np.where(np.arange(8) == 0, 1, 2).astype(np.int64)
+    U = Dq * QDCT_Q * wk[None, :, None] * wk[None, None, :]
+    S = C.T[None, :, :] @ U @ C[None, :, :]
+    P = np.clip(_rdiv(S, _QDCT_DIV), 0, 255)
+    return (
+        P.reshape(h // 8, w // 8, 3, 8, 8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(h, w, 3)
+        .astype(np.uint8)
+    )
+
+
+def encode_images_qdct(df: DataFrame) -> DataFrame:
+    """Re-encode an images DataFrame (bytes/w/h/fmt + any passthrough
+    columns) into the lossy qdct format: decode whatever fmt each row
+    carries, qdct-encode the pixels, replace bytes and set fmt='qdct'.
+    Output schema == input schema, so the operator drops into any
+    pipeline position (mapInPandas, one Arrow batch at a time)."""
+    schema = df.schema
+    names = set(schema.fieldNames())
+    for need in ("bytes", "w", "h", "fmt"):
+        if need not in names:
+            raise ValueError(f"encode_images_qdct: missing column {need!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = [
+                encode_qdct(
+                    decode_image(bytes(row.bytes), int(row.w), int(row.h), row.fmt)
+                )
+                for row in pdf.itertuples()
+            ]
+            pdf = pdf.copy()
+            pdf["bytes"] = enc
+            pdf["fmt"] = "qdct"
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+FIDELITY_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType()),
+        StructField("caption", StringType()),
+        StructField("fmt", StringType()),
+        StructField("sse", LongType()),
+    ]
+)
+
+
+def image_fidelity_audit(df: DataFrame) -> DataFrame:
+    """Per-row pipeline-fidelity audit (the input_hint invariant):
+    decode the stored ``bytes`` (any fmt) and the source-of-truth
+    ``orig_bytes`` (raw), emit the EXACT integer SSE between them —
+    zero for lossless rows, the quantization error for lossy ones.
+    PSNR >= X dB over n subpixels is the pure-integer predicate
+    sse * 10^(X/10) <= 255² * n, so callers gate without libm."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FIDELITY_SCHEMA.fields}
+            for row in pdf.itertuples():
+                w, h = int(row.w), int(row.h)
+                dec = decode_image(bytes(row.bytes), w, h, row.fmt).astype(np.int64)
+                orig = decode_raw(bytes(row.orig_bytes), w, h).astype(np.int64)
+                out["image_id"].append(int(row.image_id))
+                out["caption"].append(row.caption)
+                out["fmt"].append(row.fmt)
+                out["sse"].append(int(((dec - orig) ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    cols = df.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "caption",
+        "bytes",
+        "w",
+        "h",
+        "fmt",
+        "orig_bytes",
+    )
+    return cols.mapInPandas(fn, FIDELITY_SCHEMA)
 
 
 EDGE_SCHEMA = StructType(

@@ -2040,6 +2040,149 @@ FROM img
 """.strip()
 
 
+QDCT_FID_MOD = 15
+# PSNR >= 40 dB over n subpixels <=> sse * 10^4 <= 255^2 * n (pure
+# integers, no libm): for the 8x8x3 corpus n = 192 -> sse <= 1248
+QDCT_PSNR_SSE_MAX = (255 * 255 * 192) // 10_000
+
+
+def _stored_lossy_images_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized write of the MIXED raw+qdct images table: every
+    image_id % 15 == 0 row is re-encoded through the deterministic
+    lossy codec (operators/multimodal.encode_qdct) before the
+    production range-partitioned + Hilbert-sorted layout write."""
+    import tempfile
+
+    def build():
+        from ..operators.multimodal import encode_images_qdct
+        from ..sources.images import images_from_orders
+
+        imgs = images_from_orders(spark, sf_dir, with_bytes=True)
+        key = F.col("image_id").cast("long")
+        lossy = encode_images_qdct(imgs.where(key % QDCT_FID_MOD == 0))
+        mixed = imgs.where(key % QDCT_FID_MOD != 0).unionByName(lossy)
+        path = tempfile.mkdtemp(prefix="s2fidq_") + "/images"
+        (
+            mixed.repartitionByRange(64, "cell_id_biased")
+            .sortWithinPartitions("cell_id_biased")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    return _memo(spark, sf_dir, "fidelity_lossy_images_path", build)
+
+
+def q_fidelity_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY leg of the input_hint fidelity invariant ("decoded
+    pixels allclose, PSNR >= 40 dB for lossy formats, caption
+    equality"): encode 1-in-15 images through the deterministic
+    quantized-DCT codec (fmt='qdct'), run the production layout write,
+    read back, decode EVERY row (identity for raw, inverse fixed-point
+    DCT for qdct) and emit the exact integer SSE against the
+    first-principles source pixels. The PSNR >= 40 dB spec clause is
+    enforced as the pure-integer predicate sse*10^4 <= 255^2*192 via an
+    un-prunable assert_true folded into the output column; the oracle
+    replays the ENTIRE codec — forward DCT, quantization, inverse,
+    clamp, SSE — relationally in DuckDB, so engine-side pixel drift of
+    a single unit in a single subpixel fails the hash gate."""
+    from ..operators.multimodal import image_fidelity_audit
+    from ..sources.images import read_images_table
+
+    stored = read_images_table(spark, _stored_lossy_images_path(spark, sf_dir))
+    blocks = [F.md5(F.col("image_id"))]
+    for _ in range(11):
+        blocks.append(F.md5(blocks[-1]))
+    stored = stored.withColumn("orig_bytes", F.unhex(F.concat(*blocks)))
+    audit = image_fidelity_audit(stored)
+    checked = F.col("sse") + F.coalesce(
+        F.expr(f"CAST(assert_true(sse <= {QDCT_PSNR_SSE_MAX}) AS LONG)"),
+        F.lit(0),
+    )
+    return audit.select("image_id", "caption", "fmt", checked.alias("sse"))
+
+
+def o_fidelity_lossy() -> str:
+    from ..operators.multimodal import (
+        QDCT_Q,
+        QDCT_SCALE,
+        _QDCT_DIV,
+        _dct_matrix_int,
+    )
+
+    C = _dct_matrix_int(8, QDCT_SCALE)
+    dct_rows = ", ".join(
+        f"({k},{j},{int(C[k, j])})" for k in range(8) for j in range(8)
+    )
+    digit = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+    hi = digit.format(pos="2*((i*8+j)*3+ch)+1")
+    lo = digit.format(pos="2*((i*8+j)*3+ch)+2")
+    vexpr = f"({hi} * 16 + {lo})"
+    blocks = ["md5(CAST(image_id AS VARCHAR))"]
+    for _ in range(11):
+        blocks.append(f"md5({blocks[-1]})")
+    hx = " || ".join(blocks)
+    half_q, half_d = QDCT_Q // 2, _QDCT_DIV // 2
+    return f"""
+WITH img AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS image_id,
+         'img ' || CAST(o_orderkey AS VARCHAR) AS caption,
+         {hx} AS hx
+  FROM orders
+),
+dct(k, n, c) AS (SELECT * FROM (VALUES {dct_rows}) t(k, n, c)),
+px AS MATERIALIZED (
+  SELECT image_id, CAST(ch AS INT) AS ch, CAST(i AS INT) AS i,
+         CAST(j AS INT) AS j, CAST({vexpr} AS BIGINT) AS v
+  FROM img, unnest(generate_series(0, 2)) t0(ch),
+       unnest(generate_series(0, 7)) t1(i), unnest(generate_series(0, 7)) t2(j)
+  WHERE image_id % {QDCT_FID_MOD} = 0
+),
+a AS MATERIALIZED (
+  SELECT image_id, ch, d.k AS k, px.j, SUM(d.c * px.v) AS av
+  FROM px JOIN dct d ON d.n = px.i GROUP BY image_id, ch, d.k, px.j
+),
+t AS MATERIALIZED (
+  SELECT image_id, ch, a.k, d.k AS l, CAST(SUM(a.av * d.c) AS BIGINT) AS tv
+  FROM a JOIN dct d ON d.n = a.j GROUP BY image_id, ch, a.k, d.k
+),
+u AS (
+  SELECT image_id, ch, k, l,
+         (CASE WHEN tv < 0 THEN -((-tv + {half_q}) // {QDCT_Q})
+               ELSE (tv + {half_q}) // {QDCT_Q} END)
+         * {QDCT_Q}
+         * (CASE WHEN k = 0 THEN 1 ELSE 2 END)
+         * (CASE WHEN l = 0 THEN 1 ELSE 2 END) AS uv
+  FROM t
+),
+b AS MATERIALIZED (
+  SELECT image_id, ch, d.n AS i, u.l, SUM(d.c * u.uv) AS bv
+  FROM u JOIN dct d ON d.k = u.k GROUP BY image_id, ch, d.n, u.l
+),
+s AS MATERIALIZED (
+  SELECT image_id, ch, i, d.n AS j, CAST(SUM(b.bv * d.c) AS BIGINT) AS sv
+  FROM b JOIN dct d ON d.k = b.l GROUP BY image_id, ch, i, d.n
+),
+rec AS (
+  SELECT image_id, ch, i, j,
+         LEAST(255, GREATEST(0,
+           CASE WHEN sv < 0 THEN -((-sv + {half_d}) // {_QDCT_DIV})
+                ELSE (sv + {half_d}) // {_QDCT_DIV} END)) AS pv
+  FROM s
+),
+sse AS (
+  SELECT px.image_id,
+         CAST(SUM((px.v - rec.pv) * (px.v - rec.pv)) AS BIGINT) AS sse
+  FROM px JOIN rec USING (image_id, ch, i, j) GROUP BY px.image_id
+)
+SELECT img.image_id, img.caption, 'qdct' AS fmt, sse.sse
+FROM img JOIN sse ON img.image_id = sse.image_id
+UNION ALL
+SELECT image_id, caption, 'raw' AS fmt, CAST(0 AS BIGINT) AS sse
+FROM img WHERE image_id % {QDCT_FID_MOD} <> 0
+""".strip()
+
+
 HH_THRESHOLD = 40
 
 
@@ -4549,6 +4692,8 @@ def _suites():
           "i4": "duration_us", "i5": "first_event"}),
         ("fidelity", q_fidelity_roundtrip, o_fidelity_roundtrip,
          {"i1": "image_id", "s1": "caption", "s2": "stored_hex"}),
+        ("fidelity_lossy", q_fidelity_lossy, o_fidelity_lossy,
+         {"i1": "image_id", "s1": "caption", "s2": "fmt", "i2": "sse"}),
     ]
     batch_sketch = [
         ("hll", q_hll_distinct, o_hll_distinct,
@@ -4620,7 +4765,7 @@ _CHEAP_FIRST = [
     "audio_features", "minhash_pairs", "ngram_jaccard", "simhash",
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
-    "stream_hll", "stream_cm",
+    "fidelity_lossy", "stream_hll", "stream_cm",
 ]
 
 
@@ -4698,6 +4843,7 @@ def queries():
         "heavy_hitters": q_heavy_hitters,
         "hist_quantiles": q_hist_quantiles,
         "fidelity_roundtrip": q_fidelity_roundtrip,
+        "fidelity_lossy": q_fidelity_lossy,
         "stream_hll": q_stream_hll,
         "stream_cm": q_stream_cm,
         "repetition": q_repetition,
@@ -4789,6 +4935,7 @@ def oracle_sql():
         "heavy_hitters": o_heavy_hitters(),
         "hist_quantiles": o_hist_quantiles(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
+        "fidelity_lossy": o_fidelity_lossy(),
         "stream_hll": o_stream_hll(),
         "stream_cm": o_stream_cm(),
         "repetition": o_repetition(),
