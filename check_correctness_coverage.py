@@ -32,6 +32,7 @@ TWIN_COVERED_BY = {
     "dedup_keepers": "dedup_clusters", # keeper = argmin over CC output
     "bpe_tokens": "bpe_encode",        # regex stand-in for trained BPE
     "audio_match": "audio_match_wide", # demo alphabet of the same plan
+    "heavy_hitters_wide": "heavy_hitters",  # join regime, same oracle
 }
 
 

@@ -202,12 +202,19 @@ def cm_sketch_estimate(
     )
 
 
+# Above this many counters the literal-array lookup stalls whole-stage
+# codegen COMPILE (the measured IVF-literal cliff); the broadcast
+# semi-join regime takes over.
+HH_LITERAL_BUDGET = 2048
+
+
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
     threshold: int,
     d: int = 4,
     w: int = 256,
+    mode: str = "auto",
 ) -> DataFrame:
     """EXACT heavy hitters (support count >= threshold) with
     sketch-bounded memory — the candidates + exact-verify discipline
@@ -233,30 +240,70 @@ def heavy_hitters(
 
     NULL keys are excluded (their md5 bucket is null, so they are
     never candidates); the oracle must filter them too if the column
-    is nullable. d*w is capped at 2048 literals — beyond that Spark
-    spends seconds in whole-stage-codegen COMPILE (the measured
-    IVF-literal cliff); a wider sketch should go through the
-    counters-join shape of ``cm_sketch_estimate`` instead."""
-    if d * w > 2048:
-        raise ValueError(
-            f"d*w = {d * w} > 2048 literal budget: the lookup expression "
-            "would stall whole-stage codegen; use a wider-sketch "
-            "counters JOIN (cm_sketch_estimate shape) instead"
-        )
-    counts = {
-        (r["i"], r["b"]): r["c"]
-        for r in _cm_counters(df, value_col, d, w).collect()
-    }
-    v = f"CAST(`{value_col}` AS STRING)"
+    is nullable.
 
-    ests = []
-    for i in range(d):
-        arr = ", ".join(str(int(counts.get((i, b), 0))) + "L" for b in range(w))
-        ests.append(
-            f"element_at(array({arr}), CAST({_cm_bucket_sql(i, v, w)} + 1 AS INT))"
+    Two physical regimes behind the same contract (``mode='auto'``
+    picks by the d*w literal budget; 'literal'/'join' force):
+
+    * **literal** (d*w <= 2048): counters collected to the driver and
+      folded into ONE least-of-array-lookups expression — beyond the
+      budget Spark spends seconds in whole-stage-codegen COMPILE (the
+      measured IVF-literal cliff).
+    * **join** (any width): a key is a candidate iff ALL d of its
+      counters are >= threshold, so the filter is d chained BROADCAST
+      LEFT SEMI joins of the row's i-th bucket against the i-th hash
+      row's heavy buckets (counter >= threshold — at most w rows each,
+      for Zipfian keys a handful). Absent counters mean an empty
+      bucket (estimate 0), and the semi join drops those rows exactly
+      as the literal path's 0 lookup does. Still zero shuffles before
+      the candidate groupBy — BroadcastHashJoin LeftSemi is map-side —
+      and the broadcast is threshold-pruned, so width is unbounded
+      (w = millions is d small broadcasts, not d*w literals)."""
+    if mode not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown heavy_hitters mode {mode!r}")
+    if mode == "auto":
+        mode = "literal" if d * w <= HH_LITERAL_BUDGET else "join"
+    v = f"CAST(`{value_col}` AS STRING)"
+    if mode == "literal":
+        if d * w > HH_LITERAL_BUDGET:
+            raise ValueError(
+                f"d*w = {d * w} > {HH_LITERAL_BUDGET} literal budget: the "
+                "lookup expression would stall whole-stage codegen; use "
+                "mode='join' (threshold-pruned broadcast semi joins)"
+            )
+        counts = {
+            (r["i"], r["b"]): r["c"]
+            for r in _cm_counters(df, value_col, d, w).collect()
+        }
+        ests = []
+        for i in range(d):
+            arr = ", ".join(
+                str(int(counts.get((i, b), 0))) + "L" for b in range(w)
+            )
+            ests.append(
+                f"element_at(array({arr}), "
+                f"CAST({_cm_bucket_sql(i, v, w)} + 1 AS INT))"
+            )
+        est = F.expr("least(" + ", ".join(ests) + ")")
+        cand = df.where(est >= F.lit(threshold))
+    else:
+        # materialize once (<= d*w bounded rows) so the d semi joins
+        # don't each re-run the counting aggregation
+        heavy = (
+            _cm_counters(df, value_col, d, w)
+            .where(F.col("c") >= threshold)
+            .localCheckpoint(eager=True)
         )
-    est = F.expr("least(" + ", ".join(ests) + ")")
-    cand = df.where(est >= F.lit(threshold))
+        cand = df
+        for i in range(d):
+            hb = heavy.where(F.col("i") == i).select(
+                F.col("b").alias(f"__hb{i}")
+            )
+            cand = cand.join(
+                F.broadcast(hb),
+                F.expr(_cm_bucket_sql(i, v, w)) == F.col(f"__hb{i}"),
+                "left_semi",
+            )
     return (
         cand.groupBy(F.expr(v).alias("key"))
         .agg(F.count("*").cast("long").alias("n"))

@@ -2208,6 +2208,30 @@ FROM lineitem GROUP BY 1 HAVING count(*) >= {HH_THRESHOLD}
 """.strip()
 
 
+HH_WIDE_W = 4096
+
+
+def q_heavy_hitters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-sketch regime of exact heavy hitters: d*w = 16384
+    counters — 8x past the literal-expression codegen budget — so the
+    candidate filter runs as d threshold-pruned BROADCAST LEFT SEMI
+    joins (a key survives iff all d of its Count-Min counters >=
+    threshold; CM never underestimates, so recall is guaranteed and
+    the exact groupBy over survivors is the true answer). Same
+    algorithm-independent exhaustive oracle as the literal regime —
+    both regimes green under one oracle is the contract."""
+    from ..operators.sketches import heavy_hitters
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return heavy_hitters(
+        li, "l_partkey", HH_THRESHOLD, d=CM_D, w=HH_WIDE_W, mode="join"
+    )
+
+
+def o_heavy_hitters_wide() -> str:
+    return o_heavy_hitters()
+
+
 SNIP_MOD = 31
 
 
@@ -4765,7 +4789,7 @@ _CHEAP_FIRST = [
     "audio_features", "minhash_pairs", "ngram_jaccard", "simhash",
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
-    "fidelity_lossy", "stream_hll", "stream_cm",
+    "fidelity_lossy", "stream_hll", "stream_cm", "heavy_hitters_wide",
 ]
 
 
@@ -4841,6 +4865,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "cm_counts": q_cm_counts,
         "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_wide": q_heavy_hitters_wide,
         "hist_quantiles": q_hist_quantiles,
         "fidelity_roundtrip": q_fidelity_roundtrip,
         "fidelity_lossy": q_fidelity_lossy,
@@ -4933,6 +4958,7 @@ def oracle_sql():
         "hll_distinct": o_hll_distinct(),
         "cm_counts": o_cm_counts(),
         "heavy_hitters": o_heavy_hitters(),
+        "heavy_hitters_wide": o_heavy_hitters_wide(),
         "hist_quantiles": o_hist_quantiles(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
         "fidelity_lossy": o_fidelity_lossy(),
