@@ -410,6 +410,15 @@ def histogram_quantiles(
         .groupBy(*group_cols, bin_expr.alias("__bin"))
         .agg(F.count("*").alias("__c"))
     )
+    return _quantiles_from_bin_counts(counts, group_cols, quantiles_bp)
+
+
+def _quantiles_from_bin_counts(
+    counts: DataFrame, group_cols: list[str], quantiles_bp: tuple
+) -> DataFrame:
+    """Shared finalize for the histogram-quantile family: cumulative
+    window over a bounded per-group bin-count table + the exact integer
+    rank threshold per requested quantile."""
     from pyspark.sql import Window
 
     wspec = (
@@ -440,3 +449,32 @@ def histogram_quantiles(
         qdf = hit if qdf is None else qdf.unionByName(hit)
     out_cols = [*group_cols, "q_bp", "bin_idx", "n"]
     return qdf.select(*out_cols)
+
+
+def histogram_quantiles_log2(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantiles_bp: tuple = (2500, 5000, 7500, 9900),
+) -> DataFrame:
+    """Histogram quantiles over an UNBOUNDED non-negative integer
+    domain — the fixed-bin sketch needs a caller-known [lo, hi); this
+    variant bins by BIT LENGTH instead (bin = length(bin(v)), v=0 ->
+    bin 0), so any positive magnitude lands in one of <= 64
+    exponentially-sized bins with no prior domain knowledge and no
+    extra pass. Quantile answers are bin indices: bin b >= 1 covers
+    [2^(b-1), 2^b) — log2 resolution, the classic size-histogram
+    trade. Same mergeable one-groupBy shape and exact integer rank
+    thresholds as ``histogram_quantiles``; the bit-length is computed
+    as a string length (no libm), identical in Spark and DuckDB.
+    Negative values would need a sign-split bin family; they are
+    filtered out here and documented as unsupported."""
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("long")
+    bin_expr = F.when(v == 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    counts = (
+        df.where(v.isNotNull() & (v >= 0))
+        .groupBy(*group_cols, bin_expr.alias("__bin"))
+        .agg(F.count("*").alias("__c"))
+    )
+    return _quantiles_from_bin_counts(counts, group_cols, quantiles_bp)

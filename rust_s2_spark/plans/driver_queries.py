@@ -1840,6 +1840,48 @@ GROUP BY l_returnflag, q_bp
 """.strip()
 
 
+def q_quantiles_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-domain quantiles (operators/sketches.
+    histogram_quantiles_log2): per-returnflag p25/p50/p75/p99 of
+    l_orderkey — a positive integer column whose magnitude the caller
+    does NOT know a priori, which the fixed-[lo,hi) histogram cannot
+    serve — via bit-length (integer log2) binning. One bounded
+    mergeable groupBy, exact integer rank thresholds, bin b = value
+    range [2^(b-1), 2^b). The oracle replays the bit-length binning
+    (length(bin(v)) — identical string math in both engines), the
+    cumulative window, and the threshold argmin."""
+    from ..operators.sketches import histogram_quantiles_log2
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram_quantiles_log2(
+        li, "l_orderkey", ["l_returnflag"], quantiles_bp=HQ_QS
+    )
+
+
+def o_quantiles_log2() -> str:
+    qs = ", ".join(f"({bp})" for bp in HQ_QS)
+    return f"""
+WITH binned AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey = 0 THEN 0
+              ELSE length(bin(CAST(l_orderkey AS BIGINT))) END AS b
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey >= 0
+),
+counts AS (SELECT l_returnflag, b, count(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, b, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cm,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+),
+qs(q_bp) AS (SELECT * FROM (VALUES {qs}) t(q))
+SELECT l_returnflag, CAST(q_bp AS INT) AS q_bp,
+       CAST(min(b) AS BIGINT) AS bin_idx, CAST(max(n) AS BIGINT) AS n
+FROM cum JOIN qs ON cm >= (n * q_bp + 9999) // 10000
+GROUP BY l_returnflag, q_bp
+""".strip()
+
+
 STREAM_CM_D, STREAM_CM_W = 4, 64
 
 
@@ -4727,6 +4769,8 @@ def _suites():
          {"s1": "key", "i1": "cm_count"}),
         ("histq", q_hist_quantiles, o_hist_quantiles,
          {"s1": "l_returnflag", "i1": "q_bp", "i2": "bin_idx", "i3": "n"}),
+        ("histq_log2", q_quantiles_log2, o_quantiles_log2,
+         {"s1": "l_returnflag", "i1": "q_bp", "i2": "bin_idx", "i3": "n"}),
     ]
     stream_sketch = [
         ("s_hll", q_stream_hll, o_stream_hll,
@@ -4790,6 +4834,7 @@ _CHEAP_FIRST = [
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
     "fidelity_lossy", "stream_hll", "stream_cm", "heavy_hitters_wide",
+    "quantiles_log2",
 ]
 
 
@@ -4867,6 +4912,7 @@ def queries():
         "heavy_hitters": q_heavy_hitters,
         "heavy_hitters_wide": q_heavy_hitters_wide,
         "hist_quantiles": q_hist_quantiles,
+        "quantiles_log2": q_quantiles_log2,
         "fidelity_roundtrip": q_fidelity_roundtrip,
         "fidelity_lossy": q_fidelity_lossy,
         "stream_hll": q_stream_hll,
@@ -4960,6 +5006,7 @@ def oracle_sql():
         "heavy_hitters": o_heavy_hitters(),
         "heavy_hitters_wide": o_heavy_hitters_wide(),
         "hist_quantiles": o_hist_quantiles(),
+        "quantiles_log2": o_quantiles_log2(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
         "fidelity_lossy": o_fidelity_lossy(),
         "stream_hll": o_stream_hll(),

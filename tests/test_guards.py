@@ -77,10 +77,15 @@ def test_heavy_hitters_exact_planted(spark):
 
 
 def test_heavy_hitters_literal_budget_guard():
+    """A FORCED literal mode past the codegen budget must refuse (auto
+    mode routes wide sketches to the broadcast-semi-join regime
+    instead — see test_heavy_hitters_regimes.py)."""
     from rust_s2_spark.operators.sketches import heavy_hitters
 
     with pytest.raises(ValueError, match="literal budget"):
-        heavy_hitters(None, "k", 5, d=4, w=1024)
+        heavy_hitters(None, "k", 5, d=4, w=1024, mode="literal")
+    with pytest.raises(ValueError, match="unknown heavy_hitters mode"):
+        heavy_hitters(None, "k", 5, mode="wat")
 
 
 def test_histogram_quantiles_planted(spark):
@@ -107,3 +112,33 @@ def test_histogram_quantiles_planted(spark):
     assert out[("s", 2500)] == (7, 100)
     assert out[("s", 5000)] == (7, 100)
     assert out[("s", 9900)] == (93, 100)
+
+
+def test_histogram_quantiles_log2_planted(spark):
+    """Bit-length binning over a domain spanning six decades — no
+    caller-known [lo, hi): bin(v) = bit_length(v), so the planted
+    quantiles land in exactly-known exponential bins; zeros take bin 0
+    and negatives are filtered (documented unsupported)."""
+    from rust_s2_spark.operators.sketches import histogram_quantiles_log2
+
+    # 40 small (7 -> bin 3), 40 medium (1000 -> bin 10),
+    # 19 large (10^6 -> bin 20), 1 huge (10^12 -> bin 40)
+    rows = [(7,)] * 40 + [(1000,)] * 40 + [(10**6,)] * 19 + [(10**12,)]
+    rows += [(-5,)] * 10  # filtered out, must not shift ranks
+    df = spark.createDataFrame(rows, "v long")
+    out = {
+        r.q_bp: (r.bin_idx, r.n)
+        for r in histogram_quantiles_log2(
+            df, "v", quantiles_bp=(2500, 5000, 7500, 9900, 10000)
+        ).collect()
+    }
+    assert out[2500] == (3, 100)
+    assert out[5000] == (10, 100)   # rank 50 is in the medium block
+    assert out[7500] == (10, 100)
+    assert out[9900] == (20, 100)
+    assert out[10000] == (40, 100)  # the max lives in bin 40
+    # zero handling: bin 0
+    z = histogram_quantiles_log2(
+        spark.createDataFrame([(0,)] * 4, "v long"), "v", quantiles_bp=(5000,)
+    ).collect()
+    assert (z[0].bin_idx, z[0].n) == (0, 4)
