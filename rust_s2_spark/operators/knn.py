@@ -210,3 +210,222 @@ def knn_join(
     for p in persisted:
         p.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# DataFrame-native query side: the probe set is itself a (possibly huge)
+# DataFrame — millions of rows — so NOTHING per-query may touch the
+# driver. Ring explode happens executor-side (s2_all_neighbors pandas
+# UDF over the vectorized kernel), the parent equi-join co-locates with
+# the fact table's cell partitioning, and widening retries only the
+# unresolved probes via a left_anti join on the resolved-id set. The
+# only driver-side values per round are two scalars (pending count /
+# round index); reference parity: same exactness contract as knn_join
+# (point_index.rs kNN semantics), different orchestration shape.
+
+
+def _attempt_ranked_df(
+    df: DataFrame,
+    pending: DataFrame,
+    lvl: int,
+    kk: int,
+    lat_col: str,
+    lng_col: str,
+    id_col: str,
+    query_id_col: str,
+    qlat_col: str,
+    qlng_col: str,
+) -> DataFrame:
+    """One widening attempt, fully relational: explode each pending
+    probe's candidate ring (own cell + 3×3 neighbors at ``lvl``; all six
+    faces at level 0), equi-join the fact table on parent-at-lvl, score
+    chord², keep window rank ≤ kk. Exposed standalone so the plan test
+    can pin that the probe side is a real scan (no LocalTableScan /
+    driver materialization)."""
+    from ..functions import s2_all_neighbors, s2_cell_from_latlng
+
+    if lvl <= 0:
+        faces = k.from_face(np.arange(6, dtype=np.uint64)).view(np.int64)
+        ring = F.array(*[F.lit(int(c)) for c in faces])
+    else:
+        qparent = s2_parent(
+            s2_cell_from_latlng(F.col(qlat_col), F.col(qlng_col)), lvl
+        )
+        ring = F.array_union(
+            F.array(qparent), s2_all_neighbors(qparent, lvl)
+        )
+    cand = pending.select(
+        query_id_col, qlat_col, qlng_col, F.explode(ring).alias("__cand_cell")
+    )
+    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
+    px, py, pz = xyz_cols(lat_col, lng_col)
+    j = df.withColumn("__pcell", s2_parent("cell_id", lvl)).join(
+        cand, F.col("__pcell") == F.col("__cand_cell"), "inner"
+    )
+    scored = j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist_chord2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(query_id_col, "rank", id_col, "dist_chord2")
+    )
+
+
+def knn_join_df(
+    df: DataFrame,
+    queries: DataFrame,
+    kk: int,
+    radius_guess_deg: float = 1.0,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    id_col: str = "image_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlng_col: str = "qlng",
+    max_widen: int = 12,
+) -> DataFrame:
+    """(query_id, rank, image_id, dist_chord2) of the exact k nearest
+    fact rows per probe ROW of ``queries`` — the large-probe-set twin of
+    ``knn_join``. Deterministic tie-break on id.
+
+    Exactness: identical widening contract to ``knn_join`` — a probe is
+    final only when it holds ≥ k results whose k-th distance fits inside
+    the ring's guaranteed coverage (_safe_chord2); otherwise the ring
+    coarsens by three levels and ONLY unresolved probes (left_anti on
+    the resolved ids) retry. Level 0 covers the sphere, so termination
+    is unconditional.
+
+    Skew (north rule — dense city cells): a coarse uniform start level
+    makes every city probe join its ENTIRE city cell (quadratic in city
+    rows). Instead the start level is density-adaptive: one bounded agg
+    over the fact table's level-7 parents yields total count, hottest
+    cell, and the hot-cell list (threshold-bounded, ≤ ~512 entries);
+    probes whose 3×3 detection ring touches a hot cell start fine
+    enough that a hot cell holds ~8k rows, everyone else starts at the
+    global-density level. Start level is pure performance — the
+    resolution contract makes any choice exact.
+
+    Scale: per round ≤ 2 shuffle equi-joins on the parent cell (one per
+    active start class; AQE broadcasts the exploded probe side once
+    pending is small) + windows on query_id. Driver traffic = the
+    bounded hot-cell stats up front and one scalar per round, however
+    many probe rows there are.
+    """
+    L_DET = 7
+    target = 8 * kk
+    cnts = (
+        df.groupBy(s2_parent("cell_id", L_DET).alias("__p")).count().persist()
+    )
+    tot_row = cnts.agg(
+        F.sum("count").alias("n"), F.max("count").alias("mx")
+    ).first()
+    n_tot = int(tot_row["n"] or 0)
+    max_cnt = int(tot_row["mx"] or 0)
+    if n_tot == 0:
+        lvl_typ = metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg))
+    else:
+        # coarsest level where a typical 3×3 ring expects ≥ target rows
+        lvl_typ = int(math.floor(math.log(max(1.0, 9 * n_tot / (6 * target)), 4)))
+    lvl_typ = max(0, min(30, lvl_typ))
+    hot_thresh = max(target, n_tot // 512)  # bounds the hot list at ~512
+    hot = [
+        int(r["__p"]) for r in cnts.where(F.col("count") > hot_thresh).collect()
+    ]
+    cnts.unpersist()
+    if hot and max_cnt > target:
+        extra = int(math.ceil(math.log(max_cnt / target, 4)))
+        lvl_dense = max(lvl_typ, min(30, L_DET + extra))
+    else:
+        hot, lvl_dense = [], lvl_typ
+
+    from ..functions import s2_all_neighbors, s2_cell_from_latlng
+
+    base = queries.select(query_id_col, qlat_col, qlng_col)
+    if hot and lvl_dense != lvl_typ:
+        qdet = s2_parent(
+            s2_cell_from_latlng(F.col(qlat_col), F.col(qlng_col)), L_DET
+        )
+        ring_det = F.array_union(F.array(qdet), s2_all_neighbors(qdet, L_DET))
+        is_dense = F.arrays_overlap(
+            ring_det, F.array(*[F.lit(c) for c in hot])
+        )
+        base = base.withColumn(
+            "__lvl0",
+            F.when(is_dense, F.lit(lvl_dense)).otherwise(F.lit(lvl_typ)),
+        )
+    else:
+        base = base.withColumn("__lvl0", F.lit(lvl_typ))
+
+    pending = base.persist()
+    persisted: list[DataFrame] = [pending]
+    resolved: DataFrame | None = None
+    all_starts = sorted({lvl_dense, lvl_typ}, reverse=True)
+    attempt = 0
+    while True:
+        # per-class pending counts: ≤ 2 rows to the driver, and lets a
+        # round skip classes that fully resolved in an earlier round
+        cls = {
+            int(r["__lvl0"]): int(r["n"])
+            for r in pending.groupBy("__lvl0").agg(F.count("*").alias("n")).collect()
+        }
+        active = [s for s in all_starts if cls.get(s, 0) > 0]
+        if not active:
+            break
+        # classes whose widened level collides share one branch
+        by_cur: dict[int, list[int]] = {}
+        for s in active:
+            by_cur.setdefault(max(0, s - 3 * attempt), []).append(s)
+        branches: list[tuple[int, DataFrame, DataFrame]] = []
+        for cur, ss in sorted(by_cur.items(), reverse=True):
+            pend_s = (
+                pending
+                if len(ss) == len(active)
+                else pending.where(F.col("__lvl0").isin(ss))
+            )
+            ranked_s = _attempt_ranked_df(
+                df, pend_s, cur, kk,
+                lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
+            ).persist()
+            persisted.append(ranked_s)
+            branches.append((cur, pend_s, ranked_s))
+        done_round = all(
+            cur == 0 for cur, _, _ in branches
+        ) or attempt >= max_widen
+        ok: DataFrame | None = None
+        for cur, pend_s, ranked_s in branches:
+            if cur == 0 or attempt >= max_widen:
+                ok_s = pend_s.select(query_id_col)
+            else:
+                safe = _safe_chord2(cur)
+                ok_s = (
+                    ranked_s.groupBy(query_id_col)
+                    .agg(
+                        F.count("*").alias("__n"),
+                        F.max("dist_chord2").alias("__dmax"),
+                    )
+                    .where((F.col("__n") >= kk) & (F.col("__dmax") <= F.lit(safe)))
+                    .select(query_id_col)
+                )
+            ok = ok_s if ok is None else ok.unionByName(ok_s)
+            slice_df = ranked_s.join(ok_s, query_id_col, "left_semi")
+            resolved = (
+                slice_df if resolved is None else resolved.unionByName(slice_df)
+            )
+        if done_round:
+            break
+        ok = ok.persist()
+        persisted.append(ok)
+        pending = pending.join(ok, query_id_col, "left_anti").persist()
+        persisted.append(pending)
+        attempt += 1
+    out = resolved.select(
+        query_id_col,
+        F.col("rank").cast("int").alias("rank"),
+        id_col,
+        "dist_chord2",
+    ).localCheckpoint(eager=True)  # ≤ |probes|·k rows; frees the caches below
+    for p in persisted:
+        p.unpersist()
+    return out

@@ -393,6 +393,82 @@ FROM scored WHERE rank <= {KNN_K}
 """.strip()
 
 
+KNN_DF_K = 3
+KNN_DF_MOD = 3  # probes = images with id % 3 < 2 → 2/3 of the table
+# chord² prefilter for the oracle's exactness proof: ~3° angular radius
+KNN_DF_T = 2.74e-3
+
+
+def q_knn_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join with a DATAFRAME probe side (10⁴ rows at sf0.01): every
+    image with id % 3 < 2 probes for its 3 nearest images (itself
+    included — rank 1 at distance 0 is part of the contract). No probe
+    row ever reaches the driver: candidate rings explode executor-side
+    and widening retries unresolved probes via left_anti
+    (operators/knn.py knn_join_df). Reference parity: the same
+    point_index kNN semantics as `knn`, at probe-table scale."""
+    from ..operators.knn import knn_join_df
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    probes = img.where(iid % KNN_DF_MOD < KNN_DF_MOD - 1).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    out = knn_join_df(img, probes, KNN_DF_K, radius_guess_deg=2.0)
+    return out.select(
+        "query_id", "rank", F.col("image_id").cast("long").alias("image_id")
+    )
+
+
+def o_knn_df() -> str:
+    """Exact oracle at 10⁴ probes without an O(n·m) window: pairs are
+    prefiltered to chord² ≤ T (with the implied latitude band as a
+    range-join conjunct), and a probe's top-k is taken from the filtered
+    set ONLY when the set proves coverage (≥ k candidates inside the
+    ball ⟹ the true top-k all lie inside it); the rare probes that fail
+    the proof fall back to the full scan. Exact by construction for any
+    data distribution."""
+    import math as _m
+
+    theta = _m.degrees(2 * _m.asin(_m.sqrt(KNN_DF_T) / 2)) + 1e-9
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS image_id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+q AS (SELECT image_id AS query_id, lat AS qlat, x AS qx, y AS qy, z AS qz
+      FROM pts WHERE image_id % {KNN_DF_MOD} < {KNN_DF_MOD - 1}),
+near AS (
+  SELECT q.query_id, i.image_id,
+         pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) AS d2
+  FROM pts i, q
+  WHERE i.lat BETWEEN q.qlat - {theta!r} AND q.qlat + {theta!r}
+    AND pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) <= {KNN_DF_T!r}
+),
+qual AS (SELECT query_id FROM near GROUP BY query_id HAVING count(*) >= {KNN_DF_K}),
+near_rank AS (
+  SELECT query_id, image_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+  FROM near WHERE query_id IN (SELECT query_id FROM qual)
+),
+fb AS (
+  SELECT q.query_id, i.image_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) ASC,
+                                     i.image_id ASC) AS rank
+  FROM pts i, q
+  WHERE q.query_id NOT IN (SELECT query_id FROM qual)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, image_id FROM near_rank WHERE rank <= {KNN_DF_K}
+UNION ALL
+SELECT query_id, CAST(rank AS INT) AS rank, image_id FROM fb WHERE rank <= {KNN_DF_K}
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # 10-15: training-data operators (documents)
 
@@ -2222,6 +2298,53 @@ FROM img JOIN sse ON img.image_id = sse.image_id
 UNION ALL
 SELECT image_id, caption, 'raw' AS fmt, CAST(0 AS BIGINT) AS sse
 FROM img WHERE image_id % {QDCT_FID_MOD} <> 0
+""".strip()
+
+
+SKEW_LEVEL = 7  # city boxes (±0.2°) fit 1-4 level-7 cells (~0.7°)
+SKEW_SALT = 8
+
+
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-skew RESULT-INVARIANCE gate (north_rule: 'skew from
+    dense cells (cities)'): the images corpus plants ~30% of rows in
+    three city hotspots; ``hot_cells`` detects the dense level-7
+    parents FROM THE DATA (threshold = 2% of rows), and
+    ``salted_repartition`` spreads only those cells over 8 salt
+    buckets while cold cells keep their Hilbert locality. The output
+    aggregation (per-city integer stats) is partitioning-independent
+    and the oracle knows nothing about cells or salt — identical
+    results prove the skew machinery is pure layout, zero semantics.
+    The wall-clock tail-task win is the bench pair
+    skew_salted/skew_unsalted; the partition-balance property is
+    pinned in tests/test_skew.py."""
+    from ..plans.skew import salted_repartition
+
+    img = _images(spark, sf_dir)
+    n = img.count()
+    salted = salted_repartition(
+        img,
+        level=SKEW_LEVEL,
+        threshold=max(1, n // 50),
+        n_partitions=32,
+        n_salt=SKEW_SALT,
+    )
+    key = F.col("image_id").cast("long")
+    city = F.when(key % 10 < 3, key % 10).otherwise(F.lit(-1))
+    return salted.groupBy(city.cast("long").alias("city")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("phash") % F.lit(1000003)).cast("long").alias("sum_phash_mod"),
+    )
+
+
+def o_skew_salted() -> str:
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT CASE WHEN CAST(image_id AS BIGINT) % 10 < 3
+            THEN CAST(image_id AS BIGINT) % 10 ELSE -1 END AS city,
+       count(*) AS n,
+       CAST(sum(phash % 1000003) AS BIGINT) AS sum_phash_mod
+FROM img GROUP BY 1
 """.strip()
 
 
@@ -4760,6 +4883,8 @@ def _suites():
          {"i1": "image_id", "s1": "caption", "s2": "stored_hex"}),
         ("fidelity_lossy", q_fidelity_lossy, o_fidelity_lossy,
          {"i1": "image_id", "s1": "caption", "s2": "fmt", "i2": "sse"}),
+        ("skew_salted", q_skew_salted, o_skew_salted,
+         {"i1": "city", "i2": "n", "i3": "sum_phash_mod"}),
     ]
     batch_sketch = [
         ("hll", q_hll_distinct, o_hll_distinct,
@@ -4819,7 +4944,7 @@ _CHEAP_FIRST = [
     "image_neardup", "region_join_1k", "winnow", "bpe_encode",
     "bpe_train", "stream_sessions", "stream_rollup", "dedup_clusters",
     "ivf_topk_trained", "phash_hamming", "pip_polygon",
-    "traj_crossings", "dedup_vote", "pq_topk", "knn", "stream_dedup",
+    "traj_crossings", "dedup_vote", "pq_topk", "knn_df", "stream_dedup",
     "stream_sketch_suite", "ivf_pq_topk", "lsh_recall", "stream_spatial_join",
     "covering_tokens", "heavy_hitters",
     # ---- 51+: suite components and twins (covered above) ----
@@ -4834,7 +4959,7 @@ _CHEAP_FIRST = [
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
     "fidelity_lossy", "stream_hll", "stream_cm", "heavy_hitters_wide",
-    "quantiles_log2",
+    "quantiles_log2", "skew_salted", "knn",
 ]
 
 
@@ -4858,6 +4983,7 @@ def queries():
         "face_histogram": q_face_histogram,
         "cap_count": q_cap_count,
         "knn": q_knn,
+        "knn_df": q_knn_df,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4915,6 +5041,7 @@ def queries():
         "quantiles_log2": q_quantiles_log2,
         "fidelity_roundtrip": q_fidelity_roundtrip,
         "fidelity_lossy": q_fidelity_lossy,
+        "skew_salted": q_skew_salted,
         "stream_hll": q_stream_hll,
         "stream_cm": q_stream_cm,
         "repetition": q_repetition,
@@ -4952,6 +5079,7 @@ def oracle_sql():
         "face_histogram": o_face_histogram(),
         "cap_count": o_cap_count(),
         "knn": o_knn(),
+        "knn_df": o_knn_df(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),
@@ -5009,6 +5137,7 @@ def oracle_sql():
         "quantiles_log2": o_quantiles_log2(),
         "fidelity_roundtrip": o_fidelity_roundtrip(),
         "fidelity_lossy": o_fidelity_lossy(),
+        "skew_salted": o_skew_salted(),
         "stream_hll": o_stream_hll(),
         "stream_cm": o_stream_cm(),
         "repetition": o_repetition(),

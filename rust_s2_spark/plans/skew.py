@@ -51,11 +51,18 @@ def salted_repartition(
     n_salt: int = 8,
     cell_col: str = "cell_id",
     salt_source: str = "image_id",
+    hot: list[int] | None = None,
 ) -> DataFrame:
     """Repartition by (parentL, salt): salt is nonzero only for hot
     cells, so cold cells stay contiguous while city cells spread over
-    ``n_salt`` partitions."""
-    hot = list(hot_cells(df, level, threshold, cell_col).keys())
+    ``n_salt`` partitions.
+
+    ``hot`` short-circuits the detection pass with a precomputed
+    hot-cell list (``hot_cells`` output keys): at scale the density
+    stats are table metadata computed once per dataset and reused by
+    every downstream job, not re-scanned per query."""
+    if hot is None:
+        hot = list(hot_cells(df, level, threshold, cell_col).keys())
     parent = s2_parent(cell_col, level)
     salt = F.when(
         parent.isin(hot) if hot else F.lit(False),

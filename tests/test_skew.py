@@ -38,6 +38,33 @@ def test_salted_repartition_balances(images, spark):
     assert max(counts) < 2.0 * (n / len(counts))
 
 
+def test_salted_beats_unsalted_tail_and_preserves_rows(images):
+    """The planted-city tail: partitioning by the raw parent pins each
+    city cell (~8-10% of rows) to one partition; the salted layout must
+    strictly shrink the max partition AND change no row content (the
+    result-invariance the skew_salted driver query gates end to end)."""
+    n = images.count()
+    parent = s2_parent("cell_id", 5)
+    unsalted = images.repartition(16, parent)
+    mx_un = max(
+        r["count"]
+        for r in unsalted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    salted = salted_repartition(images, level=5, threshold=n // 20, n_partitions=16)
+    mx_s = max(
+        r["count"]
+        for r in salted.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    # a city is ~8% of rows → the unsalted max partition carries at
+    # least one whole city plus whatever cold cells hash with it
+    assert mx_un >= 0.08 * n
+    assert mx_s < mx_un
+    # row multiset unchanged: same count and same key checksum
+    chk = F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+    assert salted.agg(chk).first()[0] == images.agg(chk).first()[0]
+    assert salted.count() == n
+
+
 def test_adaptive_split_bounds_work_units(images):
     cap = Cap.from_latlng_degrees(40.7128, -74.0060, 5.0)
     rc = RegionCoverer(min_level=0, max_level=30, level_mod=1, max_cells=12)
