@@ -140,8 +140,15 @@ unit = st.floats(min_value=-1.0, max_value=1.0, allow_nan=False)
 
 
 def _norm(v):
-    n = math.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
-    return (v[0] / n, v[1] / n, v[2] / n) if n > 0 else None
+    # rescale by max-abs first: squaring a ~1e-160 component underflows
+    # to subnormal and sqrt() then returns a half-precision norm, so the
+    # "normalized" vector violates face_segments' unit-length contract
+    m = max(abs(v[0]), abs(v[1]), abs(v[2]))
+    if m == 0.0 or not math.isfinite(m):
+        return None
+    w = (v[0] / m, v[1] / m, v[2] / m)
+    n = math.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
+    return (w[0] / n, w[1] / n, w[2] / n)
 
 
 def _angle(p, q):
