@@ -79,6 +79,7 @@ def images_from_orders(
     with_bytes: bool = True,
     partition_level: int = 5,
     multiplier: int = 1,
+    n_splits: int | None = None,
 ) -> DataFrame:
     """Build the images table from the driver's orders parquet.
 
@@ -87,12 +88,17 @@ def images_from_orders(
     ``multiplier`` replicates rows with distinct derived keys — used by
     the bench scaling run to get a working set big enough that per-core
     work dominates scheduling overhead.
+    ``n_splits`` pins the input partition count regardless of cluster
+    size — on a real table the split count is a property of the DATA
+    layout, not of how many executors read it, so scaling comparisons
+    (the north-rule N→4N proxy) must hold it constant or the small
+    cluster gets systematically coarser tasks.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # the driver testdata is one parquet file = one input partition;
     # spread the keys so the encode UDF uses every core
-    par = spark.sparkContext.defaultParallelism
-    if orders.rdd.getNumPartitions() < par:
+    par = n_splits or spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() != par:
         orders = orders.repartition(par)
     if multiplier > 1:
         orders = orders.select(
