@@ -313,6 +313,15 @@ def knn_join_df(
     bounded hot-cell stats up front and one scalar per round, however
     many probe rows there are.
     """
+    lvl_radius = max(
+        0, min(30, metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg)))
+    )
+    empty_out = df.select(
+        F.lit(0).cast("long").alias(query_id_col),
+        F.lit(0).cast("int").alias("rank"),
+        F.col(id_col),
+        F.lit(0.0).alias("dist_chord2"),
+    ).limit(0)
     L_DET = 7
     target = 8 * kk
     cnts = (
@@ -324,10 +333,14 @@ def knn_join_df(
     n_tot = int(tot_row["n"] or 0)
     max_cnt = int(tot_row["mx"] or 0)
     if n_tot == 0:
-        lvl_typ = metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg))
+        lvl_typ = lvl_radius
     else:
-        # coarsest level where a typical 3×3 ring expects ≥ target rows
+        # coarsest level where a typical 3×3 ring expects ≥ target rows;
+        # the caller's radius guess is honored as a FLOOR on fineness —
+        # "my neighbors are within r" means never start coarser than the
+        # level whose cell width covers r (knn_join's seed semantics)
         lvl_typ = int(math.floor(math.log(max(1.0, 9 * n_tot / (6 * target)), 4)))
+        lvl_typ = max(lvl_typ, lvl_radius)
     lvl_typ = max(0, min(30, lvl_typ))
     hot_thresh = max(target, n_tot // 512)  # bounds the hot list at ~512
     hot = [
@@ -420,6 +433,10 @@ def knn_join_df(
         pending = pending.join(ok, query_id_col, "left_anti").persist()
         persisted.append(pending)
         attempt += 1
+    if resolved is None:  # empty probe DataFrame — knn_join's contract
+        for p in persisted:
+            p.unpersist()
+        return empty_out
     out = resolved.select(
         query_id_col,
         F.col("rank").cast("int").alias("rank"),

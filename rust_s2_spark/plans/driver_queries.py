@@ -2173,19 +2173,14 @@ def _stored_lossy_images_path(spark: SparkSession, sf_dir: str) -> str:
 
     def build():
         from ..operators.multimodal import encode_images_qdct
-        from ..sources.images import images_from_orders
+        from ..sources.images import images_from_orders, layout_write
 
         imgs = images_from_orders(spark, sf_dir, with_bytes=True)
         key = F.col("image_id").cast("long")
         lossy = encode_images_qdct(imgs.where(key % QDCT_FID_MOD == 0))
         mixed = imgs.where(key % QDCT_FID_MOD != 0).unionByName(lossy)
         path = tempfile.mkdtemp(prefix="s2fidq_") + "/images"
-        (
-            mixed.repartitionByRange(64, "cell_id_biased")
-            .sortWithinPartitions("cell_id_biased")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        layout_write(mixed, path)
         return path
 
     return _memo(spark, sf_dir, "fidelity_lossy_images_path", build)
@@ -2318,16 +2313,28 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     The wall-clock tail-task win is the bench pair
     skew_salted/skew_unsalted; the partition-balance property is
     pinned in tests/test_skew.py."""
+    from ..functions import s2_parent as _sp
     from ..plans.skew import salted_repartition
 
     img = _images(spark, sf_dir)
-    n = img.count()
+    # ONE parent-cell aggregation yields both the total (threshold
+    # denominator) and the per-cell counts (hot list) — the knn_join_df
+    # one-pass shape; a separate img.count() would be a redundant scan
+    cell_counts = {
+        int(r["p"]): int(r["n"])
+        for r in img.groupBy(_sp("cell_id", SKEW_LEVEL).alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n = sum(cell_counts.values())
+    hot = [c for c, cnt in cell_counts.items() if cnt > max(1, n // 50)]
     salted = salted_repartition(
         img,
         level=SKEW_LEVEL,
         threshold=max(1, n // 50),
         n_partitions=32,
         n_salt=SKEW_SALT,
+        hot=hot,
     )
     key = F.col("image_id").cast("long")
     city = F.when(key % 10 < 3, key % 10).otherwise(F.lit(-1))

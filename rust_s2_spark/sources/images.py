@@ -95,11 +95,18 @@ def images_from_orders(
     cluster gets systematically coarser tasks.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    # the driver testdata is one parquet file = one input partition;
-    # spread the keys so the encode UDF uses every core
-    par = n_splits or spark.sparkContext.defaultParallelism
-    if orders.rdd.getNumPartitions() != par:
-        orders = orders.repartition(par)
+    if n_splits:
+        # explicit layout: pin the split count exactly (both coalesce
+        # and spread), whatever the cluster size
+        if orders.rdd.getNumPartitions() != n_splits:
+            orders = orders.repartition(n_splits)
+    else:
+        # default: the driver testdata is one parquet file = one input
+        # partition; spread the keys so the encode UDF uses every core.
+        # Never coalesce an input that already has more splits.
+        par = spark.sparkContext.defaultParallelism
+        if orders.rdd.getNumPartitions() < par:
+            orders = orders.repartition(par)
     if multiplier > 1:
         orders = orders.select(
             "o_orderkey",
@@ -278,6 +285,31 @@ def images_near_dup_corpus(
     )
 
 
+def layout_transform(
+    df: DataFrame, n_buckets: int = 64, sort_col: str = "cell_id_biased"
+) -> DataFrame:
+    """THE production layout: range-partition + sort by the biased cell
+    id (Iceberg sort-order stand-in). Single definition shared by
+    write_images_table, the lossy-fidelity gate
+    (plans/driver_queries._stored_lossy_images_path), and
+    tools/write_axis_decompose.py, so what the gates exercise IS the
+    production write path."""
+    return df.repartitionByRange(n_buckets, sort_col).sortWithinPartitions(
+        sort_col
+    )
+
+
+def layout_write(
+    df: DataFrame,
+    out_path: str,
+    n_buckets: int = 64,
+    sort_col: str = "cell_id_biased",
+) -> None:
+    layout_transform(df, n_buckets, sort_col).write.mode("overwrite").parquet(
+        out_path
+    )
+
+
 def write_images_table(
     spark: SparkSession,
     sf_dir: str,
@@ -308,12 +340,7 @@ def write_images_table(
         staging = f"{out_path}__staging"
         df.write.mode("overwrite").parquet(staging)
         df = spark.read.parquet(staging)
-    (
-        df.repartitionByRange(n_buckets, "cell_id_biased")
-        .sortWithinPartitions("cell_id_biased")
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
+    layout_write(df, out_path, n_buckets)
 
 
 def read_images_table(spark: SparkSession, path: str) -> DataFrame:

@@ -73,6 +73,14 @@ def test_exact_vs_brute_force_self_probes(images, probes):
     assert got.equals(want)
 
 
+def test_empty_probe_set(spark, images, probes):
+    """Empty probe DataFrame → empty result with the full schema (the
+    knn_join contract; regression: used to raise AttributeError)."""
+    out = knn_join_df(images, probes.limit(0), 3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "rank", "image_id", "dist_chord2"}
+
+
 def test_probe_side_not_driver_materialized(images, probes):
     """The plan pin VERDICT r6 asked for: one widening attempt's
     physical plan must carry the probe side as a real scan/exchange —

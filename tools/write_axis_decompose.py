@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import make_spark  # noqa: E402
+from rust_s2_spark.sources.images import layout_transform  # noqa: E402
 
 
 def timed_min(fn, repeats=3):
@@ -63,25 +64,12 @@ def main():
         df().write.format("noop").mode("overwrite").save()
 
     def layout_noop():
-        (
-            df()
-            .repartitionByRange(64, "cell_id_biased")
-            .sortWithinPartitions("cell_id_biased")
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
+        layout_transform(df()).write.format("noop").mode("overwrite").save()
 
     tmp = tempfile.mkdtemp(prefix="s2wdec_")
 
     def layout_full():
-        (
-            df()
-            .repartitionByRange(64, "cell_id_biased")
-            .sortWithinPartitions("cell_id_biased")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/images")
-        )
+        layout_transform(df()).write.mode("overwrite").parquet(f"{tmp}/images")
 
     out = {"cores": cores, "rows": n}
     out["encode"] = round(timed_min(encode), 3)
