@@ -205,6 +205,16 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: knn_join_df(img, probes_df, 3, radius_guess_deg=2.0).count()
     )
 
+    # fixed-radius twin: same probe table, all facts within 0.8 deg —
+    # one ring round, one equi-join (aggregate forces the exact filter)
+    from rust_s2_spark.operators.covering_join import within_distance_join_df
+
+    out["within_distance_df"], _ = timed(
+        lambda: within_distance_join_df(img, probes_df, 0.8)
+        .agg(F.sum(F.col("image_id").cast("long") % 1000003))
+        .collect()
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if mult > 1:
         docs = _scale_docs(docs, mult).localCheckpoint(eager=True)

@@ -37,6 +37,10 @@ TWIN_COVERED_BY = {
     # knn_join == knn_join_df on identical probes, so the recorded
     # 10^4-probe gate transitively gates the driver-list shape
     "knn": "knn_df",
+    # same ring+chord kernels and threshold as the recorded self-join;
+    # test_within_distance_df.py pins the two orchestrations produce
+    # the identical pair set in the self configuration
+    "within_distance_df": "within_distance",
 }
 
 

@@ -380,3 +380,71 @@ def within_distance_pairs(
         .select(F.col("pid").alias("a"), F.col("qid").alias("b"))
         .distinct()
     )
+
+
+def within_distance_join_df(
+    df: DataFrame,
+    probes: DataFrame,
+    radius_deg: float,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlng_col: str = "qlng",
+) -> DataFrame:
+    """Two-table within-distance join with a DATAFRAME probe side:
+    (query_id, image_id, dist_chord2) for every fact row within
+    ``radius_deg`` of every probe ROW — the cross-table counterpart of
+    ``within_distance_pairs`` and the fixed-radius counterpart of
+    ``knn_join_df`` (reference semantics: point_index range query).
+
+    Same ring guarantee, ONE round, no widening: level L is the finest
+    whose min cell width covers the radius, so every qualifying fact
+    lies in the probe's own level-L cell or its ≤8-neighbor ring. The
+    probe side explodes its ring executor-side (pandas-UDF kernels);
+    the fact side computes one native parent column; candidates are ONE
+    equi-join on the cell key (shuffle co-locatable with the table's
+    cell partitioning, AQE-broadcastable when the probe side is small,
+    salt-able if skewed); the exact chord² predicate keeps true pairs.
+    A (probe, fact) pair can match only once — the fact has ONE parent
+    cell and the ring targets are distinct — so no dedup pass exists.
+    """
+    import math as _math
+
+    from ..functions import (
+        chord2_expr,
+        s2_all_neighbors,
+        s2_cell_from_latlng,
+        s2_parent,
+        xyz_cols,
+    )
+    from ..kernels import metric as metrics
+
+    rad = _math.radians(radius_deg)
+    lvl = max(0, min(30, metrics.MIN_WIDTH.max_level(rad)))
+    s = 2.0 * _math.sin(0.5 * min(rad, _math.pi))
+    chord2_max = s * s
+
+    if lvl == 0:
+        faces = [int(x) for x in k.from_face(np.arange(6)).view(np.int64)]
+        ring = F.array(*[F.lit(f) for f in faces])
+    else:
+        qparent = s2_parent(
+            s2_cell_from_latlng(F.col(qlat_col), F.col(qlng_col)), lvl
+        )
+        ring = F.array_union(F.array(qparent), s2_all_neighbors(qparent, lvl))
+    cand = probes.select(
+        query_id_col, qlat_col, qlng_col, F.explode(ring).alias("__tcell")
+    )
+    facts = df.withColumn("__pcell", s2_parent(cell_col, lvl))
+    j = facts.join(cand, F.col("__pcell") == F.col("__tcell"), "inner")
+    px, py, pz = xyz_cols(lat_col, lng_col)
+    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
+    d2 = chord2_expr(px, py, pz, qx, qy, qz)
+    return (
+        j.withColumn("dist_chord2", d2)
+        .where(F.col("dist_chord2") <= F.lit(chord2_max))
+        .select(query_id_col, id_col, "dist_chord2")
+    )

@@ -2920,6 +2920,64 @@ WHERE l.id < r.id AND {d2} <= {chord2_max!r}
 """.strip()
 
 
+WDDF_MOD = 7
+WDDF_RADIUS_DEG = 0.8
+
+
+def q_within_distance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table within-distance join with a DataFrame probe side
+    (covering_join.within_distance_join_df): every 1-in-7 image probes
+    for ALL images (full table) within 0.8°; output aggregated per
+    probe (pair count + id checksum) so the gate covers the full pair
+    set without materializing it in the artifact. Single ring round at
+    the radius-derived level, one equi-join, zero driver traffic.
+    Oracle = exhaustive scan with the same chord² threshold, so the
+    ring coverage guarantee is verified, not assumed."""
+    from ..operators.covering_join import within_distance_join_df
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    probes = img.where(iid % WDDF_MOD == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    pairs = within_distance_join_df(img, probes, WDDF_RADIUS_DEG)
+    return pairs.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+        .cast("long")
+        .alias("sum_id_mod"),
+    )
+
+
+def o_within_distance_df() -> str:
+    rad = math.radians(WDDF_RADIUS_DEG)
+    s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+    chord2_max = s * s
+    # latitude band implied by the chord² bound — wrap-free, lets
+    # DuckDB run an IEJoin instead of a filtered cross product
+    theta = math.degrees(rad) + 1e-9
+    d2 = (
+        "(pow(r.x-l.x,2) + pow(r.y-l.y,2) + pow(r.z-l.z,2))"
+    )
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+q AS (SELECT * FROM pts WHERE id % {WDDF_MOD} = 0)
+SELECT l.id AS query_id, count(*) AS n,
+       CAST(sum(r.id % 1000003) AS BIGINT) AS sum_id_mod
+FROM q l, pts r
+WHERE r.lat BETWEEN l.lat - {theta!r} AND l.lat + {theta!r}
+  AND {d2} <= {chord2_max!r}
+GROUP BY l.id
+""".strip()
+
+
 def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native haversine distance column (functions.s2_latlng_distance,
     ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
@@ -4966,7 +5024,7 @@ _CHEAP_FIRST = [
     "roundtrip_scale", "golden_parent_level", "golden_latlng",
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
     "fidelity_lossy", "stream_hll", "stream_cm", "heavy_hitters_wide",
-    "quantiles_log2", "skew_salted", "knn",
+    "quantiles_log2", "skew_salted", "knn", "within_distance_df",
 ]
 
 
@@ -4991,6 +5049,7 @@ def queries():
         "cap_count": q_cap_count,
         "knn": q_knn,
         "knn_df": q_knn_df,
+        "within_distance_df": q_within_distance_df,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5087,6 +5146,7 @@ def oracle_sql():
         "cap_count": o_cap_count(),
         "knn": o_knn(),
         "knn_df": o_knn_df(),
+        "within_distance_df": o_within_distance_df(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),

@@ -1,0 +1,133 @@
+"""within_distance_join_df: exactness vs brute force, orchestration
+parity with the self-join, and adversarial geometry."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.functions import chord2_expr, s2_cell_from_latlng, xyz_cols
+from rust_s2_spark.operators.covering_join import (
+    within_distance_join_df,
+    within_distance_pairs,
+)
+from rust_s2_spark.sources import images_from_orders
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    return images_from_orders(spark, sf_dir, with_bytes=False)
+
+
+def _brute_pairs(images, probes, radius_deg):
+    rad = math.radians(radius_deg)
+    s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+    t = s * s
+    q = probes.select(
+        "query_id", F.col("qlat").alias("blat"), F.col("qlng").alias("blng")
+    )
+    px, py, pz = xyz_cols("lat", "lng")
+    qx, qy, qz = xyz_cols("blat", "blng")
+    return (
+        images.crossJoin(q)
+        .where(chord2_expr(px, py, pz, qx, qy, qz) <= F.lit(t))
+        .select("query_id", "image_id")
+        .toPandas()
+        .astype({"query_id": "int64"})
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("radius", [0.5, 5.0, 40.0])
+def test_matches_brute_force(spark, images, radius):
+    iid = F.col("image_id").cast("long")
+    probes = images.where(iid % 37 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    got = (
+        within_distance_join_df(images, probes, radius)
+        .select("query_id", "image_id")
+        .toPandas()
+        .astype({"query_id": "int64"})
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    want = _brute_pairs(images, probes, radius)
+    assert got.equals(want), f"radius={radius}: {len(got)} vs {len(want)}"
+
+
+def test_self_configuration_equals_self_join(spark, images):
+    """probes == facts → the pair set (a<b) must equal
+    within_distance_pairs, pinning the two orchestrations together
+    (the covering argument for the correctness-artifact twin)."""
+    radius = 1.0
+    iid = F.col("image_id").cast("long")
+    probes = images.select(
+        iid.alias("query_id"), F.col("lat").alias("qlat"), F.col("lng").alias("qlng")
+    )
+    # canonicalize as numeric (lo, hi): the self-join's a<b uses the
+    # raw id column (string order — "12" < "2"), the probe filter here
+    # is numeric, so compare the unordered pair SETS
+    fid = F.col("image_id").cast("long")
+    df_pairs = set(
+        map(
+            tuple,
+            within_distance_join_df(images, probes, radius)
+            .where(F.col("query_id") != fid)
+            .select(
+                F.least(F.col("query_id"), fid).alias("a"),
+                F.greatest(F.col("query_id"), fid).alias("b"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    self_pairs = set(
+        map(
+            tuple,
+            within_distance_pairs(images, radius)
+            .select(
+                F.least(F.col("a").cast("long"), F.col("b").cast("long")),
+                F.greatest(F.col("a").cast("long"), F.col("b").cast("long")),
+            )
+            .collect(),
+        )
+    )
+    assert df_pairs == self_pairs
+
+
+def test_adversarial_geometry(spark):
+    """Pole and antimeridian probes against a tiny synthetic table."""
+    facts = spark.createDataFrame(
+        [
+            (1, 89.5, 10.0),
+            (2, 89.5, -170.0),
+            (3, 0.0, 179.9),
+            (4, 0.0, -179.9),
+            (5, -45.0, 45.0),
+        ],
+        "image_id long, lat double, lng double",
+    ).withColumn("cell_id", s2_cell_from_latlng("lat", "lng"))
+    probes = spark.createDataFrame(
+        [(100, 90.0, 0.0), (101, 0.0, 180.0)],
+        "query_id long, qlat double, qlng double",
+    )
+    got = (
+        within_distance_join_df(facts, probes, 2.0)
+        .select("query_id", "image_id")
+        .toPandas()
+        .astype("int64")
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    want = _brute_pairs(facts, probes, 2.0)
+    assert got.equals(want)
+    # pole probe must see both near-pole points (crossing faces),
+    # antimeridian probe both sides of the date line
+    assert set(got[got.query_id == 100].image_id) == {1, 2}
+    assert set(got[got.query_id == 101].image_id) == {3, 4}
