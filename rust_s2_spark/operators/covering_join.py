@@ -448,3 +448,100 @@ def within_distance_join_df(
         .where(F.col("dist_chord2") <= F.lit(chord2_max))
         .select(query_id_col, id_col, "dist_chord2")
     )
+
+
+def within_distance_join_df_var(
+    df: DataFrame,
+    probes: DataFrame,
+    chord2_col: str = "chord2_max",
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlng_col: str = "qlng",
+) -> DataFrame:
+    """VARIABLE-radius within-distance join: each probe ROW carries its
+    own chord² threshold (caps-as-a-DataFrame — footprint joins with
+    per-row sizes). The threshold is taken in chord² form so the match
+    predicate is pure arithmetic: no engine-side trig in the gate, so
+    the result is bit-stable across engines (the repo's no-libm rule).
+
+    Per-probe ring level = the finest level whose min cell width still
+    covers the probe's radius, computed EXACTLY as a comparison count
+    against the 31 Python-precomputed min-width chord² literals (no
+    log/asin — a native size(filter(...)) over a literal array).
+    Probes bucket by level; one equi-join branch per ACTIVE level (≤ 31
+    distinct values, driver-collected as a bounded list), unioned. Each
+    branch has the same one-round exactness guarantee as
+    within_distance_join_df.
+    """
+    import math as _math
+
+    from ..functions import (
+        chord2_expr,
+        s2_all_neighbors,
+        s2_cell_from_latlng,
+        s2_parent,
+        xyz_cols,
+    )
+    from ..kernels import metric as metrics
+
+    # chord² of MIN_WIDTH per level, descending with level — level L is
+    # valid for a probe iff ladder[L] >= its chord² threshold
+    ladder = []
+    for lvl in range(31):
+        w = metrics.MIN_WIDTH.value(lvl)
+        s = 2.0 * _math.sin(0.5 * min(w, _math.pi))
+        ladder.append(s * s)
+    ladder_arr = F.array(*[F.lit(float(t)) for t in ladder])
+    c2 = F.col(chord2_col)
+    lvl_col = (
+        F.size(F.filter(ladder_arr, lambda t: t >= c2)) - F.lit(1)
+    )
+    p = probes.select(
+        query_id_col,
+        qlat_col,
+        qlng_col,
+        c2.alias("__c2"),
+        F.greatest(F.lit(0), F.least(F.lit(30), lvl_col)).alias("__lvl"),
+    )
+    active = sorted(
+        int(r["__lvl"]) for r in p.select("__lvl").distinct().collect()
+    )  # ≤ 31 rows to the driver
+    px, py, pz = xyz_cols(lat_col, lng_col)
+    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
+    out = None
+    for lvl in active:
+        pl = p.where(F.col("__lvl") == lvl)
+        if lvl == 0:
+            faces = [int(x) for x in k.from_face(np.arange(6)).view(np.int64)]
+            ring = F.array(*[F.lit(f) for f in faces])
+        else:
+            qparent = s2_parent(
+                s2_cell_from_latlng(F.col(qlat_col), F.col(qlng_col)), lvl
+            )
+            ring = F.array_union(
+                F.array(qparent), s2_all_neighbors(qparent, lvl)
+            )
+        cand = pl.select(
+            query_id_col, qlat_col, qlng_col, "__c2",
+            F.explode(ring).alias("__tcell"),
+        )
+        j = df.withColumn("__pcell", s2_parent(cell_col, lvl)).join(
+            cand, F.col("__pcell") == F.col("__tcell"), "inner"
+        )
+        branch = (
+            j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
+            .where(F.col("dist_chord2") <= F.col("__c2"))
+            .select(query_id_col, id_col, "dist_chord2")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    if out is None:  # empty probe set
+        return df.select(
+            F.lit(0).cast("long").alias(query_id_col),
+            F.col(id_col),
+            F.lit(0.0).alias("dist_chord2"),
+        ).limit(0)
+    return out

@@ -2978,6 +2978,74 @@ GROUP BY l.id
 """.strip()
 
 
+WDV_MOD = 11
+WDV_RADII = [0.2, 1.0, 3.0, 8.0]
+
+
+def _wdv_chord2(deg: float) -> float:
+    s = 2.0 * math.sin(0.5 * min(math.radians(deg), math.pi))
+    return s * s
+
+
+def q_within_distance_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-radius within-distance join (caps-as-a-DataFrame,
+    covering_join.within_distance_join_df_var): every 1-in-11 image
+    probes with a per-row radius drawn from four classes spanning three
+    ring levels (0.2°…8°); thresholds travel as Python-precomputed
+    chord² literals so NO engine-side trig is in the match predicate.
+    Aggregated per probe (pair count + id checksum). Oracle = exhaustive
+    scan with the identical per-row chord² literals."""
+    from ..operators.covering_join import within_distance_join_df_var
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    cls = (iid % len(WDV_RADII)).cast("int")
+    c2col = F.element_at(
+        F.array(*[F.lit(_wdv_chord2(r)) for r in WDV_RADII]), cls + F.lit(1)
+    )
+    probes = img.where(iid % WDV_MOD == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+        c2col.alias("chord2_max"),
+    )
+    pairs = within_distance_join_df_var(img, probes)
+    return pairs.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+        .cast("long")
+        .alias("sum_id_mod"),
+    )
+
+
+def o_within_distance_var() -> str:
+    cases_c2 = " ".join(
+        f"WHEN {i} THEN {_wdv_chord2(r)!r}" for i, r in enumerate(WDV_RADII)
+    )
+    cases_th = " ".join(
+        f"WHEN {i} THEN {r + 1e-9!r}" for i, r in enumerate(WDV_RADII)
+    )
+    d2 = "(pow(r.x-l.x,2) + pow(r.y-l.y,2) + pow(r.z-l.z,2))"
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+q AS (SELECT *,
+             CASE id % {len(WDV_RADII)} {cases_c2} END AS c2,
+             CASE id % {len(WDV_RADII)} {cases_th} END AS theta
+      FROM pts WHERE id % {WDV_MOD} = 0)
+SELECT l.id AS query_id, count(*) AS n,
+       CAST(sum(r.id % 1000003) AS BIGINT) AS sum_id_mod
+FROM q l, pts r
+WHERE r.lat BETWEEN l.lat - l.theta AND l.lat + l.theta
+  AND {d2} <= l.c2
+GROUP BY l.id
+""".strip()
+
+
 def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native haversine distance column (functions.s2_latlng_distance,
     ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
@@ -5025,6 +5093,7 @@ _CHEAP_FIRST = [
     "pip_triangle", "ivf_topk", "dedup_keepers", "fidelity_roundtrip",
     "fidelity_lossy", "stream_hll", "stream_cm", "heavy_hitters_wide",
     "quantiles_log2", "skew_salted", "knn", "within_distance_df",
+    "within_distance_var",
 ]
 
 
@@ -5050,6 +5119,7 @@ def queries():
         "knn": q_knn,
         "knn_df": q_knn_df,
         "within_distance_df": q_within_distance_df,
+        "within_distance_var": q_within_distance_var,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5147,6 +5217,7 @@ def oracle_sql():
         "knn": o_knn(),
         "knn_df": o_knn_df(),
         "within_distance_df": o_within_distance_df(),
+        "within_distance_var": o_within_distance_var(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),

@@ -131,3 +131,56 @@ def test_adversarial_geometry(spark):
     # antimeridian probe both sides of the date line
     assert set(got[got.query_id == 100].image_id) == {1, 2}
     assert set(got[got.query_id == 101].image_id) == {3, 4}
+
+
+def test_variable_radius_matches_brute_force(spark, images):
+    """Per-probe radii spanning four levels (0.2° to 30°) — every probe
+    must get exactly the brute-force pair set for ITS OWN threshold."""
+    import math as _math
+
+    from rust_s2_spark.operators.covering_join import within_distance_join_df_var
+
+    iid = F.col("image_id").cast("long")
+
+    def c2_of(deg):
+        s = 2.0 * _math.sin(0.5 * min(_math.radians(deg), _math.pi))
+        return s * s
+
+    # radius class from the id — deterministic, mixes levels in one call
+    radii = [0.2, 1.5, 8.0, 30.0]
+    cls = (iid % 4).cast("int")
+    c2col = F.element_at(
+        F.array(*[F.lit(c2_of(r)) for r in radii]), cls + 1
+    )
+    probes = images.where(iid % 53 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+        c2col.alias("chord2_max"),
+    )
+    got = (
+        within_distance_join_df_var(images, probes)
+        .select("query_id", "image_id")
+        .toPandas()
+        .astype({"query_id": "int64"})
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    q = probes.select(
+        "query_id", F.col("qlat").alias("blat"), F.col("qlng").alias("blng"),
+        "chord2_max",
+    )
+    px, py, pz = xyz_cols("lat", "lng")
+    qx, qy, qz = xyz_cols("blat", "blng")
+    want = (
+        images.crossJoin(q)
+        .where(chord2_expr(px, py, pz, qx, qy, qz) <= F.col("chord2_max"))
+        .select("query_id", "image_id")
+        .toPandas()
+        .astype({"query_id": "int64"})
+        .sort_values(["query_id", "image_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), f"{len(got)} vs {len(want)}"
+    # sanity: the classes really map to different ring levels
+    assert len(set(r % 4 for r in want.query_id)) > 1
