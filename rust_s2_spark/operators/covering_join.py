@@ -472,10 +472,21 @@ def within_distance_join_df_var(
     covers the probe's radius, computed EXACTLY as a comparison count
     against the 31 Python-precomputed min-width chord² literals (no
     log/asin — a native size(filter(...)) over a literal array).
-    Probes bucket by level; one equi-join branch per ACTIVE level (≤ 31
-    distinct values, driver-collected as a bounded list), unioned. Each
-    branch has the same one-round exactness guarantee as
-    within_distance_join_df.
+
+    ONE scan of the fact side regardless of how many radius classes the
+    probes span: each fact row explodes to its ancestors at exactly the
+    ACTIVE levels (the probe-side level histogram, ≤ 31 values
+    driver-collected as a bounded list — the ``region_join_ancestors``
+    shape), and candidates are ONE equi-join on the composite
+    (level, cell) key. The probe side (the small side) explodes its
+    ring per active level. Per (probe, level) the exactness guarantee
+    is exactly ``within_distance_join_df``'s one-round ring contract,
+    and a fact row has ONE ancestor at the probe's level while ring
+    targets are distinct — so no dedup pass exists.
+
+    Probes with a NULL threshold are dropped up front: a pure-arithmetic
+    ``<=`` gate can never match them (NULL-drop semantics, matching the
+    literal-radius path's behavior for absent rows).
     """
     import math as _math
 
@@ -500,7 +511,7 @@ def within_distance_join_df_var(
     lvl_col = (
         F.size(F.filter(ladder_arr, lambda t: t >= c2)) - F.lit(1)
     )
-    p = probes.select(
+    p = probes.where(c2.isNotNull()).select(
         query_id_col,
         qlat_col,
         qlng_col,
@@ -510,9 +521,15 @@ def within_distance_join_df_var(
     active = sorted(
         int(r["__lvl"]) for r in p.select("__lvl").distinct().collect()
     )  # ≤ 31 rows to the driver
-    px, py, pz = xyz_cols(lat_col, lng_col)
-    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
-    out = None
+    if not active:  # empty (or all-NULL-threshold) probe set
+        return df.select(
+            F.lit(0).cast("long").alias(query_id_col),
+            F.col(id_col),
+            F.lit(0.0).alias("dist_chord2"),
+        ).limit(0)
+    # probe side (small side): ring explode per active level, tagged
+    # with the level it joins at
+    cand = None
     for lvl in active:
         pl = p.where(F.col("__lvl") == lvl)
         if lvl == 0:
@@ -525,23 +542,32 @@ def within_distance_join_df_var(
             ring = F.array_union(
                 F.array(qparent), s2_all_neighbors(qparent, lvl)
             )
-        cand = pl.select(
+        c = pl.select(
             query_id_col, qlat_col, qlng_col, "__c2",
+            F.lit(lvl).alias("__qlvl"),
             F.explode(ring).alias("__tcell"),
         )
-        j = df.withColumn("__pcell", s2_parent(cell_col, lvl)).join(
-            cand, F.col("__pcell") == F.col("__tcell"), "inner"
+        cand = c if cand is None else cand.unionByName(c)
+    # fact side: ONE scan — ancestors at exactly the active levels,
+    # one native Generate (no Python, no per-level rescans)
+    anc = F.array(*[
+        F.struct(
+            F.lit(lvl).alias("__jlvl"),
+            s2_parent(cell_col, lvl).alias("__pcell"),
         )
-        branch = (
-            j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
-            .where(F.col("dist_chord2") <= F.col("__c2"))
-            .select(query_id_col, id_col, "dist_chord2")
-        )
-        out = branch if out is None else out.unionByName(branch)
-    if out is None:  # empty probe set
-        return df.select(
-            F.lit(0).cast("long").alias(query_id_col),
-            F.col(id_col),
-            F.lit(0.0).alias("dist_chord2"),
-        ).limit(0)
-    return out
+        for lvl in active
+    ])
+    facts = df.select("*", F.inline(anc))
+    px, py, pz = xyz_cols(lat_col, lng_col)
+    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
+    j = facts.join(
+        cand,
+        (F.col("__jlvl") == F.col("__qlvl"))
+        & (F.col("__pcell") == F.col("__tcell")),
+        "inner",
+    )
+    return (
+        j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
+        .where(F.col("dist_chord2") <= F.col("__c2"))
+        .select(query_id_col, id_col, "dist_chord2")
+    )

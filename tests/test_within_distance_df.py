@@ -184,3 +184,69 @@ def test_variable_radius_matches_brute_force(spark, images):
     assert got.equals(want), f"{len(got)} vs {len(want)}"
     # sanity: the classes really map to different ring levels
     assert len(set(r % 4 for r in want.query_id)) > 1
+
+
+def _c2_of(deg):
+    s = 2.0 * math.sin(0.5 * min(math.radians(deg), math.pi))
+    return s * s
+
+
+def test_variable_radius_single_fact_scan(spark, images, tmp_path):
+    """The variable-radius join must scan the FACT side exactly once no
+    matter how many radius classes the probes span (ancestor-expansion
+    shape — the per-level-branch form rescanned it once per class)."""
+    from rust_s2_spark.operators.covering_join import within_distance_join_df_var
+
+    path = str(tmp_path / "facts.parquet")
+    images.select("image_id", "lat", "lng", "cell_id").write.parquet(path)
+    facts = spark.read.parquet(path)
+    radii = [0.2, 1.5, 8.0, 30.0]
+    probes = spark.createDataFrame(
+        [(i, 10.0 * i - 20.0, 15.0 * i, _c2_of(radii[i % 4])) for i in range(8)],
+        "query_id long, qlat double, qlng double, chord2_max double",
+    )
+    out = within_distance_join_df_var(facts, probes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"expected ONE fact scan, plan has {n_scans}:\n{plan}"
+
+
+def test_variable_radius_null_threshold_dropped(spark, images):
+    """A NULL chord² threshold can never satisfy the arithmetic gate —
+    such probes are dropped up front instead of crashing the level
+    collect (round-7 advice)."""
+    from rust_s2_spark.operators.covering_join import within_distance_join_df_var
+
+    probes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, _c2_of(5.0)),
+            (2, 45.0, 45.0, None),
+            (3, -30.0, 100.0, _c2_of(1.0)),
+        ],
+        "query_id long, qlat double, qlng double, chord2_max double",
+    )
+    out = within_distance_join_df_var(images, probes)
+    got_ids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+    assert 2 not in got_ids
+    # the non-null probes still get their exact brute-force sets
+    q = probes.where(F.col("chord2_max").isNotNull()).select(
+        "query_id", F.col("qlat").alias("blat"), F.col("qlng").alias("blng"),
+        "chord2_max",
+    )
+    px, py, pz = xyz_cols("lat", "lng")
+    qx, qy, qz = xyz_cols("blat", "blng")
+    want = (
+        images.crossJoin(q)
+        .where(chord2_expr(px, py, pz, qx, qy, qz) <= F.col("chord2_max"))
+        .groupBy("query_id").count()
+        .collect()
+    )
+    got = dict(
+        (r["query_id"], r["count"])
+        for r in out.groupBy("query_id").count().collect()
+    )
+    for r in want:
+        assert got.get(r["query_id"], 0) == r["count"]
+
+    all_null = probes.where(F.lit(False) | F.col("chord2_max").isNull())
+    assert within_distance_join_df_var(images, all_null).count() == 0
