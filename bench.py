@@ -205,6 +205,26 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: knn_join_df(img, probes_df, 3, radius_guess_deg=2.0).count()
     )
 
+    # REPEATED kNN workload: 3 calls each re-scanning the fact table
+    # for density stats vs build-once + inject (table metadata — the
+    # write-time _cell_stats path). The delta is the per-call stats
+    # scan a 100 TB repeated workload pays N× without injection.
+    from rust_s2_spark.plans.stats import build_cell_stats
+
+    probes_rep = img.where(iid % 41 == 0).select(
+        iid.alias("query_id"), F.col("lat").alias("qlat"), F.col("lng").alias("qlng")
+    )
+
+    def _knn_rep(stats):
+        for _ in range(3):
+            knn_join_df(
+                img, probes_rep, 3, radius_guess_deg=2.0, stats=stats
+            ).count()
+
+    out["knn_df_repeat3"], _ = timed(lambda: _knn_rep(None))
+    stats_df = build_cell_stats(img, levels=(7,)).localCheckpoint(eager=True)
+    out["knn_df_repeat3_stats"], _ = timed(lambda: _knn_rep(stats_df))
+
     # fixed-radius twin: same probe table, all facts within 0.8 deg —
     # one ring round, one equi-join (aggregate forces the exact filter)
     from rust_s2_spark.operators.covering_join import within_distance_join_df

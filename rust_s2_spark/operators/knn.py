@@ -285,10 +285,26 @@ def knn_join_df(
     qlat_col: str = "qlat",
     qlng_col: str = "qlng",
     max_widen: int = 12,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, image_id, dist_chord2) of the exact k nearest
     fact rows per probe ROW of ``queries`` — the large-probe-set twin of
     ``knn_join``. Deterministic tie-break on id.
+
+    PRECONDITION: ``query_id`` is unique per probe row (as in
+    ``knn_join``'s list contract). Duplicate ids merge both probes'
+    candidate pools under one rank window and produce interleaved
+    wrong ranks — deduplicate or re-key the probe frame first.
+
+    ``stats``: precomputed density statistics from
+    ``plans.stats.build_cell_stats(df, levels=(7,))`` (table metadata,
+    maintained at write time next to the lineage table). When given,
+    the level-7 hot-cell aggregation below is read from this bounded
+    frame instead of re-scanning the fact table — on a REPEATED kNN
+    workload at 100 TB the stats scan is paid once per dataset, not
+    once per query. Start levels are pure performance (the resolution
+    contract makes any choice exact), so stale stats can only slow a
+    query down, never change its result.
 
     Exactness: identical widening contract to ``knn_join`` — a probe is
     final only when it holds ≥ k results whose k-th distance fits inside
@@ -324,14 +340,26 @@ def knn_join_df(
     ).limit(0)
     L_DET = 7
     target = 8 * kk
-    cnts = (
-        df.groupBy(s2_parent("cell_id", L_DET).alias("__p")).count().persist()
-    )
+    if stats is None:
+        cnts = (
+            df.groupBy(s2_parent("cell_id", L_DET).alias("__p")).count().persist()
+        )
+    else:
+        cnts = (
+            stats.where(F.col("level") == F.lit(L_DET))
+            .select(F.col("cell").alias("__p"), F.col("n").alias("count"))
+            .persist()
+        )
     tot_row = cnts.agg(
         F.sum("count").alias("n"), F.max("count").alias("mx")
     ).first()
     n_tot = int(tot_row["n"] or 0)
     max_cnt = int(tot_row["mx"] or 0)
+    if stats is not None and n_tot == 0 and stats.limit(1).count() > 0:
+        raise ValueError(
+            f"stats carry no level={L_DET} rows; build with "
+            f"build_cell_stats(df, levels=({L_DET},))"
+        )
     if n_tot == 0:
         lvl_typ = lvl_radius
     else:

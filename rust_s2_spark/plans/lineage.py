@@ -91,10 +91,18 @@ def write_with_lineage(
     base: str,
     step: str,
     bucket_level: int = 4,
+    stats_levels: tuple[int, ...] | None = None,
 ) -> int:
     """Write df partitioned by Hilbert bucket with per-bucket lineage;
     resumes past completed buckets on restart (one Spark write job per
-    resume, not one per bucket). Returns #buckets written."""
+    resume, not one per bucket). Returns #buckets written.
+
+    ``stats_levels``: also (re)write the cell-density statistics table
+    at ``<base>/_cell_stats`` from the files just written (one columnar
+    scan of cell_id, no upstream recompute) — the metadata that lets
+    ``knn_join_df(stats=)`` and ``hot_cells_from_stats`` skip their
+    per-query fact scans. Rebuilt over the FULL table (including
+    previously completed buckets) so resume keeps it consistent."""
     t0 = time.time()
     df = df.withColumn("bucket", s2_parent("cell_id", bucket_level))
     done = completed_buckets(spark, base, step)
@@ -151,6 +159,10 @@ def write_with_lineage(
         spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
             _lineage_path(base)
         )
+    if stats_levels is not None:
+        from .stats import write_cell_stats
+
+        write_cell_stats(read_output(spark, base), base, stats_levels)
     return len(rows)
 
 

@@ -1,0 +1,136 @@
+"""Precomputed cell-density statistics (plans.stats): one-scan
+multi-level build, write-time persistence next to the lineage table,
+and the injection contract — stats-fed operators return bit-identical
+results while performing ZERO aggregation over the fact table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.functions import s2_parent
+from rust_s2_spark.operators.knn import knn_join_df
+from rust_s2_spark.plans.skew import hot_cells
+from rust_s2_spark.plans.stats import (
+    build_cell_stats,
+    hot_cells_from_stats,
+    read_cell_stats,
+    write_cell_stats,
+)
+from rust_s2_spark.sources import images_from_orders
+
+
+@pytest.fixture(scope="module")
+def images(spark, sf_dir):
+    return images_from_orders(spark, sf_dir, with_bytes=False)
+
+
+def test_build_matches_per_level_groupby(spark, images):
+    stats = build_cell_stats(images, levels=(4, 7)).toPandas()
+    for lvl in (4, 7):
+        want = {
+            int(r["p"]): int(r["n"])
+            for r in images.groupBy(s2_parent("cell_id", lvl).alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {
+            int(r.cell): int(r.n)
+            for _, r in stats[stats.level == lvl].iterrows()
+        }
+        assert got == want, f"level {lvl}"
+
+
+def test_build_rejects_bad_levels(images):
+    with pytest.raises(ValueError):
+        build_cell_stats(images, levels=())
+    with pytest.raises(ValueError):
+        build_cell_stats(images, levels=(31,))
+
+
+def test_hot_cells_from_stats_matches_scan(images):
+    stats = build_cell_stats(images, levels=(7,))
+    n = images.count()
+    thresh = max(1, n // 50)
+    assert hot_cells_from_stats(stats, 7, thresh) == hot_cells(
+        images, 7, thresh
+    )
+    # stats built at the wrong level must refuse, not silently disable
+    with pytest.raises(ValueError):
+        hot_cells_from_stats(build_cell_stats(images, levels=(5,)), 7, thresh)
+
+
+def _knn_sorted(df):
+    return (
+        df.toPandas()[["query_id", "rank", "image_id", "dist_chord2"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_knn_stats_injection_bit_equal_and_scan_free(spark, images, monkeypatch):
+    """knn_join_df(stats=...) == knn_join_df() bit-for-bit, AND the
+    injected path performs NO aggregation over the fact table — pinned
+    structurally by spying on DataFrame.groupBy with the fact frame's
+    identity (the only stats scan in the operator is df.groupBy)."""
+    iid = F.col("image_id").cast("long")
+    probes = images.where(iid % 101 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    facts = images.select("*")  # distinct object identity for the spy
+    stats = build_cell_stats(facts, levels=(7,)).localCheckpoint(eager=True)
+
+    calls: list = []
+    cls = type(facts)  # the concrete class (pyspark.sql.classic in Spark 4)
+    orig = cls.groupBy
+
+    def spy(self, *a, **kw):
+        if self is facts:
+            calls.append(a)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "groupBy", spy)
+    base = _knn_sorted(knn_join_df(facts, probes, 3, radius_guess_deg=2.0))
+    assert len(calls) == 1, "self-computed path must aggregate the facts once"
+    calls.clear()
+    injected = _knn_sorted(
+        knn_join_df(facts, probes, 3, radius_guess_deg=2.0, stats=stats)
+    )
+    assert calls == [], "injected path must NOT aggregate the fact table"
+    assert injected.equals(base)
+
+
+def test_knn_rejects_stats_at_wrong_level(spark, images):
+    iid = F.col("image_id").cast("long")
+    probes = images.where(iid % 101 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    bad = build_cell_stats(images, levels=(4,))
+    with pytest.raises(ValueError, match="level=7"):
+        knn_join_df(images, probes, 3, stats=bad)
+
+
+def test_write_read_roundtrip_and_lineage_hook(spark, images, tmp_path):
+    base = str(tmp_path / "tbl")
+    write_cell_stats(images, base, levels=(3, 7))
+    got = read_cell_stats(spark, base)
+    want = build_cell_stats(images, levels=(3, 7))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # write_with_lineage(stats_levels=...) maintains the stats next to
+    # the lineage table and they describe the FULL written table
+    from rust_s2_spark.plans.lineage import read_output, write_with_lineage
+
+    base2 = str(tmp_path / "tbl2")
+    write_with_lineage(spark, images, base2, "s", bucket_level=2,
+                       stats_levels=(7,))
+    out = read_output(spark, base2)
+    got2 = read_cell_stats(spark, base2)
+    want2 = build_cell_stats(out, levels=(7,))
+    assert {tuple(r) for r in got2.collect()} == {
+        tuple(r) for r in want2.collect()
+    }
