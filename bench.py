@@ -346,7 +346,8 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     n_cores = spark.sparkContext.defaultParallelism
     # hot-cell detection is table metadata (computed once per dataset,
     # reused by every job) — keep it out of the timed path
-    hot = list(hot_cells(imgb_c, 7, max(1, n_skew // 50)).keys())
+    hot_counts = hot_cells(imgb_c, 7, max(1, n_skew // (n_cores * 128)))
+    hot = [c for c, v in hot_counts.items() if v > max(1, n_skew // 50)]
 
     def _hash_after(df):
         # aggregate over the hash output — a bare count() would let
@@ -359,11 +360,19 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         imgb_c, level=7, threshold=max(1, n_skew // 50),
         n_partitions=n_cores, n_salt=8, hot=hot,
     )
+    # AUTO (size-proportional) salting: buckets capped at ideal/oversub
+    # so no fixed-k chunkiness plateau — the r7 10x regime measured
+    # 1.98 max/ideal at k=8 vs ~1.1 proportional. Detection stays out
+    # of the timed path (hot_counts dict + n_rows = zero-scan plan).
+    salted_auto_df = salted_repartition(
+        imgb_c, level=7, threshold=0, n_partitions=n_cores, n_salt=None,
+        hot=hot_counts, n_rows=n_skew,
+    )
     # INTERLEAVED min-of-N: the pair is a comparison, so both legs must
     # see the same box drift (back-to-back min-of-2 windows let steal
     # spikes invert a real gap)
     repeats = max(2, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
-    t_un, t_s = [], []
+    t_un, t_s, t_a = [], [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _hash_after(unsalted_df)
@@ -371,8 +380,12 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         t0 = time.perf_counter()
         _hash_after(salted_df)
         t_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _hash_after(salted_auto_df)
+        t_a.append(time.perf_counter() - t0)
     out["skew_unsalted"] = min(t_un)
     out["skew_salted"] = min(t_s)
+    out["skew_salted_auto"] = min(t_a)
 
     # the noise-free tail-task evidence: rows in the largest partition
     # vs the balanced ideal. At sf0.1 per-task work is ~0.1 s so the
@@ -389,6 +402,7 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     ideal = n_skew / n_cores
     out["_skew_balance_unsalted"] = round(_max_part(unsalted_df) / ideal, 2)
     out["_skew_balance_salted"] = round(_max_part(salted_df) / ideal, 2)
+    out["_skew_balance_auto"] = round(_max_part(salted_auto_df) / ideal, 2)
 
     # ---- round-4/5 operators: the 10x scale rows VERDICT r4 asked for ----
     from rust_s2_spark.operators.dedup import ensemble_dedup_vote
@@ -685,6 +699,7 @@ def main():
         skew_balance = {
             "unsalted_max_over_ideal": q.pop("_skew_balance_unsalted"),
             "salted_max_over_ideal": q.pop("_skew_balance_salted"),
+            "auto_max_over_ideal": q.pop("_skew_balance_auto"),
         }
         spark.stop()
 

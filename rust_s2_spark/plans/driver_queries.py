@@ -2297,15 +2297,14 @@ FROM img WHERE image_id % {QDCT_FID_MOD} <> 0
 
 
 SKEW_LEVEL = 7  # city boxes (±0.2°) fit 1-4 level-7 cells (~0.7°)
-SKEW_SALT = 8
 
 
 def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-skew RESULT-INVARIANCE gate (north_rule: 'skew from
     dense cells (cities)'): the images corpus plants ~30% of rows in
-    three city hotspots; ``hot_cells`` detects the dense level-7
-    parents FROM THE DATA (threshold = 2% of rows), and
-    ``salted_repartition`` spreads only those cells over 8 salt
+    three city hotspots; the per-cell counts are detected FROM THE
+    DATA, and ``salted_repartition`` in AUTO (size-proportional) mode
+    spreads each dense level-7 parent over ceil(count/target) salt
     buckets while cold cells keep their Hilbert locality. The output
     aggregation (per-city integer stats) is partitioning-independent
     and the oracle knows nothing about cells or salt — identical
@@ -2327,14 +2326,14 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     n = sum(cell_counts.values())
-    hot = [c for c, cnt in cell_counts.items() if cnt > max(1, n // 50)]
     salted = salted_repartition(
         img,
         level=SKEW_LEVEL,
-        threshold=max(1, n // 50),
+        threshold=0,
         n_partitions=32,
-        n_salt=SKEW_SALT,
-        hot=hot,
+        n_salt=None,  # AUTO size-proportional salting — the bench path
+        hot=cell_counts,
+        n_rows=n,
     )
     key = F.col("image_id").cast("long")
     city = F.when(key % 10 < 3, key % 10).otherwise(F.lit(-1))

@@ -48,22 +48,75 @@ def salted_repartition(
     level: int,
     threshold: int,
     n_partitions: int,
-    n_salt: int = 8,
+    n_salt: int | None = None,
     cell_col: str = "cell_id",
     salt_source: str = "image_id",
-    hot: list[int] | None = None,
+    hot: list[int] | dict[int, int] | None = None,
+    oversub: int = 128,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Repartition by (parentL, salt): salt is nonzero only for hot
-    cells, so cold cells stay contiguous while city cells spread over
-    ``n_salt`` partitions.
+    """Repartition by (parentL, salt): salt is nonzero only for dense
+    cells, so cold cells stay contiguous while city cells spread.
 
-    ``hot`` short-circuits the detection pass with a precomputed
-    hot-cell list (``hot_cells`` output keys): at scale the density
-    stats are table metadata computed once per dataset and reused by
-    every downstream job, not re-scanned per query."""
+    ``n_salt=None`` (default — AUTO): size-PROPORTIONAL salting. Every
+    cell holding more than ``target = ceil(n / (n_partitions·oversub))``
+    rows is spread over ``ceil(count/target)`` salts, so every
+    (cell, salt) bucket carries at most ~1/oversub of an ideal
+    partition and the hash placement concentrates (max/ideal ≈
+    1 + √(2·ln P / oversub) — ~1.1-1.2 at the default 128). A FIXED
+    salt count can't get there: with k salts a hot cell still emits
+    buckets of count/k rows, and two such chunks hashing into one
+    partition is a ~50% overload however large k is (measured plateau
+    ~1.5; the round-7 10× regime recorded 1.98 at k=8). ``threshold``
+    is ignored in auto mode — target supersedes it. The spread table
+    is bounded: at most n/target = n_partitions·oversub cells exceed
+    the target.
+
+    ``n_salt=k`` (fixed): the legacy layout — cells above ``threshold``
+    spread over exactly k salts. Right when a downstream consumer must
+    replicate its other side once per salt and k must stay tiny.
+
+    ``hot`` short-circuits the detection pass — at scale the density
+    stats are table metadata computed once per dataset (see
+    ``plans.stats``), not re-scanned per query. Fixed mode takes a
+    cell list (or a dict's keys); auto mode needs the counts, so pass
+    a dict (``hot_cells`` / ``hot_cells_from_stats`` output, built
+    with a threshold no larger than the target) together with
+    ``n_rows`` (the table row count) for a zero-scan plan."""
+    parent = s2_parent(cell_col, level)
+    if n_salt is None:
+        if isinstance(hot, dict) and n_rows is not None:
+            n, counts = n_rows, hot
+        else:
+            cnts = (
+                df.groupBy(parent.alias("__p"))
+                .agg(F.count("*").alias("__n"))
+                .persist()
+            )
+            n = int(cnts.agg(F.sum("__n")).first()[0] or 0)
+            t0 = max(1, -(-n // (n_partitions * oversub)))
+            counts = {
+                int(r["__p"]): int(r["__n"])
+                for r in cnts.where(F.col("__n") > t0).collect()
+            }
+            cnts.unpersist()
+        target = max(1, -(-n // (n_partitions * oversub)))
+        spread = {c: -(-v // target) for c, v in counts.items() if v > target}
+        if spread:
+            # ONE parsed SQL map literal (per-entry F.lit columns cost a
+            # py4j round trip each — the round-5 expression-building rule)
+            entries = ",".join(f"{int(c)}L,{int(s)}" for c, s in spread.items())
+            n_salt_col = F.coalesce(
+                F.element_at(F.expr(f"map({entries})"), parent), F.lit(1)
+            )
+        else:
+            n_salt_col = F.lit(1)
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), n_salt_col)
+        return df.repartition(n_partitions, parent, salt)
     if hot is None:
         hot = list(hot_cells(df, level, threshold, cell_col).keys())
-    parent = s2_parent(cell_col, level)
+    elif isinstance(hot, dict):
+        hot = list(hot.keys())
     salt = F.when(
         parent.isin(hot) if hot else F.lit(False),
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt)),

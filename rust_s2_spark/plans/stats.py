@@ -13,7 +13,8 @@ re-scanning:
 
     stats = build_cell_stats(df, levels=(7,))          # one scan
     knn_join_df(df, probes, k, stats=stats)            # zero stats scans
-    salted_repartition(df, 7, t, n, hot=hot_cells_from_stats(stats, 7, t))
+    salted_repartition(df, 7, 0, p, hot=hot_cells_from_stats(stats, 7, 0),
+                       n_rows=n)                       # zero stats scans
 """
 
 from __future__ import annotations

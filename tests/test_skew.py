@@ -38,6 +38,76 @@ def test_salted_repartition_balances(images, spark):
     assert max(counts) < 2.0 * (n / len(counts))
 
 
+def test_auto_salting_beats_fixed_and_preserves_rows(images):
+    """AUTO (size-proportional) mode: max/ideal must beat the fixed-k
+    plateau (a hot cell's count/k chunks keep colliding however large
+    k is) and land near balanced; rows unchanged."""
+    n = images.count()
+    P = 16
+    fixed = salted_repartition(
+        images, level=5, threshold=n // 20, n_partitions=P, n_salt=8
+    )
+    auto = salted_repartition(images, level=5, threshold=0, n_partitions=P)
+
+    def mx(df):
+        return max(
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        )
+
+    ideal = n / P
+    assert mx(auto) / ideal <= 1.35, f"auto balance {mx(auto) / ideal:.2f}"
+    assert mx(auto) <= mx(fixed)
+    chk = F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+    assert auto.agg(chk).first()[0] == images.agg(chk).first()[0]
+    assert auto.count() == n
+
+
+def test_auto_salting_injected_counts_zero_scan(images, spark):
+    """hot dict + n_rows → the repartition plan touches the fact frame
+    only for the shuffle itself; identical placement to self-detected
+    (same target, same spread table → same salt expression)."""
+    from rust_s2_spark.plans.skew import hot_cells
+
+    n = images.count()
+    P = 16
+    counts = hot_cells(images, 5, 0)
+    facts = images.select("*")
+    cls = type(facts)
+    orig = cls.groupBy
+    calls: list = []
+
+    def spy(self, *a, **kw):
+        if self is facts:
+            calls.append(a)
+        return orig(self, *a, **kw)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(cls, "groupBy", spy)
+        self_detected = salted_repartition(
+            facts, level=5, threshold=0, n_partitions=P
+        )
+        assert len(calls) == 1
+        calls.clear()
+        injected = salted_repartition(
+            facts, level=5, threshold=0, n_partitions=P, hot=counts, n_rows=n
+        )
+        assert calls == []
+    finally:
+        mp.undo()
+
+    def sizes(df):
+        return sorted(
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        )
+
+    assert sizes(injected) == sizes(self_detected)
+
+
 def test_salted_beats_unsalted_tail_and_preserves_rows(images):
     """The planted-city tail: partitioning by the raw parent pins each
     city cell (~8-10% of rows) to one partition; the salted layout must
