@@ -45,6 +45,10 @@ TWIN_COVERED_BY = {
     # behavior identical to within_distance_join_df at that level,
     # brute-force equality across mixed levels pinned in pytest
     "within_distance_var": "within_distance",
+    # the identical operator lifted stateless onto a probe stream (the
+    # wrapper delegates to within_distance_join_df verbatim); its own
+    # driver query also carries the same exhaustive oracle shape
+    "stream_within_distance": "within_distance",
 }
 
 

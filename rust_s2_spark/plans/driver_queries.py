@@ -3045,6 +3045,86 @@ GROUP BY l.id
 """.strip()
 
 
+SWD_MOD = 13
+SWD_RADIUS_DEG = 0.8
+
+
+def q_stream_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING within-distance join (streaming/cell_stream.
+    streaming_within_distance): a 1-in-13 probe stream (availableNow
+    over staged parquet) against the STATIC images table at 0.8° —
+    the stateless fixed-radius DF-probe join lifted to Structured
+    Streaming unchanged (ring level is a constant, explode is a
+    per-row map, the equi-join is stream-static) — then the per-probe
+    aggregate in complete mode, snapshot from the memory sink. Oracle
+    = the same exhaustive chord² scan shape as within_distance_df, so
+    the streaming lift is gated against algorithm-independent truth."""
+    import shutil
+    import tempfile
+
+    from ..streaming import streaming_within_distance
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    probes = img.where(iid % SWD_MOD == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s2swd_")
+    name = "stream_within_distance_q"
+    try:
+        probes.write.mode("overwrite").parquet(f"{tmp}/in")
+        pstream = spark.readStream.schema(probes.schema).parquet(f"{tmp}/in")
+        joined = streaming_within_distance(img, pstream, SWD_RADIUS_DEG)
+        agg = joined.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+            .cast("long")
+            .alias("sum_id_mod"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_within_distance availableNow query did not finish"
+            )
+        return spark.sql(
+            f"SELECT query_id, n, sum_id_mod FROM {name}"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def o_stream_within_distance() -> str:
+    rad = math.radians(SWD_RADIUS_DEG)
+    s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+    chord2_max = s * s
+    theta = math.degrees(rad) + 1e-9
+    d2 = "(pow(r.x-l.x,2) + pow(r.y-l.y,2) + pow(r.z-l.z,2))"
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+q AS (SELECT * FROM pts WHERE id % {SWD_MOD} = 0)
+SELECT l.id AS query_id, count(*) AS n,
+       CAST(sum(r.id % 1000003) AS BIGINT) AS sum_id_mod
+FROM q l, pts r
+WHERE r.lat BETWEEN l.lat - {theta!r} AND l.lat + {theta!r}
+  AND {d2} <= {chord2_max!r}
+GROUP BY l.id
+""".strip()
+
+
 def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native haversine distance column (functions.s2_latlng_distance,
     ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
@@ -5119,6 +5199,7 @@ def queries():
         "knn_df": q_knn_df,
         "within_distance_df": q_within_distance_df,
         "within_distance_var": q_within_distance_var,
+        "stream_within_distance": q_stream_within_distance,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5217,6 +5298,7 @@ def oracle_sql():
         "knn_df": o_knn_df(),
         "within_distance_df": o_within_distance_df(),
         "within_distance_var": o_within_distance_var(),
+        "stream_within_distance": o_stream_within_distance(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),

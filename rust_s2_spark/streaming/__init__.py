@@ -3,5 +3,6 @@ from .cell_stream import (  # noqa: F401
     streaming_first_seen,
     streaming_region_rollup,
     streaming_sessions,
+    streaming_within_distance,
     windowed_cell_counts,
 )

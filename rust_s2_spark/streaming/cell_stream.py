@@ -262,3 +262,32 @@ def streaming_cm_counters(
         )
         .agg(F.count("*").alias("c"))
     )
+
+
+def streaming_within_distance(
+    facts: DataFrame,
+    probe_stream: DataFrame,
+    radius_deg: float,
+    **cols,
+) -> DataFrame:
+    """Fixed-radius within-distance join with a STREAMING probe side
+    against a STATIC fact table — the ingest-time form of the
+    reference's point_index range query (point_index.rs), e.g. "alert
+    on every indexed asset within r of each incoming ping".
+
+    ``within_distance_join_df`` is stateless per probe row: the ring
+    level is a Python-side constant derived from the radius, the ring
+    explode is a per-row map (pandas-UDF kernel — fine in streaming),
+    and the candidate equi-join + exact chord² filter carry no state.
+    So the batch operator lifts to Structured Streaming UNCHANGED and
+    this wrapper only documents the contract: per micro-batch the
+    static fact side joins the exploded probe rings (a stream-static
+    inner join — Spark broadcasts or re-scans the static side per
+    batch; at scale, persist the fact table's ring-level parent column
+    so each batch pays only the join), giving exactly the batch
+    semantics row-for-row. Downstream aggregations need complete/
+    update mode or a watermark, as usual.
+    """
+    from ..operators.covering_join import within_distance_join_df
+
+    return within_distance_join_df(facts, probe_stream, radius_deg, **cols)
