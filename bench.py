@@ -329,6 +329,46 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     imgb = images_from_orders(spark, sf_dir, with_bytes=True, multiplier=mult)
     out["image_ahash"], _ = timed(lambda: average_hash(imgb).count())
 
+    # lossy qdct codec end-to-end: re-encode 1-in-3 of the byte corpus
+    # through the deterministic quantized-DCT codec, run the production
+    # layout write of the MIXED raw+qdct corpus, read it back, decode
+    # EVERY row and integer-SSE-audit it against the first-principles
+    # source pixels (the fidelity_lossy gate's shape at bench scale);
+    # images/sec through encode+write+read+audit = n_images / this time
+    from rust_s2_spark.operators.multimodal import (
+        encode_images_qdct,
+        image_fidelity_audit,
+    )
+    from rust_s2_spark.sources.images import layout_write, read_images_table
+
+    def q_qdct():
+        import shutil
+        import tempfile
+
+        key = F.col("image_id").cast("long")
+        lossy = encode_images_qdct(imgb.where(key % 3 == 0))
+        mixed = imgb.where(key % 3 != 0).unionByName(lossy)
+        path = tempfile.mkdtemp(prefix="s2qdctb_") + "/images"
+        try:
+            layout_write(mixed, path)
+            stored = read_images_table(spark, path)
+            blocks = [F.md5(F.col("image_id"))]
+            for _ in range(11):
+                blocks.append(F.md5(blocks[-1]))
+            stored = stored.withColumn("orig_bytes", F.unhex(F.concat(*blocks)))
+            audit = image_fidelity_audit(stored)
+            n_rows, sse_sum, sse_max = audit.agg(
+                F.count("*"), F.sum("sse"), F.max("sse")
+            ).first()
+            assert n_rows == n_images, f"qdct roundtrip lost rows: {n_rows}"
+            # the PSNR >= 40 dB clause: sse*10^4 <= 255^2*192 per row
+            assert sse_max <= (255 * 255 * 192) // 10_000, sse_max
+            assert sse_sum > 0, "lossy rows must carry quantization error"
+        finally:
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+    out["qdct_pipeline"], _ = timed(q_qdct)
+
     # ---- planted-skew demonstration (north_rule: 'skew from dense
     # cells (cities)') ---- tile-partitioned feature extraction: the
     # decode+hash runs AFTER the co-locating shuffle on the tile key,
