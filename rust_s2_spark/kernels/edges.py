@@ -227,15 +227,19 @@ def vertex_crossing(a, b, c, d) -> np.ndarray:
     bd = np.all(b == d, axis=1)
     ad = np.all(a == d, axis=1)
     bc = np.all(b == c, axis=1)
-    m = ac | bd
+    # group by WHICH vertex is shared (the sweep pivot): a==c/a==d pivot
+    # around a, b==d/b==c pivot around b. Round-8 property suite caught
+    # the b==d and a==d cases mis-grouped under the wrong pivot (path
+    # parity through a loop vertex came out even instead of odd).
+    m = ac | ad
     if np.any(m):
         out[m] = ordered_ccw(
             _ref_dir(a[m]), np.where(ac[m, None], d[m], c[m]), b[m], a[m]
         )
-    m2 = (ad | bc) & ~m
+    m2 = (bd | bc) & ~m
     if np.any(m2):
         out[m2] = ordered_ccw(
-            _ref_dir(b[m2]), np.where(bc[m2, None], d[m2], c[m2]), a[m2], b[m2]
+            _ref_dir(b[m2]), np.where(bd[m2, None], c[m2], d[m2]), a[m2], b[m2]
         )
     out[deg] = False
     return out
