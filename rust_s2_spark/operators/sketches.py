@@ -287,12 +287,22 @@ def heavy_hitters(
         est = F.expr("least(" + ", ".join(ests) + ")")
         cand = df.where(est >= F.lit(threshold))
     else:
-        # materialize once (<= d*w bounded rows) so the d semi joins
-        # don't each re-run the counting aggregation
-        heavy = (
+        # materialize once so the d semi joins don't each re-run the
+        # counting aggregation. Collected to the driver and rebuilt —
+        # NOT localCheckpoint'd: checkpointed blocks are never released
+        # and accumulate executor storage across repeated calls (r7
+        # ADVICE). The collect is bounded: per hash row the counters
+        # sum to n, so rows with c >= threshold number <= d*n/threshold
+        # (a heavy-hitter threshold makes this a handful; <= d*w always).
+        rows = (
             _cm_counters(df, value_col, d, w)
             .where(F.col("c") >= threshold)
-            .localCheckpoint(eager=True)
+            .select("i", "b")
+            .collect()
+        )
+        heavy = df.sparkSession.createDataFrame(
+            [(int(r["i"]), int(r["b"])) for r in rows],
+            "i INT, b BIGINT",
         )
         cand = df
         for i in range(d):
