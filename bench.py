@@ -785,6 +785,12 @@ def main():
                 int(x)
                 for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
             ]
+            # layout-constant split count — identical at every core
+            # count (round-7 methodology). For wide pairs (8,32) raise
+            # BOTH mult and splits so the parallel portion dominates
+            # the ~4.4 s session fixed cost (round-8: mult=360,
+            # splits=64 for the 8→32 leg)
+            n_splits = int(os.environ.get("SPARK_GRAFT_SCALE_SPLITS", "32"))
             scaling = {}
             for c in pair:
                 s = make_spark(c)
@@ -802,7 +808,7 @@ def main():
                     # parallel portion 0.885)
                     df = images_from_orders(
                         s, sf_dir, with_bytes=False, multiplier=mult,
-                        n_splits=32,
+                        n_splits=n_splits,
                     )
                     return spatial_pipeline(s, df)
 
