@@ -3125,6 +3125,98 @@ GROUP BY l.id
 """.strip()
 
 
+SKNN_MOD = 13
+SKNN_REM = 5
+SKNN_K = 3
+
+
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING kNN join (streaming/cell_stream.streaming_knn): a
+    1-in-13 probe stream against the STATIC images table, k=3. kNN
+    widens data-dependently, so the lift is foreachBatch — each
+    micro-batch runs the exact batch operator (knn_join_df) seeded by
+    a PRECOMPUTED density-stats table (one fact scan total, zero per
+    batch) and lands in an idempotent dynamic-partition-overwrite sink
+    keyed by batch id. Oracle = the same exhaustive coverage-proof kNN
+    scan as knn_df, so the streaming lift is gated against
+    algorithm-independent truth."""
+    import shutil
+    import tempfile
+
+    from ..plans.stats import build_cell_stats
+    from ..streaming import streaming_knn
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    probes = img.where(iid % SKNN_MOD == SKNN_REM).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    tmp = tempfile.mkdtemp(prefix="s2sknn_")
+    try:
+        probes.write.mode("overwrite").parquet(f"{tmp}/in")
+        pstream = spark.readStream.schema(probes.schema).parquet(f"{tmp}/in")
+        stats = build_cell_stats(img, levels=(7,))
+        q = streaming_knn(
+            img, pstream, SKNN_K,
+            sink_path=f"{tmp}/out", checkpoint_path=f"{tmp}/ckpt",
+            stats=stats, radius_guess_deg=2.0,
+            trigger={"availableNow": True},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_knn availableNow query did not finish")
+        out = spark.read.parquet(f"{tmp}/out").select(
+            "query_id", "rank", F.col("image_id").cast("long").alias("image_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def o_stream_knn() -> str:
+    """Exact kNN oracle (the o_knn_df coverage-proof shape) over the
+    1-in-13 probe subset."""
+    import math as _m
+
+    theta = _m.degrees(2 * _m.asin(_m.sqrt(KNN_DF_T) / 2)) + 1e-9
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS image_id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+q AS (SELECT image_id AS query_id, lat AS qlat, x AS qx, y AS qy, z AS qz
+      FROM pts WHERE image_id % {SKNN_MOD} = {SKNN_REM}),
+near AS (
+  SELECT q.query_id, i.image_id,
+         pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) AS d2
+  FROM pts i, q
+  WHERE i.lat BETWEEN q.qlat - {theta!r} AND q.qlat + {theta!r}
+    AND pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) <= {KNN_DF_T!r}
+),
+qual AS (SELECT query_id FROM near GROUP BY query_id HAVING count(*) >= {SKNN_K}),
+near_rank AS (
+  SELECT query_id, image_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+  FROM near WHERE query_id IN (SELECT query_id FROM qual)
+),
+fb AS (
+  SELECT q.query_id, i.image_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) ASC,
+                                     i.image_id ASC) AS rank
+  FROM pts i, q
+  WHERE q.query_id NOT IN (SELECT query_id FROM qual)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, image_id FROM near_rank WHERE rank <= {SKNN_K}
+UNION ALL
+SELECT query_id, CAST(rank AS INT) AS rank, image_id FROM fb WHERE rank <= {SKNN_K}
+""".strip()
+
+
 def q_latlng_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native haversine distance column (functions.s2_latlng_distance,
     ref latlng.rs:62-68) at 15k rows: 10°-band histogram of distances to
@@ -5200,6 +5292,7 @@ def queries():
         "within_distance_df": q_within_distance_df,
         "within_distance_var": q_within_distance_var,
         "stream_within_distance": q_stream_within_distance,
+        "stream_knn": q_stream_knn,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5299,6 +5392,7 @@ def oracle_sql():
         "within_distance_df": o_within_distance_df(),
         "within_distance_var": o_within_distance_var(),
         "stream_within_distance": o_stream_within_distance(),
+        "stream_knn": o_stream_knn(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),

@@ -291,3 +291,76 @@ def streaming_within_distance(
     from ..operators.covering_join import within_distance_join_df
 
     return within_distance_join_df(facts, probe_stream, radius_deg, **cols)
+
+
+def streaming_knn(
+    facts: DataFrame,
+    probe_stream: DataFrame,
+    kk: int,
+    sink_path: str,
+    checkpoint_path: str,
+    stats: DataFrame | None = None,
+    radius_guess_deg: float = 1.0,
+    trigger: dict | None = None,
+    **cols,
+):
+    """Exact kNN join with a STREAMING probe side against a STATIC
+    fact table — "for every incoming ping, its k nearest indexed
+    assets" (the streaming twin of ``operators.knn.knn_join_df``;
+    reference semantics: point_index.rs kNN).
+
+    Unlike the fixed-radius join, kNN is NOT a static plan: the batch
+    operator widens data-dependently (left_anti retry rounds until
+    every probe proves coverage), which Structured Streaming cannot
+    express as one continuous query. The sanctioned lift is
+    ``foreachBatch``: each micro-batch of probes runs the exact batch
+    operator — identical semantics row-for-row — and lands in an
+    IDEMPOTENT sink: results are written with dynamic partition
+    overwrite keyed by the micro-batch id, so a replayed batch (after
+    failure, before the offset commit) overwrites its own partition
+    and the sink stays exactly-once while the engine guarantees only
+    at-least-once execution (the ``plans.lineage`` resume discipline,
+    applied to a stream).
+
+    ``stats`` SHOULD be the precomputed density table
+    (``plans.stats.build_cell_stats(facts, levels=(7,))``, maintained
+    at write time): with it, a micro-batch pays only its own join
+    work; without it the wrapper builds the stats ONCE up front (one
+    fact scan total — never one per batch).
+
+    Returns the started StreamingQuery; callers using
+    ``trigger={"availableNow": True}`` await termination then read
+    ``sink_path`` back.
+    """
+    from ..operators.knn import knn_join_df
+    from ..plans.stats import build_cell_stats
+
+    if stats is None:
+        # one scan up front; the bounded (level, cell, n) result is
+        # re-read per batch instead of the fact table
+        spark = facts.sparkSession
+        stats = spark.createDataFrame(
+            build_cell_stats(facts, levels=(7,)).collect(),
+            "level int, cell long, n long",
+        )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = knn_join_df(
+            facts, batch_df, kk,
+            radius_guess_deg=radius_guess_deg, stats=stats, **cols,
+        )
+        (
+            out.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(sink_path)
+        )
+
+    writer = (
+        probe_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
