@@ -474,3 +474,62 @@ def knn_join_df(
     for p in persisted:
         p.unpersist()
     return out
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    kk: int,
+    radius_guess_deg: float = 1.0,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    id_col: str = "image_id",
+    stats: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Mutual-kNN graph edges (a, b) with a < b: b is one of a's ``kk``
+    nearest OTHER rows AND a is one of b's — the standard symmetric
+    kNN-graph used for density-based clustering and near-dup grouping
+    (mutual edges reject the hub/chain links a one-directional kNN
+    graph draws into dense regions; feed the result to
+    ``dedup.connected_components`` for clusters).
+
+    Exact by composition: one ``knn_join_df`` self-join asks for
+    ``kk+1`` neighbors (self rides along at distance 0 but may not be
+    rank 1 — a co-located row with a smaller id outranks it under the
+    deterministic tie-break), drops self, re-ranks, keeps ``kk``. The
+    mutual step is then ONE equi-join of the n·k edge table with its
+    swap — bounded by n·k rows, never n².
+    """
+    iid = F.col(id_col).cast("long")
+    probes = df.select(
+        iid.alias("query_id"),
+        F.col(lat_col).alias("qlat"),
+        F.col(lng_col).alias("qlng"),
+    )
+    nn = knn_join_df(
+        df, probes, kk + 1,
+        radius_guess_deg=radius_guess_deg,
+        lat_col=lat_col, lng_col=lng_col, id_col=id_col,
+        stats=stats, **kwargs,
+    )
+    others = nn.where(F.col(id_col).cast("long") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_chord2").asc(), F.col(id_col).asc()
+    )
+    edges = (
+        others.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= kk)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col(id_col).cast("long").alias("dst"),
+            "dist_chord2",
+        )
+    )
+    fwd = edges.where(F.col("src") < F.col("dst"))
+    rev = edges.where(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"], "left_semi")
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "dist_chord2")
+    )

@@ -3125,6 +3125,70 @@ GROUP BY l.id
 """.strip()
 
 
+MKNN_K = 3
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over ALL images (operators/knn.mutual_knn_pairs):
+    edges (a,b), a<b, where each is among the other's 3 nearest OTHER
+    rows — the symmetric kNN graph that feeds density clustering /
+    near-dup grouping. Exact by composition (one knn_join_df self-join
+    at k+1, drop self, re-rank; mutual = one equi-join of the n·k edge
+    table with its swap). Oracle = the coverage-proof exact-kNN scan
+    with self excluded, then the same mutual join relationally."""
+    from ..operators.knn import mutual_knn_pairs
+
+    img = _images(spark, sf_dir)
+    out = mutual_knn_pairs(img, MKNN_K, radius_guess_deg=2.0)
+    return out.select("a", "b")
+
+
+def o_mutual_knn() -> str:
+    import math as _m
+
+    theta = _m.degrees(2 * _m.asin(_m.sqrt(KNN_DF_T) / 2)) + 1e-9
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS image_id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+near AS (
+  SELECT q.image_id AS query_id, i.image_id,
+         pow(i.x-q.x,2)+pow(i.y-q.y,2)+pow(i.z-q.z,2) AS d2
+  FROM pts i, pts q
+  WHERE i.image_id <> q.image_id
+    AND i.lat BETWEEN q.lat - {theta!r} AND q.lat + {theta!r}
+    AND pow(i.x-q.x,2)+pow(i.y-q.y,2)+pow(i.z-q.z,2) <= {KNN_DF_T!r}
+),
+qual AS (SELECT query_id FROM near GROUP BY query_id HAVING count(*) >= {MKNN_K}),
+near_rank AS (
+  SELECT query_id, image_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+  FROM near WHERE query_id IN (SELECT query_id FROM qual)
+),
+fb AS (
+  SELECT q.image_id AS query_id, i.image_id,
+         row_number() OVER (PARTITION BY q.image_id
+                            ORDER BY pow(i.x-q.x,2)+pow(i.y-q.y,2)+pow(i.z-q.z,2) ASC,
+                                     i.image_id ASC) AS rank
+  FROM pts i, pts q
+  WHERE i.image_id <> q.image_id
+    AND q.image_id NOT IN (SELECT query_id FROM qual)
+),
+edges AS (
+  SELECT query_id, image_id FROM near_rank WHERE rank <= {MKNN_K}
+  UNION ALL
+  SELECT query_id, image_id FROM fb WHERE rank <= {MKNN_K}
+)
+SELECT e.query_id AS a, e.image_id AS b
+FROM edges e JOIN edges m
+  ON e.query_id = m.image_id AND e.image_id = m.query_id
+WHERE e.query_id < e.image_id
+""".strip()
+
+
 SKNN_MOD = 13
 SKNN_REM = 5
 SKNN_K = 3
@@ -5293,6 +5357,7 @@ def queries():
         "within_distance_var": q_within_distance_var,
         "stream_within_distance": q_stream_within_distance,
         "stream_knn": q_stream_knn,
+        "mutual_knn": q_mutual_knn,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5393,6 +5458,7 @@ def oracle_sql():
         "within_distance_var": o_within_distance_var(),
         "stream_within_distance": o_stream_within_distance(),
         "stream_knn": o_stream_knn(),
+        "mutual_knn": o_mutual_knn(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),
