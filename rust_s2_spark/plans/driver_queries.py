@@ -3125,6 +3125,66 @@ GROUP BY l.id
 """.strip()
 
 
+SCS_LEVELS = (5, 7)
+
+
+def q_stream_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained density stats on an ingest stream
+    (streaming/cell_stream.streaming_cell_stats): the (level, cell, n)
+    table that seeds knn_join_df/salting, kept fresh as rows arrive —
+    one stateless ancestor explode + a stateful count whose state is
+    bounded by Σ 6·4^L counters. availableNow complete-mode snapshot
+    must equal the batch build (oracle = the relational Hilbert encode
+    + parent bit-math GROUP BYs, same universe as cells_per_parent7)."""
+    import shutil
+    import tempfile
+
+    from ..streaming import streaming_cell_stats
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    img = spark.sql(trig_free_xyz_sql()).select(
+        s2_cell_from_xyz("x", "y", "z").alias("cell_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="s2scs_")
+    name = "stream_cell_stats_q"
+    try:
+        img.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
+        stats = streaming_cell_stats(stream, levels=SCS_LEVELS)
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_cell_stats availableNow query did not finish"
+            )
+        return spark.sql(
+            f"SELECT level, cell, CAST(n AS BIGINT) AS n FROM {name}"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def o_stream_cell_stats() -> str:
+    base = hilbert_oracle_query()
+    parts = []
+    for lvl in SCS_LEVELS:
+        lsb = 1 << (2 * (30 - lvl))
+        parts.append(
+            f"SELECT {lvl} AS level, ((cell_id & -{lsb}) | {lsb}) AS cell,\n"
+            f"       count(*) AS n FROM enc GROUP BY 1, 2"
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return f"WITH enc AS ({base})\n{u}".strip()
+
+
 MKNN_K = 3
 
 
@@ -5358,6 +5418,7 @@ def queries():
         "stream_within_distance": q_stream_within_distance,
         "stream_knn": q_stream_knn,
         "mutual_knn": q_mutual_knn,
+        "stream_cell_stats": q_stream_cell_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5459,6 +5520,7 @@ def oracle_sql():
         "stream_within_distance": o_stream_within_distance(),
         "stream_knn": o_stream_knn(),
         "mutual_knn": o_mutual_knn(),
+        "stream_cell_stats": o_stream_cell_stats(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),

@@ -1,5 +1,6 @@
 from .cell_stream import (  # noqa: F401
     assign_cells,
+    streaming_cell_stats,
     streaming_first_seen,
     streaming_knn,
     streaming_region_rollup,

@@ -364,3 +364,27 @@ def streaming_knn(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def streaming_cell_stats(
+    stream: DataFrame, levels: tuple[int, ...] = (7,), cell_col: str = "cell_id"
+) -> DataFrame:
+    """Incrementally maintained density statistics over an ingest
+    stream — the streaming twin of ``plans.stats.build_cell_stats``,
+    closing the loop on the stats lifecycle: built at write time for
+    batch tables, kept fresh here for streaming ingest, consumed by the
+    density-adaptive operators (``knn_join_df(stats=)``,
+    ``salted_repartition(hot=)``).
+
+    The batch builder is ONE stateless ancestor explode (native
+    Generate) + a groupBy count, which is exactly a streaming stateful
+    aggregation — so the same code runs on a stream unchanged, with
+    state bounded by Σ 6·4^L counters (the same bound as the batch
+    output; no watermark needed since cell counts never expire). Use
+    ``update`` output mode + foreachBatch to merge changed counters
+    into the persisted ``_cell_stats`` table, or ``complete`` to
+    snapshot it.
+    """
+    from ..plans.stats import build_cell_stats
+
+    return build_cell_stats(stream, levels=levels, cell_col=cell_col)

@@ -134,3 +134,34 @@ def test_write_read_roundtrip_and_lineage_hook(spark, images, tmp_path):
     assert {tuple(r) for r in got2.collect()} == {
         tuple(r) for r in want2.collect()
     }
+
+
+def test_streaming_cell_stats_multibatch_equals_batch(spark, images, tmp_path):
+    """streaming_cell_stats over a multi-file (multi-micro-batch)
+    stream: the complete-mode snapshot equals the one-shot batch build
+    — the incremental state merge is exact, not approximate."""
+    from rust_s2_spark.streaming import streaming_cell_stats
+
+    src = images.select("cell_id")
+    src.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        streaming_cell_stats(stream, levels=(5, 7))
+        .writeStream.format("memory")
+        .queryName("scs_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        map(tuple, spark.sql("SELECT level, cell, n FROM scs_test").collect())
+    )
+    want = sorted(
+        map(tuple, build_cell_stats(src, levels=(5, 7)).collect())
+    )
+    assert got == want and len(got) > 0
