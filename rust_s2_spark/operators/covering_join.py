@@ -571,3 +571,63 @@ def within_distance_join_df_var(
         .where(F.col("dist_chord2") <= F.col("__c2"))
         .select(query_id_col, id_col, "dist_chord2")
     )
+
+
+def region_anti_filter(
+    df: DataFrame,
+    regions: list,
+    coverer: RegionCoverer = DEFAULT_COVERER,
+    biased_col: str = "cell_id_biased",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Rows of ``df`` inside NONE of the regions — geofence EXCLUSION
+    (the complement of ``region_filter`` over the region set; reference
+    semantics: negated region containment, region.rs contains_point).
+
+    One scan, zero shuffle: each region contributes its
+    ``covering-range AND exact`` membership conjunction and the filter
+    is ``NOT (OR over regions)``. Negation kills range pushdown by
+    nature (an anti-join must look at every row), but the per-row cost
+    stays native codegen trig. The OR chain grows with region count —
+    right for tens of regions; for thousands use
+    ``region_anti_join`` (equi-join candidates + left_anti).
+    """
+    member = F.lit(False)
+    for region in regions:
+        ranges = covering_ranges(region, coverer)
+        member = member | (
+            range_predicate(ranges, biased_col)
+            & exact_predicate(region, lat_col, lng_col)
+        )
+    return df.where(~member)
+
+
+def region_anti_join(
+    spark: SparkSession,
+    df: DataFrame,
+    regions: list,
+    coverer: RegionCoverer = DEFAULT_COVERER,
+    cell_col: str = "cell_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    id_col: str = "image_id",
+    fast: bool = True,
+) -> DataFrame:
+    """Geofence exclusion at region-table scale: rows of ``df`` inside
+    NONE of the ``regions``, as a LEFT ANTI join against the matched-id
+    set of ``region_join_ancestors`` (pure equi-join candidates + exact
+    post-filter — the 10⁴-region shape).
+
+    Cost is the standard distributed anti-join: one fact scan to build
+    the (small) matched-id set, one anti-join shuffle keyed on
+    ``id_col``. Requires ``id_col`` to identify rows uniquely (the
+    anti-join key).
+    """
+    matched = region_join_ancestors(
+        spark, df.select(id_col, cell_col, lat_col, lng_col),
+        regions, list(range(len(regions))),
+        coverer=coverer, cell_col=cell_col,
+        lat_col=lat_col, lng_col=lng_col, fast=fast,
+    ).select(id_col).distinct()
+    return df.join(matched, id_col, "left_anti")

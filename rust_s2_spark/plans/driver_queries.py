@@ -3125,6 +3125,51 @@ GROUP BY l.id
 """.strip()
 
 
+ANTI_CAPS = [
+    (40.7128, -74.0060, 3.0),   # NYC
+    (51.5074, -0.1278, 3.0),    # London
+    (35.6762, 139.6503, 3.0),   # Tokyo
+    (-33.8688, 151.2093, 5.0),  # Sydney
+    (-22.9068, -43.1729, 5.0),  # Rio
+]
+
+
+def q_region_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence EXCLUSION (operators/covering_join.region_anti_join):
+    images inside NONE of five caps, via the scale shape — ancestor
+    equi-join candidates + exact post-filter -> left_anti on the id.
+    The one-scan negated-filter twin (region_anti_filter) is pinned
+    equal in pytest. Oracle = NOT (any chord² <= r²)."""
+    from ..geometry import Cap
+    from ..operators.covering_join import region_anti_join
+
+    img = _images(spark, sf_dir)
+    caps = [Cap.from_latlng_degrees(a, b, r) for a, b, r in ANTI_CAPS]
+    out = region_anti_join(spark, img, caps)
+    return out.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("image_id").cast("long") % F.lit(1000003))
+        .cast("long")
+        .alias("sum_id_mod"),
+    )
+
+
+def o_region_anti() -> str:
+    from ..geometry import Cap
+
+    conds = []
+    for lat, lng, r in ANTI_CAPS:
+        cap = Cap.from_latlng_degrees(lat, lng, r)
+        conds.append(f"({_chord2_sql('lat', 'lng', lat, lng)} <= {cap.radius2!r})")
+    member = " OR ".join(conds)
+    return f"""
+WITH img AS ({oracle_images_sql()})
+SELECT count(*) AS n,
+       CAST(sum(CAST(image_id AS BIGINT) % 1000003) AS BIGINT) AS sum_id_mod
+FROM img WHERE NOT ({member})
+""".strip()
+
+
 SCS_LEVELS = (5, 7)
 
 
@@ -5419,6 +5464,7 @@ def queries():
         "stream_knn": q_stream_knn,
         "mutual_knn": q_mutual_knn,
         "stream_cell_stats": q_stream_cell_stats,
+        "region_anti": q_region_anti,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5521,6 +5567,7 @@ def oracle_sql():
         "stream_knn": o_stream_knn(),
         "mutual_knn": o_mutual_knn(),
         "stream_cell_stats": o_stream_cell_stats(),
+        "region_anti": o_region_anti(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),
