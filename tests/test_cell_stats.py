@@ -165,3 +165,29 @@ def test_streaming_cell_stats_multibatch_equals_batch(spark, images, tmp_path):
         map(tuple, build_cell_stats(src, levels=(5, 7)).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_knn_stale_stats_only_affect_performance(spark, images):
+    """The docstring contract: start levels derived from stats are pure
+    performance — STALE stats (built on a different/older snapshot of
+    the table) must leave results bit-identical, only slower/faster."""
+    iid = F.col("image_id").cast("long")
+    probes = images.where(iid % 101 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    base = _knn_sorted(knn_join_df(images, probes, 3, radius_guess_deg=2.0))
+    # stale regimes: stats over half the table (under-counts), stats
+    # over a 5x replica (over-counts) — both mis-seed the start level
+    half = build_cell_stats(
+        images.where(iid % 2 == 0), levels=(7,)
+    ).localCheckpoint(eager=True)
+    over = build_cell_stats(images, levels=(7,)).withColumn(
+        "n", F.col("n") * 5
+    ).localCheckpoint(eager=True)
+    for stale in (half, over):
+        got = _knn_sorted(
+            knn_join_df(images, probes, 3, radius_guess_deg=2.0, stats=stale)
+        )
+        assert got.equals(base)

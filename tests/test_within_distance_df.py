@@ -250,3 +250,40 @@ def test_variable_radius_null_threshold_dropped(spark, images):
 
     all_null = probes.where(F.lit(False) | F.col("chord2_max").isNull())
     assert within_distance_join_df_var(images, all_null).count() == 0
+
+
+def test_variable_radius_ladder_picks_min_width_level(spark):
+    """The SQL comparison ladder (size(filter(ladder, t >= c2)) - 1)
+    must agree with the python metric computation at every level
+    boundary: for a threshold exactly AT a level's min-width chord²
+    the level itself is chosen; one ulp above drops one level coarser.
+    Sweeps all 31 boundaries — the trig-free gate has no libm to
+    diverge, so equality is exact."""
+    import numpy as np
+
+    from rust_s2_spark.kernels import metric as metrics
+
+    ladder = []
+    for lvl in range(31):
+        w = metrics.MIN_WIDTH.value(lvl)
+        s = 2.0 * math.sin(0.5 * min(w, math.pi))
+        ladder.append(s * s)
+    cases = []  # (c2, expected_level)
+    for lvl in range(31):
+        c2 = ladder[lvl]
+        cases.append((c2, lvl))  # exactly at the bound → that level
+        up = float(np.nextafter(c2, np.inf))
+        if lvl > 0:
+            # one ulp wider than level lvl's guarantee → must coarsen
+            exp = lvl - 1 if up > ladder[lvl] else lvl
+            cases.append((up, exp))
+    df = spark.createDataFrame(
+        [(float(c2), int(e)) for c2, e in cases], "c2 double, expected int"
+    )
+    ladder_arr = F.array(*[F.lit(float(t)) for t in ladder])
+    lvl_col = F.size(F.filter(ladder_arr, lambda t: t >= F.col("c2"))) - F.lit(1)
+    got = df.withColumn(
+        "got", F.greatest(F.lit(0), F.least(F.lit(30), lvl_col))
+    )
+    bad = got.where(F.col("got") != F.col("expected")).collect()
+    assert bad == [], bad
