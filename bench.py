@@ -235,6 +235,38 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         .collect()
     )
 
+    # mutual-kNN graph (symmetric edges for density clustering): the
+    # 1-in-3 corpus (50k rows at sf0.1) builds its own k=3 graph —
+    # one knn_join_df self-join at k+1 + one edge-table swap join.
+    # stats_df describes the FULL table (3x the corpus) — deliberately
+    # approximate seeding; exactness is stats-independent (pinned by
+    # test_knn_stale_stats_only_affect_performance)
+    from rust_s2_spark.operators.knn import mutual_knn_pairs
+
+    graph_corpus = img.where(iid % 3 == 0)
+    out["mutual_knn"], _ = timed(
+        lambda: mutual_knn_pairs(
+            graph_corpus, 3, radius_guess_deg=2.0, stats=stats_df
+        ).count()
+    )
+
+    # geofence exclusion: full table, 5 caps, ancestor-equi-join
+    # candidates + left_anti (the anti-join must touch every row —
+    # the measured cost IS the 100 TB cost shape)
+    from rust_s2_spark.geometry import Cap
+    from rust_s2_spark.operators.covering_join import region_anti_join
+
+    anti_caps = [
+        Cap.from_latlng_degrees(40.7128, -74.0060, 3.0),
+        Cap.from_latlng_degrees(51.5074, -0.1278, 3.0),
+        Cap.from_latlng_degrees(35.6762, 139.6503, 3.0),
+        Cap.from_latlng_degrees(-33.8688, 151.2093, 5.0),
+        Cap.from_latlng_degrees(-22.9068, -43.1729, 5.0),
+    ]
+    out["region_anti"], _ = timed(
+        lambda: region_anti_join(spark, img, anti_caps).count()
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if mult > 1:
         docs = _scale_docs(docs, mult).localCheckpoint(eager=True)

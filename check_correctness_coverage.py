@@ -49,6 +49,23 @@ TWIN_COVERED_BY = {
     # wrapper delegates to within_distance_join_df verbatim); its own
     # driver query also carries the same exhaustive oracle shape
     "stream_within_distance": "within_distance",
+    # foreachBatch runs knn_join_df verbatim per micro-batch;
+    # test_streaming_knn.py pins multi-batch == one-shot batch operator
+    # == brute force, so the recorded knn_df gate extends to the lift
+    "stream_knn": "knn_df",
+    # one knn_join_df self-join (the recorded knn_df gate) + a swap
+    # equi-join of the bounded edge table; the mutual step is pinned
+    # against an independent brute force in test_mutual_knn.py
+    "mutual_knn": "knn_df",
+    # complement of the recorded covering-join family: candidates come
+    # from the same region_join_ancestors plan the recorded
+    # region_join_1k gates; test_region_anti.py pins the complement
+    # partition property (anti ∪ per-region matches tile the table)
+    "region_anti": "region_join_1k",
+    # same relational family as the recorded cells_per_parent7 (Hilbert
+    # encode + parent bit-math groupBy, same row universe); the
+    # streaming merge == batch build is pinned in test_cell_stats.py
+    "stream_cell_stats": "cells_per_parent7",
 }
 
 
