@@ -226,7 +226,7 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     # competes with box drift — back-to-back windows let a steal spike
     # invert the real gap (it did, in the first round-8 pass)
     stats_df = build_cell_stats(img, levels=(7,)).localCheckpoint(eager=True)
-    rep_n = max(2, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    rep_n = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     t_none, t_stats = [], []
     for _ in range(rep_n):
         t0 = time.perf_counter()
@@ -456,7 +456,7 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     # INTERLEAVED min-of-N: the pair is a comparison, so both legs must
     # see the same box drift (back-to-back min-of-2 windows let steal
     # spikes invert a real gap)
-    repeats = max(2, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     t_un, t_s, t_a = [], [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -836,9 +836,15 @@ def main():
             # the ~4.4 s session fixed cost (round-8: mult=360,
             # splits=64 for the 8→32 leg)
             n_splits = int(os.environ.get("SPARK_GRAFT_SCALE_SPLITS", "32"))
+            # shuffle partitions must ALSO be layout-constant across the
+            # pair (make_spark scales them with the core count, which is
+            # a config-varying comparison); 0 = keep make_spark's value
+            n_shuffle = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "0"))
             scaling = {}
             for c in pair:
                 s = make_spark(c)
+                if n_shuffle:
+                    s.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
 
                 def job():
                     # headline job: generate + encode (pandas UDF) +

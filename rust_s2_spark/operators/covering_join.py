@@ -450,6 +450,30 @@ def within_distance_join_df(
     )
 
 
+def radius_level_expr(chord2_col) -> Column:
+    """Finest level whose MIN_WIDTH one-ring contract covers a per-row
+    chord² threshold, clamped to [0, 30] — the trig-free 31-literal
+    comparison ladder (no log/asin, no cross-engine libm in the gate):
+    level L is valid for a probe iff min-width-chord²(L) >= its
+    threshold, and the ladder is descending in L, so the answer is
+    ``size(filter(ladder, t >= c2)) - 1``. Shared by
+    ``within_distance_join_df_var`` and the boundary-sweep test so the
+    two cannot drift."""
+    import math as _math
+
+    from ..kernels import metric as metrics
+
+    ladder = []
+    for lvl in range(31):
+        w = metrics.MIN_WIDTH.value(lvl)
+        s = 2.0 * _math.sin(0.5 * min(w, _math.pi))
+        ladder.append(s * s)
+    ladder_arr = F.array(*[F.lit(float(t)) for t in ladder])
+    c2 = chord2_col if isinstance(chord2_col, Column) else F.col(chord2_col)
+    lvl_col = F.size(F.filter(ladder_arr, lambda t: t >= c2)) - F.lit(1)
+    return F.greatest(F.lit(0), F.least(F.lit(30), lvl_col))
+
+
 def within_distance_join_df_var(
     df: DataFrame,
     probes: DataFrame,
@@ -488,8 +512,6 @@ def within_distance_join_df_var(
     ``<=`` gate can never match them (NULL-drop semantics, matching the
     literal-radius path's behavior for absent rows).
     """
-    import math as _math
-
     from ..functions import (
         chord2_expr,
         s2_all_neighbors,
@@ -497,26 +519,13 @@ def within_distance_join_df_var(
         s2_parent,
         xyz_cols,
     )
-    from ..kernels import metric as metrics
-
-    # chord² of MIN_WIDTH per level, descending with level — level L is
-    # valid for a probe iff ladder[L] >= its chord² threshold
-    ladder = []
-    for lvl in range(31):
-        w = metrics.MIN_WIDTH.value(lvl)
-        s = 2.0 * _math.sin(0.5 * min(w, _math.pi))
-        ladder.append(s * s)
-    ladder_arr = F.array(*[F.lit(float(t)) for t in ladder])
     c2 = F.col(chord2_col)
-    lvl_col = (
-        F.size(F.filter(ladder_arr, lambda t: t >= c2)) - F.lit(1)
-    )
     p = probes.where(c2.isNotNull()).select(
         query_id_col,
         qlat_col,
         qlng_col,
         c2.alias("__c2"),
-        F.greatest(F.lit(0), F.least(F.lit(30), lvl_col)).alias("__lvl"),
+        radius_level_expr(c2).alias("__lvl"),
     )
     active = sorted(
         int(r["__lvl"]) for r in p.select("__lvl").distinct().collect()
@@ -592,6 +601,11 @@ def region_anti_filter(
     stays native codegen trig. The OR chain grows with region count —
     right for tens of regions; for thousands use
     ``region_anti_join`` (equi-join candidates + left_anti).
+
+    NULL coordinates are inside no region, so such rows are KEPT —
+    the membership OR is coalesced to false (bare ``NOT(NULL)`` would
+    silently drop them, diverging from the left_anti regime, which
+    keeps unmatched rows by construction).
     """
     member = F.lit(False)
     for region in regions:
@@ -600,7 +614,7 @@ def region_anti_filter(
             range_predicate(ranges, biased_col)
             & exact_predicate(region, lat_col, lng_col)
         )
-    return df.where(~member)
+    return df.where(~F.coalesce(member, F.lit(False)))
 
 
 def region_anti_join(

@@ -335,14 +335,18 @@ def streaming_knn(
     from ..operators.knn import knn_join_df
     from ..plans.stats import build_cell_stats
 
+    spark = facts.sparkSession
     if stats is None:
-        # one scan up front; the bounded (level, cell, n) result is
-        # re-read per batch instead of the fact table
-        spark = facts.sparkSession
-        stats = spark.createDataFrame(
-            build_cell_stats(facts, levels=(7,)).collect(),
-            "level int, cell long, n long",
-        )
+        stats = build_cell_stats(facts, levels=(7,))
+    # materialize ONCE up front, whatever the caller passed: a lazy
+    # stats frame would re-evaluate its lineage (a full fact scan +
+    # aggregation) inside EVERY micro-batch's knn_join_df — exactly
+    # the per-batch cost this parameter exists to eliminate. The
+    # result is bounded (≤ Σ 6·4^L rows), so collect + rebuild.
+    stats = spark.createDataFrame(
+        [(int(r["level"]), int(r["cell"]), int(r["n"])) for r in stats.collect()],
+        "level int, cell long, n long",
+    )
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         out = knn_join_df(

@@ -62,3 +62,24 @@ def test_mixed_region_types(spark, images):
 def test_empty_region_list_keeps_all_rows(spark, images):
     assert _ids(region_anti_filter(images, [])) == _ids(images)
     assert _ids(region_anti_join(spark, images, [])) == _ids(images)
+
+
+def test_null_coordinates_kept_by_both_regimes(spark):
+    """A NULL-coordinate row is inside no region, so BOTH regimes keep
+    it (a bare NOT(NULL-member) would silently drop it in the filter
+    regime while left_anti keeps unmatched rows by construction)."""
+    rows = [
+        (1, 40.7128, -74.0060),  # inside the NYC cap → excluded
+        (2, None, None),         # NULL coordinates → kept
+        (3, 0.0, 0.0),           # far from every cap → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, lat double, lng double"
+    )
+    from rust_s2_spark.functions import s2_biased, s2_cell_from_latlng
+
+    df = df.withColumn("cell_id", s2_cell_from_latlng("lat", "lng"))
+    df = df.withColumn("cell_id_biased", s2_biased("cell_id"))
+    a = _ids(region_anti_filter(df, CAPS))
+    b = _ids(region_anti_join(spark, df, CAPS))
+    assert a == b == [2, 3]

@@ -258,10 +258,14 @@ def test_variable_radius_ladder_picks_min_width_level(spark):
     boundary: for a threshold exactly AT a level's min-width chord²
     the level itself is chosen; one ulp above drops one level coarser.
     Sweeps all 31 boundaries — the trig-free gate has no libm to
-    diverge, so equality is exact."""
+    diverge, so equality is exact. Drives the OPERATOR'S OWN expression
+    (covering_join.radius_level_expr, the one
+    within_distance_join_df_var uses) so the test cannot pass against
+    a drifted copy."""
     import numpy as np
 
     from rust_s2_spark.kernels import metric as metrics
+    from rust_s2_spark.operators.covering_join import radius_level_expr
 
     ladder = []
     for lvl in range(31):
@@ -280,10 +284,6 @@ def test_variable_radius_ladder_picks_min_width_level(spark):
     df = spark.createDataFrame(
         [(float(c2), int(e)) for c2, e in cases], "c2 double, expected int"
     )
-    ladder_arr = F.array(*[F.lit(float(t)) for t in ladder])
-    lvl_col = F.size(F.filter(ladder_arr, lambda t: t >= F.col("c2"))) - F.lit(1)
-    got = df.withColumn(
-        "got", F.greatest(F.lit(0), F.least(F.lit(30), lvl_col))
-    )
+    got = df.withColumn("got", radius_level_expr("c2"))
     bad = got.where(F.col("got") != F.col("expected")).collect()
     assert bad == [], bad

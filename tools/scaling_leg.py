@@ -11,8 +11,12 @@ Round-8 usage (the 8→32 leg; splits and mult raised so the parallel
 portion dominates the ~4.4 s session fixed cost measured by the
 round-7 Amdahl fit):
 
-    python tools/scaling_leg.py 8  --mult 360 --splits 64
-    python tools/scaling_leg.py 32 --mult 360 --splits 64
+    python tools/scaling_leg.py 8  --mult 360 --splits 64 --shuffle-partitions 64
+    python tools/scaling_leg.py 32 --mult 360 --splits 64 --shuffle-partitions 64
+
+(--shuffle-partitions 64 is part of the published methodology: without
+it make_spark sets max(16, 2*cores) — 16 vs 64 across the pair, a
+config-varying comparison that understates the small leg by ~20%.)
 
 Interpret the pair against tools/hw_calibration.py: this box's 32
 "cores" deliver only ~3.26x the aggregate ALU throughput of 8 (0.815
