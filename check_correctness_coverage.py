@@ -66,6 +66,12 @@ TWIN_COVERED_BY = {
     # encode + parent bit-math groupBy, same row universe); the
     # streaming merge == batch build is pinned in test_cell_stats.py
     "stream_cell_stats": "cells_per_parent7",
+    # composition of two recorded families: neighborhoods are the
+    # recorded within_distance machinery (exhaustive-oracle gated) and
+    # components are the recorded dedup_clusters propagation; the
+    # composed roles/labels are pinned vs an independent brute-force
+    # DBSCAN in test_dbscan.py, and its own oracle replays everything
+    "dbscan": "within_distance",
 }
 
 

@@ -3125,6 +3125,87 @@ GROUP BY l.id
 """.strip()
 
 
+DBSCAN_MOD = 5
+DBSCAN_EPS_DEG = 0.015
+DBSCAN_MIN_PTS = 6
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DBSCAN (operators/clustering.dbscan_clusters) over
+    a 1-in-5 subset: eps=0.015° (the NYC hotspot's nearest-neighbor
+    scale, so the role structure is non-degenerate: ~1400 cores, ~75
+    borders, ~1500 noise), min_pts=6 (closed neighborhood).
+    Exact composition — within_distance_pairs neighborhoods (ring
+    recall verified by its own exhaustive gate), hash-to-min components
+    with a convergence witness, min-label border rule. Oracle replays
+    all of it relationally: exhaustive chord² pairs, degree counts,
+    recursive-CTE transitive closure over the core graph, min-label
+    border assignment."""
+    from ..operators.clustering import dbscan_clusters
+
+    img = (
+        _images(spark, sf_dir)
+        .withColumn("image_id", F.col("image_id").cast("long"))
+        .where(F.col("image_id") % DBSCAN_MOD == 0)
+    )
+    out = dbscan_clusters(img, DBSCAN_EPS_DEG, DBSCAN_MIN_PTS, max_iter=40)
+    return out.select(
+        F.col("id").alias("image_id"), "cluster", "role"
+    )
+
+
+def o_dbscan() -> str:
+    rad = math.radians(DBSCAN_EPS_DEG)
+    s = 2.0 * math.sin(0.5 * min(rad, math.pi))
+    eps_c2 = s * s
+    theta = DBSCAN_EPS_DEG + 1e-9
+    d2 = "(pow(p.x-q.x,2) + pow(p.y-q.y,2) + pow(p.z-q.z,2))"
+    return f"""
+WITH RECURSIVE img AS MATERIALIZED ({oracle_images_sql()}),
+pts AS MATERIALIZED (
+  SELECT CAST(image_id AS BIGINT) AS id, lat,
+         cos(radians(lng))*cos(radians(lat)) AS x,
+         sin(radians(lng))*cos(radians(lat)) AS y,
+         sin(radians(lat)) AS z
+  FROM img WHERE CAST(image_id AS BIGINT) % {DBSCAN_MOD} = 0),
+pairs AS MATERIALIZED (
+  SELECT p.id AS a, q.id AS b
+  FROM pts p, pts q
+  WHERE p.id < q.id
+    AND q.lat BETWEEN p.lat - {theta!r} AND p.lat + {theta!r}
+    AND {d2} <= {eps_c2!r}),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+deg AS (SELECT u AS id, count(*) AS n FROM sym GROUP BY u),
+cores AS MATERIALIZED (
+  SELECT p.id FROM pts p LEFT JOIN deg d ON d.id = p.id
+  WHERE coalesce(d.n, 0) + 1 >= {DBSCAN_MIN_PTS}),
+core_edges AS MATERIALIZED (
+  SELECT u, v FROM sym
+  WHERE u IN (SELECT id FROM cores) AND v IN (SELECT id FROM cores)),
+reach(v, r) AS (
+  SELECT u, u FROM core_edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN core_edges e ON e.u = reach.v),
+comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v),
+core_lab AS MATERIALIZED (
+  SELECT c.id, CAST(coalesce(m.component, c.id) AS BIGINT) AS cluster,
+         'core' AS role
+  FROM cores c LEFT JOIN comp m ON m.v = c.id),
+border_lab AS (
+  SELECT s.u AS id, MIN(cl.cluster) AS cluster, 'border' AS role
+  FROM sym s JOIN core_lab cl ON cl.id = s.v
+  WHERE s.u NOT IN (SELECT id FROM cores)
+  GROUP BY s.u)
+SELECT p.id AS image_id,
+       CAST(l.cluster AS BIGINT) AS cluster,
+       coalesce(l.role, 'noise') AS role
+FROM pts p LEFT JOIN (
+  SELECT * FROM core_lab UNION ALL SELECT * FROM border_lab
+) l ON l.id = p.id
+""".strip()
+
+
 ANTI_CAPS = [
     (40.7128, -74.0060, 3.0),   # NYC
     (51.5074, -0.1278, 3.0),    # London
@@ -5465,6 +5546,7 @@ def queries():
         "mutual_knn": q_mutual_knn,
         "stream_cell_stats": q_stream_cell_stats,
         "region_anti": q_region_anti,
+        "dbscan": q_dbscan,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5568,6 +5650,7 @@ def oracle_sql():
         "mutual_knn": o_mutual_knn(),
         "stream_cell_stats": o_stream_cell_stats(),
         "region_anti": o_region_anti(),
+        "dbscan": o_dbscan(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),
