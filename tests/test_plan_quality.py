@@ -542,3 +542,52 @@ def test_audio_landmark_match_broadcasts_queries(spark):
     assert "BroadcastHashJoin" in plan, plan
     head = plan.split("BroadcastHashJoin")[0]
     assert "SortMergeJoin" not in head, head
+
+
+def test_mutual_knn_swap_join_is_equi_join(stored, spark):
+    """The mutual step (edge table joined with its swap) must be a hash
+    or sort-merge equi-join on (src, dst) — never a nested loop — and
+    the edge table never leaves the executors."""
+    from rust_s2_spark.operators.knn import mutual_knn_pairs
+
+    df = stored.withColumn("image_id", F.col("image_id").cast("long"))
+    corpus = df.where(F.col("image_id") % 101 == 0)
+    plan = _plan(mutual_knn_pairs(corpus, 2, radius_guess_deg=2.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_region_anti_join_is_left_anti_equi_join(stored, spark):
+    """Geofence exclusion: the final anti step must be a hashable
+    LeftAnti equi-join on the row id, and the candidate path stays the
+    ancestor equi-join (no nested loop anywhere)."""
+    from rust_s2_spark.operators.covering_join import region_anti_join
+
+    caps = [
+        Cap.from_latlng_degrees(40.7128, -74.0060, 3.0),
+        Cap.from_latlng_degrees(-33.8688, 151.2093, 5.0),
+    ]
+    plan = _plan(region_anti_join(spark, stored, caps))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_region_anti_filter_single_scan_no_join(stored):
+    """The few-regions regime is ONE scan with a negated native
+    predicate — no join operator at all, no Python."""
+    from rust_s2_spark.operators.covering_join import region_anti_filter
+
+    caps = [
+        Cap.from_latlng_degrees(40.7128, -74.0060, 3.0),
+        Cap.from_latlng_degrees(-33.8688, 151.2093, 5.0),
+    ]
+    plan = _plan(region_anti_filter(stored, caps))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
