@@ -72,6 +72,10 @@ TWIN_COVERED_BY = {
     # composed roles/labels are pinned vs an independent brute-force
     # DBSCAN in test_dbscan.py, and its own oracle replays everything
     "dbscan": "within_distance",
+    # the k-nearest core is the recorded knn_df machinery; the IDW
+    # weighted fold and exact-hit rule are pinned vs hand computation
+    # in test_idw.py, and its own oracle replays the rank-order fold
+    "idw": "knn_df",
 }
 
 

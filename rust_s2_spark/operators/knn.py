@@ -533,3 +533,85 @@ def mutual_knn_pairs(
         fwd.join(rev, ["src", "dst"], "left_semi")
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "dist_chord2")
     )
+
+
+def idw_interpolate(
+    facts: DataFrame,
+    probes: DataFrame,
+    kk: int,
+    value_col: str,
+    radius_guess_deg: float = 1.0,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    id_col: str = "image_id",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlng_col: str = "qlng",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation: for every probe row,
+    estimate ``value_col`` from its ``kk`` nearest facts with weights
+    1/chord² — the classic IDW spatial surface (power 2 over great-
+    circle chord distance), computed exactly on top of ``knn_join_df``.
+
+    Returns (query_id, est): est = Σ wᵢvᵢ / Σ wᵢ over the k nearest,
+    except when a fact sits EXACTLY at the probe (chord² == 0): then
+    est is that fact's value (min fact id wins among co-located facts,
+    deterministic), the standard IDW exact-hit rule.
+
+    Determinism across engines: both numerator and denominator are
+    SEQUENTIAL folds in rank order (array_sort + F.aggregate — not a
+    parallel SUM, whose float addition order is partition-dependent),
+    so a relational oracle replaying list(x ORDER BY rank) +
+    list_reduce reproduces the same IEEE double bit-for-bit.
+    """
+    nn = knn_join_df(
+        facts, probes, kk,
+        radius_guess_deg=radius_guess_deg,
+        lat_col=lat_col, lng_col=lng_col, id_col=id_col,
+        query_id_col=query_id_col, qlat_col=qlat_col, qlng_col=qlng_col,
+        stats=stats,
+    )
+    vals = facts.select(
+        F.col(id_col), F.col(value_col).cast("double").alias("__v")
+    )
+    j = nn.join(vals, id_col)
+    # exact hits: min fact id at chord² == 0 per probe
+    exact = (
+        j.where(F.col("dist_chord2") == 0.0)
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.col(id_col).asc())
+            ),
+        )
+        .where(F.col("__r") == 1)
+        .select(query_id_col, F.col("__v").alias("__exact"))
+    )
+    # ANSI double division throws on zero — try_divide yields NULL for
+    # chord² == 0 terms, poisoning that probe's fold to NULL, which the
+    # exact-hit override then supplies (such a probe always has one)
+    w = F.try_divide(F.lit(1.0), F.col("dist_chord2"))
+    terms = j.select(
+        query_id_col,
+        F.struct(
+            F.col("rank").alias("r"),
+            (w * F.col("__v")).alias("num"),
+            w.alias("den"),
+        ).alias("__t"),
+    )
+    fold = (
+        terms.groupBy(query_id_col)
+        .agg(F.array_sort(F.collect_list("__t")).alias("__ts"))
+        .select(
+            query_id_col,
+            F.try_divide(
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x["num"]),
+                F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x["den"]),
+            ).alias("__idw"),
+        )
+    )
+    return fold.join(exact, query_id_col, "left").select(
+        query_id_col,
+        F.coalesce(F.col("__exact"), F.col("__idw")).alias("est"),
+    )

@@ -3125,6 +3125,100 @@ GROUP BY l.id
 """.strip()
 
 
+IDW_MOD = 11
+IDW_K = 3
+IDW_VAL_P = 997
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation (operators/knn.idw_interpolate): every
+    1-in-11 image probes the OTHER images for its 3 nearest and
+    estimates a per-point measurement (image_id % 997) with weights
+    1/chord². Both engines compute the estimate as a sequential fold in
+    rank order (F.aggregate vs list_reduce over list(... ORDER BY
+    rank)); the emitted value is floor-banded because chord² derives
+    from libm trig (the repo rule: no raw libm doubles in hashed
+    outputs — the band still gates neighbors, weights, and the
+    exact-hit rule, while tolerating last-ulp engine drift)."""
+    from ..operators.knn import idw_interpolate
+
+    img = _images(spark, sf_dir)
+    iid = F.col("image_id").cast("long")
+    facts = img.where(iid % IDW_MOD != 0).withColumn(
+        "val", (iid % IDW_VAL_P).cast("double")
+    )
+    probes = img.where(iid % IDW_MOD == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    out = idw_interpolate(facts, probes, IDW_K, "val", radius_guess_deg=2.0)
+    return out.select(
+        "query_id", F.floor(F.col("est")).cast("long").alias("est_floor")
+    )
+
+
+def o_idw() -> str:
+    import math as _m
+
+    theta = _m.degrees(2 * _m.asin(_m.sqrt(KNN_DF_T) / 2)) + 1e-9
+    return f"""
+WITH img AS ({oracle_images_sql()}),
+pts AS (SELECT CAST(image_id AS BIGINT) AS image_id, lat,
+               cos(radians(lng))*cos(radians(lat)) AS x,
+               sin(radians(lng))*cos(radians(lat)) AS y,
+               sin(radians(lat)) AS z
+        FROM img),
+facts AS (SELECT *, CAST(image_id % {IDW_VAL_P} AS DOUBLE) AS v
+          FROM pts WHERE image_id % {IDW_MOD} <> 0),
+q AS (SELECT image_id AS query_id, lat AS qlat, x AS qx, y AS qy, z AS qz
+      FROM pts WHERE image_id % {IDW_MOD} = 0),
+near AS (
+  SELECT q.query_id, i.image_id, i.v,
+         pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) AS d2
+  FROM facts i, q
+  WHERE i.lat BETWEEN q.qlat - {theta!r} AND q.qlat + {theta!r}
+    AND pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) <= {KNN_DF_T!r}
+),
+qual AS (SELECT query_id FROM near GROUP BY query_id HAVING count(*) >= {IDW_K}),
+near_rank AS (
+  SELECT query_id, image_id, v, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+  FROM near WHERE query_id IN (SELECT query_id FROM qual)
+),
+fb AS (
+  SELECT q.query_id, i.image_id, i.v,
+         pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) AS d2,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY pow(i.x-q.qx,2)+pow(i.y-q.qy,2)+pow(i.z-q.qz,2) ASC,
+                                     i.image_id ASC) AS rank
+  FROM facts i, q
+  WHERE q.query_id NOT IN (SELECT query_id FROM qual)
+),
+topk AS (
+  SELECT query_id, image_id, v, d2, rank FROM near_rank WHERE rank <= {IDW_K}
+  UNION ALL
+  SELECT query_id, image_id, v, d2, rank FROM fb WHERE rank <= {IDW_K}
+),
+exact AS (
+  SELECT query_id, MIN(image_id) AS mid FROM topk WHERE d2 = 0 GROUP BY query_id
+),
+exact_v AS (
+  SELECT e.query_id, t.v AS ev FROM exact e
+  JOIN topk t ON t.query_id = e.query_id AND t.image_id = e.mid
+),
+fold AS (
+  SELECT query_id,
+         list_reduce(list(1.0/d2 * v ORDER BY rank), (a, b) -> a + b)
+         / list_reduce(list(1.0/d2 ORDER BY rank), (a, b) -> a + b) AS idw
+  FROM topk GROUP BY query_id
+)
+SELECT f.query_id,
+       CAST(floor(coalesce(x.ev, f.idw)) AS BIGINT) AS est_floor
+FROM fold f LEFT JOIN exact_v x ON x.query_id = f.query_id
+""".strip()
+
+
 DBSCAN_MOD = 5
 DBSCAN_EPS_DEG = 0.015
 DBSCAN_MIN_PTS = 6
@@ -5547,6 +5641,7 @@ def queries():
         "stream_cell_stats": q_stream_cell_stats,
         "region_anti": q_region_anti,
         "dbscan": q_dbscan,
+        "idw": q_idw,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5651,6 +5746,7 @@ def oracle_sql():
         "stream_cell_stats": o_stream_cell_stats(),
         "region_anti": o_region_anti(),
         "dbscan": o_dbscan(),
+        "idw": o_idw(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
         "ngram_jaccard": o_ngram_jaccard(),
