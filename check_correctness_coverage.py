@@ -76,6 +76,10 @@ TWIN_COVERED_BY = {
     # weighted fold and exact-hit rule are pinned vs hand computation
     # in test_idw.py, and its own oracle replays the rank-order fold
     "idw": "knn_df",
+    # the identical stateless negated predicate lifted onto a stream
+    # (the wrapper delegates to region_anti_filter verbatim); its own
+    # driver query shares o_region_anti verbatim as the oracle
+    "stream_region_anti": "region_join_1k",
 }
 
 

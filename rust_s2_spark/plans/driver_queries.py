@@ -3219,6 +3219,56 @@ FROM fold f LEFT JOIN exact_v x ON x.query_id = f.query_id
 """.strip()
 
 
+def q_stream_region_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING geofence exclusion (streaming/cell_stream.
+    streaming_region_anti): the full image stream filtered to pings
+    inside NONE of the five caps — a single stateless negated predicate
+    lifted to Structured Streaming unchanged — then the global count +
+    id-mod checksum in complete mode. Oracle = o_region_anti verbatim
+    (same fences, same universe), so the streaming lift is gated
+    against the batch truth."""
+    import shutil
+    import tempfile
+
+    from ..geometry import Cap
+    from ..streaming import streaming_region_anti
+
+    img = _images(spark, sf_dir).select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "lat", "lng", "cell_id_biased",
+    )
+    caps = [Cap.from_latlng_degrees(a, b, r) for a, b, r in ANTI_CAPS]
+    tmp = tempfile.mkdtemp(prefix="s2sra_")
+    name = "stream_region_anti_q"
+    try:
+        img.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
+        kept = streaming_region_anti(stream, caps)
+        agg = kept.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("image_id") % F.lit(1000003))
+            .cast("long")
+            .alias("sum_id_mod"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_region_anti availableNow query did not finish"
+            )
+        return spark.sql(
+            f"SELECT n, sum_id_mod FROM {name}"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 DBSCAN_MOD = 5
 DBSCAN_EPS_DEG = 0.015
 DBSCAN_MIN_PTS = 6
@@ -5640,6 +5690,7 @@ def queries():
         "mutual_knn": q_mutual_knn,
         "stream_cell_stats": q_stream_cell_stats,
         "region_anti": q_region_anti,
+        "stream_region_anti": q_stream_region_anti,
         "dbscan": q_dbscan,
         "idw": q_idw,
         "dedup_exact": q_dedup_exact,
@@ -5745,6 +5796,7 @@ def oracle_sql():
         "mutual_knn": o_mutual_knn(),
         "stream_cell_stats": o_stream_cell_stats(),
         "region_anti": o_region_anti(),
+        "stream_region_anti": o_region_anti(),
         "dbscan": o_dbscan(),
         "idw": o_idw(),
         "dedup_exact": o_dedup_exact(),

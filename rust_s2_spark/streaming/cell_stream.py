@@ -392,3 +392,21 @@ def streaming_cell_stats(
     from ..plans.stats import build_cell_stats
 
     return build_cell_stats(stream, levels=levels, cell_col=cell_col)
+
+
+def streaming_region_anti(stream: DataFrame, regions, **cols) -> DataFrame:
+    """Geofence EXCLUSION on a stream — "alert on every ping that is
+    inside NONE of the fences" (the canonical streaming use of the
+    anti-filter; complement of streaming_region_rollup's membership).
+
+    ``region_anti_filter`` is a single stateless negated predicate
+    (NULL-safe membership OR), so it lifts to Structured Streaming
+    unchanged: per micro-batch every row is tested row-locally, no
+    state, no join. Downstream aggregations need complete/update mode
+    or a watermark, as usual. For thousands of fences use the
+    left_anti regime per micro-batch via foreachBatch instead (the
+    ``streaming_knn`` pattern).
+    """
+    from ..operators.covering_join import region_anti_filter
+
+    return region_anti_filter(stream, regions, **cols)
