@@ -556,8 +556,13 @@ def idw_interpolate(
 
     Returns (query_id, est): est = Σ wᵢvᵢ / Σ wᵢ over the k nearest,
     except when a fact sits EXACTLY at the probe (chord² == 0): then
-    est is that fact's value (min fact id wins among co-located facts,
-    deterministic), the standard IDW exact-hit rule.
+    est is that fact's value (min fact id wins among co-located facts —
+    compared as LONG, like mutual_knn_pairs: a raw string id column
+    would order "12" < "2"), the standard IDW exact-hit rule.
+
+    Facts with a NULL ``value_col`` are dropped up front (they cannot
+    contribute a weighted term): the estimate uses the k nearest
+    facts WITH a value.
 
     Determinism across engines: both numerator and denominator are
     SEQUENTIAL folds in rank order (array_sort + F.aggregate — not a
@@ -565,6 +570,7 @@ def idw_interpolate(
     so a relational oracle replaying list(x ORDER BY rank) +
     list_reduce reproduces the same IEEE double bit-for-bit.
     """
+    facts = facts.where(F.col(value_col).isNotNull())
     nn = knn_join_df(
         facts, probes, kk,
         radius_guess_deg=radius_guess_deg,
@@ -582,7 +588,9 @@ def idw_interpolate(
         .withColumn(
             "__r",
             F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(F.col(id_col).asc())
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col(id_col).cast("long").asc()
+                )
             ),
         )
         .where(F.col("__r") == 1)

@@ -1826,24 +1826,21 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "stream_hll_result", build)
 
 
-def _run_available_now_stream(
-    spark: SparkSession, sf_dir: str, name: str, op, select_sql: str
+def _snapshot_available_now(
+    spark: SparkSession, src: DataFrame, name: str, op, select_sql: str
 ) -> DataFrame:
-    """Stage events to parquet, run ``op(stream)`` to completion with
-    availableNow into a memory sink, snapshot the sink through
-    ``select_sql`` (localCheckpoint), and CLEAN UP the staged input —
-    the shared plumbing of the streaming sketch queries (previously
-    duplicated, and each invocation leaked a tempdir copy of events)."""
+    """Stage ``src`` to parquet, run ``op(stream)`` to completion with
+    availableNow into a complete-mode memory sink, snapshot the sink
+    through ``select_sql`` (localCheckpoint), and CLEAN UP the staged
+    input — the shared plumbing of every complete-mode streaming
+    driver query (previously duplicated per query)."""
     import shutil
     import tempfile
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("ts").cast("timestamp").alias("ts"), "user_id"
-    )
     tmp = tempfile.mkdtemp(prefix=f"s2{name}_")
     try:
-        events.write.mode("overwrite").parquet(f"{tmp}/in")
-        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+        src.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{tmp}/in")
         q = (
             op(stream)
             .writeStream.format("memory")
@@ -1862,6 +1859,17 @@ def _run_available_now_stream(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_available_now_stream(
+    spark: SparkSession, sf_dir: str, name: str, op, select_sql: str
+) -> DataFrame:
+    """The events-table form of ``_snapshot_available_now`` (streaming
+    sketch queries share one staged copy of events)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    return _snapshot_available_now(spark, events, name, op, select_sql)
 
 
 HQ_BINS, HQ_LO, HQ_HI = 50, 0.0, 50.0
@@ -3059,9 +3067,6 @@ def q_stream_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate in complete mode, snapshot from the memory sink. Oracle
     = the same exhaustive chord² scan shape as within_distance_df, so
     the streaming lift is gated against algorithm-independent truth."""
-    import shutil
-    import tempfile
-
     from ..streaming import streaming_within_distance
 
     img = _images(spark, sf_dir)
@@ -3071,35 +3076,21 @@ def q_stream_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("qlat"),
         F.col("lng").alias("qlng"),
     )
-    tmp = tempfile.mkdtemp(prefix="s2swd_")
-    name = "stream_within_distance_q"
-    try:
-        probes.write.mode("overwrite").parquet(f"{tmp}/in")
-        pstream = spark.readStream.schema(probes.schema).parquet(f"{tmp}/in")
-        joined = streaming_within_distance(img, pstream, SWD_RADIUS_DEG)
-        agg = joined.groupBy("query_id").agg(
+
+    def op(pstream):
+        return streaming_within_distance(
+            img, pstream, SWD_RADIUS_DEG
+        ).groupBy("query_id").agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("image_id").cast("long") % F.lit(1000003))
             .cast("long")
             .alias("sum_id_mod"),
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_within_distance availableNow query did not finish"
-            )
-        return spark.sql(
-            f"SELECT query_id, n, sum_id_mod FROM {name}"
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    return _snapshot_available_now(
+        spark, probes, "stream_within_distance_q", op,
+        "SELECT query_id, n, sum_id_mod FROM {name}",
+    )
 
 
 def o_stream_within_distance() -> str:
@@ -3227,9 +3218,6 @@ def q_stream_region_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-mod checksum in complete mode. Oracle = o_region_anti verbatim
     (same fences, same universe), so the streaming lift is gated
     against the batch truth."""
-    import shutil
-    import tempfile
-
     from ..geometry import Cap
     from ..streaming import streaming_region_anti
 
@@ -3238,35 +3226,19 @@ def q_stream_region_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat", "lng", "cell_id_biased",
     )
     caps = [Cap.from_latlng_degrees(a, b, r) for a, b, r in ANTI_CAPS]
-    tmp = tempfile.mkdtemp(prefix="s2sra_")
-    name = "stream_region_anti_q"
-    try:
-        img.write.mode("overwrite").parquet(f"{tmp}/in")
-        stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
-        kept = streaming_region_anti(stream, caps)
-        agg = kept.agg(
+
+    def op(stream):
+        return streaming_region_anti(stream, caps).agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("image_id") % F.lit(1000003))
             .cast("long")
             .alias("sum_id_mod"),
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_region_anti availableNow query did not finish"
-            )
-        return spark.sql(
-            f"SELECT n, sum_id_mod FROM {name}"
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    return _snapshot_available_now(
+        spark, img, "stream_region_anti_q", op,
+        "SELECT n, sum_id_mod FROM {name}",
+    )
 
 
 DBSCAN_MOD = 5
@@ -3406,9 +3378,6 @@ def q_stream_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by Σ 6·4^L counters. availableNow complete-mode snapshot
     must equal the batch build (oracle = the relational Hilbert encode
     + parent bit-math GROUP BYs, same universe as cells_per_parent7)."""
-    import shutil
-    import tempfile
-
     from ..streaming import streaming_cell_stats
 
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
@@ -3417,29 +3386,11 @@ def q_stream_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = spark.sql(trig_free_xyz_sql()).select(
         s2_cell_from_xyz("x", "y", "z").alias("cell_id")
     )
-    tmp = tempfile.mkdtemp(prefix="s2scs_")
-    name = "stream_cell_stats_q"
-    try:
-        img.write.mode("overwrite").parquet(f"{tmp}/in")
-        stream = spark.readStream.schema(img.schema).parquet(f"{tmp}/in")
-        stats = streaming_cell_stats(stream, levels=SCS_LEVELS)
-        q = (
-            stats.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_cell_stats availableNow query did not finish"
-            )
-        return spark.sql(
-            f"SELECT level, cell, CAST(n AS BIGINT) AS n FROM {name}"
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    return _snapshot_available_now(
+        spark, img, "stream_cell_stats_q",
+        lambda stream: streaming_cell_stats(stream, levels=SCS_LEVELS),
+        "SELECT level, cell, CAST(n AS BIGINT) AS n FROM {name}",
+    )
 
 
 def o_stream_cell_stats() -> str:
