@@ -286,6 +286,7 @@ def knn_join_df(
     qlng_col: str = "qlng",
     max_widen: int = 12,
     stats: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, image_id, dist_chord2) of the exact k nearest
     fact rows per probe ROW of ``queries`` — the large-probe-set twin of
@@ -305,6 +306,18 @@ def knn_join_df(
     once per query. Start levels are pure performance (the resolution
     contract makes any choice exact), so stale stats can only slow a
     query down, never change its result.
+
+    ``n_rows``: the caller's known row count of ``df`` (from
+    ``df.count()``, the lineage table's write metrics, or
+    ``plans.stats.stats_row_count``). When BOTH ``stats`` and
+    ``n_rows`` are given, the stats' implied corpus size (Σn at the
+    detection level — every row has exactly one ancestor there) is
+    checked against it: a ≥2× mismatch RAISES, a >25% drift WARNS.
+    This guards the measured footgun of seeding a subset corpus with
+    full-table stats (identical result, 2.7× slower in the round-8
+    bench): stats describing the wrong corpus start probes at the
+    wrong density and the cost hides in extra widening rounds, so it
+    is caught here, at injection, where the fix is obvious.
 
     Exactness: identical widening contract to ``knn_join`` — a probe is
     final only when it holds ≥ k results whose k-th distance fits inside
@@ -360,6 +373,25 @@ def knn_join_df(
             f"stats carry no level={L_DET} rows; build with "
             f"build_cell_stats(df, levels=({L_DET},))"
         )
+    if stats is not None and n_rows is not None and n_rows > 0:
+        ratio = n_tot / n_rows
+        if ratio >= 2.0 or ratio <= 0.5:
+            raise ValueError(
+                f"injected stats describe a corpus of {n_tot} rows but "
+                f"n_rows={n_rows} — wrong corpus (subset/superset?). "
+                f"Rebuild with build_cell_stats over THIS frame; a "
+                f"mismatch this gross cost 2.7x in widening rounds when "
+                f"measured."
+            )
+        if abs(ratio - 1.0) > 0.25:
+            import warnings
+
+            warnings.warn(
+                f"injected stats imply {n_tot} rows vs n_rows={n_rows} "
+                f"({ratio:.2f}x) — stale stats only slow queries down, "
+                f"but consider rebuilding",
+                stacklevel=2,
+            )
     if n_tot == 0:
         lvl_typ = lvl_radius
     else:
@@ -548,6 +580,7 @@ def idw_interpolate(
     qlat_col: str = "qlat",
     qlng_col: str = "qlng",
     stats: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Inverse-distance-weighted interpolation: for every probe row,
     estimate ``value_col`` from its ``kk`` nearest facts with weights
@@ -576,7 +609,7 @@ def idw_interpolate(
         radius_guess_deg=radius_guess_deg,
         lat_col=lat_col, lng_col=lng_col, id_col=id_col,
         query_id_col=query_id_col, qlat_col=qlat_col, qlng_col=qlng_col,
-        stats=stats,
+        stats=stats, n_rows=n_rows,
     )
     vals = facts.select(
         F.col(id_col), F.col(value_col).cast("double").alias("__v")

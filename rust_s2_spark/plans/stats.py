@@ -78,15 +78,35 @@ def hot_cells_from_stats(
 ) -> dict[int, int]:
     """``skew.hot_cells`` from a precomputed stats frame — no fact-table
     scan. Raises if the stats were not built at ``level`` (a silently
-    empty hot list would disable salting without a trace)."""
-    rows = stats.where(F.col("level") == int(level)).collect()
+    empty hot list would disable salting without a trace).
+
+    The ``n > threshold`` filter runs INSIDE the query (parquet-
+    pushable), so driver traffic is the hot list itself — at a sane
+    threshold a handful of rows — not every cell at the level (6·4^L
+    rows, the wrong shape at L ≥ 10)."""
+    rows = stats.where(
+        (F.col("level") == int(level)) & (F.col("n") > int(threshold))
+    ).collect()
     if not rows:
-        total = stats.limit(1).count()
-        if total:
+        has_level = (
+            stats.where(F.col("level") == int(level)).limit(1).count() > 0
+        )
+        if not has_level and stats.limit(1).count():
             raise ValueError(
                 f"cell stats carry no level={level} rows; rebuild with "
                 f"build_cell_stats(df, levels=({level},))"
             )
-    return {
-        int(r["cell"]): int(r["n"]) for r in rows if int(r["n"]) > threshold
-    }
+    return {int(r["cell"]): int(r["n"]) for r in rows}
+
+
+def stats_row_count(stats: DataFrame, level: int) -> int:
+    """Corpus row count implied by the stats at ``level``: every corpus
+    row has exactly ONE ancestor per built level, so ``sum(n)`` at any
+    single level IS the row count of the table the stats were built
+    over. Bounded read of the stats frame, zero fact-table traffic —
+    this is the number operators compare against ``n_rows=`` to detect
+    corpus-mismatched (or stale) stats injection."""
+    row = stats.where(F.col("level") == int(level)).agg(
+        F.sum("n").alias("n")
+    ).first()
+    return int(row["n"] or 0)

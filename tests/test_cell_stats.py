@@ -191,3 +191,71 @@ def test_knn_stale_stats_only_affect_performance(spark, images):
             knn_join_df(images, probes, 3, radius_guess_deg=2.0, stats=stale)
         )
         assert got.equals(base)
+
+
+def test_hot_cells_filter_runs_before_collect(spark, images, monkeypatch):
+    """The ``n > threshold`` filter must execute INSIDE the query, not
+    driver-side: the collect that feeds the hot dict may only ever see
+    the hot rows themselves (bounded by the skew, not by 6·4^L)."""
+    stats = build_cell_stats(images, levels=(7,)).localCheckpoint(eager=True)
+    n = images.count()
+    thresh = max(1, n // 50)
+    level_rows = stats.where(F.col("level") == 7).count()
+
+    seen: list[int] = []
+    cls = type(stats)
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    hot = hot_cells_from_stats(stats, 7, thresh)
+    assert hot  # sf fixtures always have hot city cells at this threshold
+    assert seen and max(seen) == len(hot) < level_rows
+
+
+def test_knn_n_rows_guard(spark, images):
+    """stats= + n_rows= corpus-match guard: a ≥2x mismatch raises, a
+    matching count passes with bit-identical results (the round-8 bench
+    footgun — full-table stats on a 1/3 corpus — now fails fast)."""
+    from rust_s2_spark.plans.stats import stats_row_count
+
+    iid = F.col("image_id").cast("long")
+    corpus = images.where(iid % 3 == 0)
+    probes = corpus.where(iid % 101 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    n_corpus = corpus.count()
+    full_stats = build_cell_stats(images, levels=(7,)).localCheckpoint(
+        eager=True
+    )
+    corpus_stats = build_cell_stats(corpus, levels=(7,)).localCheckpoint(
+        eager=True
+    )
+    assert stats_row_count(corpus_stats, 7) == n_corpus
+
+    # wrong corpus (3x over-count) + known row count → raise
+    with pytest.raises(ValueError, match="wrong corpus"):
+        knn_join_df(corpus, probes, 3, stats=full_stats, n_rows=n_corpus)
+
+    # moderate drift (>25%, <2x) → warn, not raise
+    drift = corpus_stats.withColumn(
+        "n", (F.col("n") * 3 + 1) / 2  # 1.5x
+    ).localCheckpoint(eager=True)
+    with pytest.warns(UserWarning, match="stale stats"):
+        knn_join_df(corpus, probes, 3, stats=drift, n_rows=n_corpus).count()
+
+    # matching stats + n_rows → silent, bit-identical to the unguarded run
+    base = _knn_sorted(knn_join_df(corpus, probes, 3, radius_guess_deg=2.0))
+    got = _knn_sorted(
+        knn_join_df(
+            corpus, probes, 3, radius_guess_deg=2.0,
+            stats=corpus_stats, n_rows=n_corpus,
+        )
+    )
+    assert got.equals(base)
