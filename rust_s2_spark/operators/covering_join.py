@@ -485,6 +485,7 @@ def within_distance_join_df_var(
     query_id_col: str = "query_id",
     qlat_col: str = "qlat",
     qlng_col: str = "qlng",
+    levels: "list[int] | tuple[int, ...] | None" = None,
 ) -> DataFrame:
     """VARIABLE-radius within-distance join: each probe ROW carries its
     own chord² threshold (caps-as-a-DataFrame — footprint joins with
@@ -511,6 +512,19 @@ def within_distance_join_df_var(
     Probes with a NULL threshold are dropped up front: a pure-arithmetic
     ``<=`` gate can never match them (NULL-drop semantics, matching the
     literal-radius path's behavior for absent rows).
+
+    ``levels``: optional precomputed ring-level set (the stats-injection
+    pattern — plans.stats for kNN, this for variable radius). When
+    given, the per-call probe-level ``distinct().collect()`` is SKIPPED
+    entirely: on a repeated variable-radius workload the histogram is
+    paid once by the caller, not once per call. Level 0 is implicitly
+    added, and each probe joins at the COARSEST-SAFE clamp — the
+    largest provided level ≤ its exact level. A coarser ring always
+    covers a larger radius, so the one-round exactness contract holds
+    for ANY clamp ≤ the exact level: ``levels`` can be a superset,
+    subset, or guess of the true histogram and only performance moves
+    (a probe clamped far coarser joins a wider ring; a level nothing
+    clamps to costs one unused ancestor struct per fact row).
     """
     from ..functions import (
         chord2_expr,
@@ -527,20 +541,32 @@ def within_distance_join_df_var(
         c2.alias("__c2"),
         radius_level_expr(c2).alias("__lvl"),
     )
-    active = sorted(
-        int(r["__lvl"]) for r in p.select("__lvl").distinct().collect()
-    )  # ≤ 31 rows to the driver
-    if not active:  # empty (or all-NULL-threshold) probe set
-        return df.select(
-            F.lit(0).cast("long").alias(query_id_col),
-            F.col(id_col),
-            F.lit(0.0).alias("dist_chord2"),
-        ).limit(0)
+    if levels is None:
+        active = sorted(
+            int(r["__lvl"]) for r in p.select("__lvl").distinct().collect()
+        )  # ≤ 31 rows to the driver
+        if not active:  # empty (or all-NULL-threshold) probe set
+            return df.select(
+                F.lit(0).cast("long").alias(query_id_col),
+                F.col(id_col),
+                F.lit(0.0).alias("dist_chord2"),
+            ).limit(0)
+        p = p.withColumn("__jl", F.col("__lvl"))
+    else:
+        active = sorted({int(x) for x in levels} | {0})
+        if any(not (0 <= x <= 30) for x in active):
+            raise ValueError(f"levels must each be in [0, 30]: {levels}")
+        # coarsest-safe clamp: largest provided level ≤ the exact
+        # level (level 0 is in the set, so the filter is never empty)
+        arr = F.array(*[F.lit(x) for x in active])
+        p = p.withColumn(
+            "__jl", F.array_max(F.filter(arr, lambda x: x <= F.col("__lvl")))
+        )
     # probe side (small side): ring explode per active level, tagged
     # with the level it joins at
     cand = None
     for lvl in active:
-        pl = p.where(F.col("__lvl") == lvl)
+        pl = p.where(F.col("__jl") == lvl)
         if lvl == 0:
             faces = [int(x) for x in k.from_face(np.arange(6)).view(np.int64)]
             ring = F.array(*[F.lit(f) for f in faces])

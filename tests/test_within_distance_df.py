@@ -287,3 +287,76 @@ def test_variable_radius_ladder_picks_min_width_level(spark):
     got = df.withColumn("got", radius_level_expr("c2"))
     bad = got.where(F.col("got") != F.col("expected")).collect()
     assert bad == [], bad
+
+
+def test_variable_radius_levels_injection(spark, images, monkeypatch):
+    """``levels=`` (the stats-injection pattern for variable radius):
+    (a) bit-identical to the self-computed path, (b) ZERO driver
+    collects while building the plan, (c) exact even when the provided
+    set is a coarse SUBSET of the true histogram (coarsest-safe clamp),
+    (d) out-of-range levels refuse."""
+    from rust_s2_spark.operators.covering_join import (
+        radius_level_expr,
+        within_distance_join_df_var,
+    )
+
+    iid = F.col("image_id").cast("long")
+    radii = [0.2, 1.5, 8.0, 30.0]
+    c2col = F.element_at(
+        F.array(*[F.lit(_c2_of(r)) for r in radii]), (iid % 4).cast("int") + 1
+    )
+    probes = images.where(iid % 53 == 0).select(
+        iid.alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+        c2col.alias("chord2_max"),
+    )
+
+    def _sorted(df):
+        return (
+            df.select("query_id", "image_id", "dist_chord2")
+            .toPandas()
+            .astype({"query_id": "int64"})
+            .sort_values(["query_id", "image_id"])
+            .reset_index(drop=True)
+        )
+
+    base = _sorted(within_distance_join_df_var(images, probes))
+
+    # the true histogram, computed once by the caller (what a repeated
+    # workload would cache)
+    hist = sorted(
+        int(r["l"])
+        for r in probes.select(radius_level_expr("chord2_max").alias("l"))
+        .distinct()
+        .collect()
+    )
+    assert len(hist) == 4  # the four radius classes really span levels
+
+    cls = type(images)
+    orig = cls.collect
+    n_collects = []
+
+    def spy(self):
+        n_collects.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    injected_plan = within_distance_join_df_var(images, probes, levels=hist)
+    assert not n_collects, "levels= must build the plan with zero collects"
+    monkeypatch.undo()
+    assert _sorted(injected_plan).equals(base)
+
+    # coarse subset: drop the finest two levels — probes clamp coarser,
+    # result identical (only the ring width moves)
+    subset = hist[:2]
+    got = _sorted(within_distance_join_df_var(images, probes, levels=subset))
+    assert got.equals(base)
+
+    # superset with unused levels: still identical
+    sup = sorted(set(hist) | {3, 12})
+    got2 = _sorted(within_distance_join_df_var(images, probes, levels=sup))
+    assert got2.equals(base)
+
+    with pytest.raises(ValueError, match="0, 30"):
+        within_distance_join_df_var(images, probes, levels=[7, 31])
