@@ -80,6 +80,12 @@ TWIN_COVERED_BY = {
     # (the wrapper delegates to region_anti_filter verbatim); its own
     # driver query shares o_region_anti verbatim as the oracle
     "stream_region_anti": "region_join_1k",
+    # the k-dist curve is the recorded knn_df machinery verbatim
+    # (kth_nn_chord2 = knn_join_df self-join, mutual_knn's shape); the
+    # order-statistic step is pinned vs a numpy brute force and the
+    # planted-cluster recovery contract in test_suggest_eps.py, and its
+    # own oracle replays exact kth-NN + ceil(q·n) ranks relationally
+    "suggest_eps": "knn_df",
 }
 
 

@@ -25,7 +25,9 @@ true neighbor pairs (the answer's own size).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .covering_join import within_distance_pairs
@@ -113,3 +115,110 @@ def dbscan_clusters(
         )
     )
     return labeled.unionByName(noise)
+
+
+def kth_nn_chord2(
+    df: DataFrame,
+    kk: int,
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    radius_guess_deg: float = 1.0,
+    stats: DataFrame | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """(id, k_dist_chord2): exact chord² distance from every point to
+    its ``kk``-th nearest OTHER point — the k-dist curve's raw
+    material (Ester et al.'s eps-selection heuristic for DBSCAN).
+    Composition mirrors ``mutual_knn_pairs``: one ``knn_join_df``
+    self-join at ``kk+1`` (self rides along at distance 0 but may not
+    be rank 1 under the id tie-break), drop self, re-rank, keep the
+    ``kk``-th. Points with fewer than ``kk`` other points in the frame
+    have no k-th neighbor and are dropped."""
+    from .knn import knn_join_df
+
+    iid = F.col(id_col).cast("long")
+    probes = df.select(
+        iid.alias("query_id"),
+        F.col(lat_col).alias("qlat"),
+        F.col(lng_col).alias("qlng"),
+    )
+    nn = knn_join_df(
+        df, probes, kk + 1,
+        radius_guess_deg=radius_guess_deg,
+        lat_col=lat_col, lng_col=lng_col, id_col=id_col,
+        stats=stats, n_rows=n_rows,
+    )
+    others = nn.where(F.col(id_col).cast("long") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_chord2").asc(), F.col(id_col).asc()
+    )
+    return (
+        others.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == kk)
+        .select(
+            F.col("query_id").alias("id"),
+            F.col("dist_chord2").alias("k_dist_chord2"),
+        )
+    )
+
+
+def suggest_eps(
+    df: DataFrame,
+    kk: int,
+    quantiles: tuple[float, ...] = (0.5, 0.75, 0.9, 0.95, 0.99),
+    id_col: str = "image_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    radius_guess_deg: float = 1.0,
+    stats: DataFrame | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """(q, eps_chord2) — EXACT order statistics of the k-dist curve:
+    eps_chord2 at quantile q is the ceil(q·n)-th smallest k-th-NN
+    chord² (the classic elbow heuristic: run with k = min_pts, read
+    eps off the quantile where the curve leaves the cluster plateau).
+    Everything stays in chord² (no engine-side trig — the no-libm
+    rule); convert driver-side with ``chord2_to_deg`` when an operator
+    wants degrees.
+
+    The order statistic is exact via a GLOBAL row_number — a
+    single-reducer sort of n rows. That is the right tool for the
+    frame this is meant to see: eps selection runs on a bounded
+    deterministic sample of the corpus (e.g. ``id % m == 0``), never
+    all 10^12 rows — the k-dist QUANTILE of a uniform sample converges
+    to the population's, while the kNN step itself is the distributed
+    part. For a sketched full-corpus variant use
+    ``sketches.histogram_quantiles`` over ``kth_nn_chord2``.
+    """
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {quantiles}")
+    kd = kth_nn_chord2(
+        df, kk, id_col=id_col, lat_col=lat_col, lng_col=lng_col,
+        radius_guess_deg=radius_guess_deg, stats=stats, n_rows=n_rows,
+    )
+    n = kd.count()
+    if n == 0:
+        raise ValueError(
+            f"no point has {kk} other points in the frame — k-dist "
+            f"curve is empty (|df| <= k?)"
+        )
+    w = Window.orderBy(F.col("k_dist_chord2").asc(), F.col("id").asc())
+    ranked = kd.withColumn("__r", F.row_number().over(w))
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(q, max(1, math.ceil(q * n))) for q in qs], "q double, __r int"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "__r")
+        .select("q", F.col("k_dist_chord2").alias("eps_chord2"))
+    )
+
+
+def chord2_to_deg(c2: float) -> float:
+    """Driver-side chord² → central angle in degrees (the inverse of
+    the engine's deg → chord² constant fold; Python libm is fine OFF
+    the SQL hot path)."""
+    s = min(2.0, math.sqrt(max(0.0, c2)))
+    return math.degrees(2.0 * math.asin(0.5 * s))

@@ -3322,6 +3322,55 @@ FROM pts p LEFT JOIN (
 """.strip()
 
 
+EPS_K = 6
+EPS_QUANTILES = (0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def q_suggest_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-dist eps selection (operators/clustering.suggest_eps): exact
+    order statistics of the k-th-NN chord² curve over the same 1-in-5
+    subset dbscan runs on, k = its min_pts — the Ester et al. elbow
+    heuristic as a first-class operator. Fully relational: the oracle
+    replays the exact k-th NN per point (cross join + window rank) and
+    the ceil(q·n) order statistic."""
+    from ..operators.clustering import suggest_eps
+
+    img = (
+        _images(spark, sf_dir)
+        .withColumn("image_id", F.col("image_id").cast("long"))
+        .where(F.col("image_id") % DBSCAN_MOD == 0)
+    )
+    return suggest_eps(img, EPS_K, quantiles=EPS_QUANTILES)
+
+
+def o_suggest_eps() -> str:
+    d2 = "(pow(p.x-q.x,2) + pow(p.y-q.y,2) + pow(p.z-q.z,2))"
+    vals = ",".join(f"({q!r})" for q in EPS_QUANTILES)
+    return f"""
+WITH img AS MATERIALIZED ({oracle_images_sql()}),
+pts AS MATERIALIZED (
+  SELECT CAST(image_id AS BIGINT) AS id,
+         cos(radians(lng))*cos(radians(lat)) AS x,
+         sin(radians(lng))*cos(radians(lat)) AS y,
+         sin(radians(lat)) AS z
+  FROM img WHERE CAST(image_id AS BIGINT) % {DBSCAN_MOD} = 0),
+d AS (
+  SELECT p.id, q.id AS oid, {d2} AS d2
+  FROM pts p JOIN pts q ON p.id <> q.id),
+r AS (
+  SELECT id, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2, oid) AS rk
+  FROM d),
+kd AS MATERIALIZED (SELECT id, d2 AS k FROM r WHERE rk = {EPS_K}),
+n AS (SELECT count(*) AS n FROM kd),
+rk2 AS (SELECT k, id, row_number() OVER (ORDER BY k, id) AS rr FROM kd),
+t(q) AS (VALUES {vals})
+SELECT CAST(t.q AS DOUBLE) AS q, rk2.k AS eps_chord2
+FROM t CROSS JOIN n
+JOIN rk2 ON rk2.rr = GREATEST(1, CAST(ceil(t.q * n.n) AS BIGINT))
+""".strip()
+
+
 ANTI_CAPS = [
     (40.7128, -74.0060, 3.0),   # NYC
     (51.5074, -0.1278, 3.0),    # London
@@ -5643,6 +5692,7 @@ def queries():
         "region_anti": q_region_anti,
         "stream_region_anti": q_stream_region_anti,
         "dbscan": q_dbscan,
+        "suggest_eps": q_suggest_eps,
         "idw": q_idw,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -5749,6 +5799,7 @@ def oracle_sql():
         "region_anti": o_region_anti(),
         "stream_region_anti": o_region_anti(),
         "dbscan": o_dbscan(),
+        "suggest_eps": o_suggest_eps(),
         "idw": o_idw(),
         "dedup_exact": o_dedup_exact(),
         "minhash_pairs": o_minhash_pairs(),
