@@ -646,6 +646,95 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         lambda: within_distance_pairs(sub, wd_radius).count()
     )
 
+    # ---- round-9: density clustering + interpolation rows (the r8
+    # verdict's only zero-perf-evidence operators) ----
+    from rust_s2_spark.operators.clustering import (
+        chord2_to_deg,
+        dbscan_clusters,
+        suggest_eps,
+    )
+
+    # eps selection at the hotspot NN scale: the k-dist curve over this
+    # corpus is sharply bimodal (city-hotspot plateau ~0.01-0.04 deg,
+    # uniform background ~4-9 deg — measured at sf0.01), so the q=0.25
+    # order statistic sits ON the plateau: eps lands at the hotspot NN
+    # scale, the non-degenerate regime the r8 verdict asked to pin.
+    # Self-tuning keeps the bench at fixed selectivity under mult
+    # scaling (denser replicas shrink the plateau, so neighbor counts
+    # — and the pair output — stay ~constant per point)
+    def q_eps():
+        tab = {
+            float(r["q"]): float(r["eps_chord2"])
+            for r in suggest_eps(
+                sub, 6, quantiles=(0.25,), radius_guess_deg=wd_radius
+            ).collect()
+        }
+        return tab[0.25]
+
+    out["suggest_eps"], eps_c2 = timed(q_eps)
+    eps_deg = chord2_to_deg(eps_c2)
+
+    # DBSCAN at the suggested eps, min_pts=6 (closed): roles forced by
+    # the groupBy — the full label assignment must materialize
+    out["dbscan"], _ = timed(
+        lambda: dict(
+            (r["role"], r["count"])
+            for r in dbscan_clusters(sub, eps_deg, 6, max_iter=40)
+            .groupBy("role")
+            .count()
+            .collect()
+        )
+    )
+    # the honest output-size axis: neighbor pairs at this eps (DBSCAN's
+    # cost is bounded by TRUE pair count, never n² — report it)
+    out["_dbscan_pairs"] = float(within_distance_pairs(sub, eps_deg).count())
+    out["_dbscan_eps_deg"] = eps_deg
+
+    # IDW interpolation: every 1-in-3 image estimates a value surface
+    # from its 3 nearest facts; stats injected WITH the n_rows guard
+    # (the production path after this round's corpus-match check)
+    from rust_s2_spark.operators.knn import idw_interpolate
+
+    facts_idw = img.withColumn("val", (F.col("phash") % 997).cast("double"))
+    out["idw"], _ = timed(
+        lambda: idw_interpolate(
+            facts_idw, probes_df, 3, "val",
+            radius_guess_deg=2.0, stats=stats_df, n_rows=n_images,
+        )
+        .agg(F.sum("est"))
+        .collect()
+    )
+
+    # ---- round-9: streaming per-batch cost (r8 verdict #3: streaming
+    # ops had oracle gates but zero bench evidence). 8 probe files →
+    # 8 micro-batches under availableNow; the foreachBatch lift makes
+    # per-batch cost = the batch operator on that slice, so wall/8 is
+    # the per-batch latency at a fixed ~1-in-41 probe rate.
+    from rust_s2_spark.streaming import streaming_knn
+
+    def q_stream_knn():
+        base = tempfile.mkdtemp(prefix="s2streamknn_")
+        try:
+            probes_rep.repartition(8).write.parquet(f"{base}/in")
+            stream = (
+                spark.readStream.schema(probes_rep.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in")
+            )
+            qy = streaming_knn(
+                img, stream, 3, f"{base}/out", f"{base}/ckpt",
+                stats=stats_df, radius_guess_deg=2.0,
+                trigger={"availableNow": True},
+            )
+            assert qy.awaitTermination(600)
+            n = spark.read.parquet(f"{base}/out").count()
+            assert n > 0
+            return n
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    out["stream_knn_8batch"], _ = timed(q_stream_knn)
+
     # ---- round-6: bench rows for the families the r5 verdict flagged ----
     from rust_s2_spark.operators.similarity import (
         ivf_pq_topk,
@@ -791,6 +880,8 @@ def main():
             "salted_max_over_ideal": q.pop("_skew_balance_salted"),
             "auto_max_over_ideal": q.pop("_skew_balance_auto"),
         }
+        dbscan_pairs = int(q.pop("_dbscan_pairs", 0))
+        dbscan_eps_deg = q.pop("_dbscan_eps_deg", None)
         spark.stop()
 
         result = {
@@ -816,6 +907,12 @@ def main():
                 100.0 * (st1 - st0) / max(1, tt1 - tt0), 2
             ),
             "skew_balance": skew_balance,
+            # DBSCAN's honest output axis: its cost is bounded by TRUE
+            # neighbor-pair count at the (self-tuned) eps, never n²
+            "dbscan_pairs": dbscan_pairs,
+            "dbscan_eps_deg": (
+                round(dbscan_eps_deg, 6) if dbscan_eps_deg else None
+            ),
             "loadavg_start": round(la0, 2),
             "loadavg_end": round(os.getloadavg()[0], 2),
         }
