@@ -158,21 +158,39 @@ def test_connected_components(spark):
 
 
 def test_connected_components_raises_when_not_converged(spark):
-    """A path longer than max_iter hops CANNOT converge (hash-to-min
-    moves labels one hop per round) — the operator must raise, never
-    silently return split components (round-3 ADVICE)."""
+    """A path far longer than 2^max_iter hops CANNOT converge (hop +
+    pointer-jump covers at most ~doubling reach per round) — the
+    operator must raise, never silently return split components
+    (round-3 ADVICE, re-pinned after the round-9 pointer-jump
+    upgrade)."""
     import pytest
 
     from rust_s2_spark.operators.dedup import connected_components
 
     path = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "a long, b long"
+        [(i, i + 1) for i in range(199)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="fixed point"):
         connected_components(path, max_iter=2)
     # and with enough rounds the same graph is one component
-    got = {r.component for r in connected_components(path, max_iter=10).collect()}
+    got = {r.component for r in connected_components(path, max_iter=12).collect()}
     assert got == {0}
+
+
+def test_connected_components_log_rounds_on_chains(spark):
+    """The round-9 scale fix: a 2000-vertex PATH (diameter 1999 — the
+    chain shape a geographic DBSCAN core graph produces, which blew
+    past 40 hash-to-min rounds at sf0.1) converges within the DEFAULT
+    max_iter=25 because pointer jumping makes rounds O(log diameter),
+    and still labels every vertex with the component min."""
+    from rust_s2_spark.operators.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1999)], "a long, b long"
+    )
+    out = connected_components(path).collect()  # default max_iter
+    assert len(out) == 2000
+    assert {r.component for r in out} == {0}
 
 
 def test_pack_documents_invariants(spark):
