@@ -666,7 +666,7 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         tab = {
             float(r["q"]): float(r["eps_chord2"])
             for r in suggest_eps(
-                sub, 6, quantiles=(0.25,), radius_guess_deg=wd_radius
+                sub, 6, quantiles=(0.25,), radius_guess_deg=2.0
             ).collect()
         }
         return tab[0.25]
