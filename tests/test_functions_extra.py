@@ -181,12 +181,21 @@ def test_connected_components_log_rounds_on_chains(spark):
     """The round-9 scale fix: a 2000-vertex PATH (diameter 1999 — the
     chain shape a geographic DBSCAN core graph produces, which blew
     past 40 hash-to-min rounds at sf0.1) converges within the DEFAULT
-    max_iter=25 because pointer jumping makes rounds O(log diameter),
-    and still labels every vertex with the component min."""
+    max_iter=25, with vertex ids SHUFFLED relative to the chain order
+    — the real case (image ids are uncorrelated with position) and the
+    one that killed the pointer-jumping attempt: label-of-label only
+    composes long pointers when ids are ordered along the chain (a
+    1000-vertex random-id path needed 228 rounds in simulation).
+    Large-star/small-star is id-layout-independent: ~log n rounds."""
+    import random
+
     from rust_s2_spark.operators.dedup import connected_components
 
+    rng = random.Random(9)
+    ids = list(range(2000))
+    rng.shuffle(ids)
     path = spark.createDataFrame(
-        [(i, i + 1) for i in range(1999)], "a long, b long"
+        [(ids[i], ids[i + 1]) for i in range(1999)], "a long, b long"
     )
     out = connected_components(path).collect()  # default max_iter
     assert len(out) == 2000
