@@ -239,11 +239,15 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
     out["knn_df_repeat3_stats"] = min(t_stats)
 
     # fixed-radius twin: same probe table, all facts within 0.8 deg —
-    # one ring round, one equi-join (aggregate forces the exact filter)
+    # one ring round, one equi-join (aggregate forces the exact filter).
+    # radius/sqrt(mult) = fixed SELECTIVITY under replica densification:
+    # the round-9 mult=10 pass measured 736 s at the fixed radius —
+    # ~100x the pairs, result materialization, not the join (the same
+    # r3 lesson already applied to within_distance below)
     from rust_s2_spark.operators.covering_join import within_distance_join_df
 
     out["within_distance_df"], _ = timed(
-        lambda: within_distance_join_df(img, probes_df, 0.8)
+        lambda: within_distance_join_df(img, probes_df, 0.8 / (mult ** 0.5))
         .agg(F.sum(F.col("image_id").cast("long") % 1000003))
         .collect()
     )
