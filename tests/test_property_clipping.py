@@ -89,7 +89,22 @@ def test_clip_edge_bound_monotone_in_clip(
 ):
     """Clipping to a SUB-rectangle of the clip window can only shrink
     the result: bound(AB, inner) ⊆ bound(AB, outer) + ε, and inner
-    intersecting implies outer intersecting."""
+    intersecting implies outer intersecting.
+
+    Edges with a NONZERO-BUT-SUBNORMAL coordinate span are excluded
+    (zero spans keep the exact axis-parallel branches): the ε-based
+    error contract this property leans on (EDGE_CLIP_ERROR_UV_COORD =
+    2.25·ε, reference edge_clipping.rs:29-35) is a relative-error
+    analysis, and IEEE relative rounding guarantees do not exist in
+    the gradual-underflow range — interpolating across a 4.5e-311
+    x-span produced a 7.6e-14 y discrepancy (hypothesis-discovered
+    2026-08-18), ~76× the constant, exactly as the reference's own
+    formula would. The reference states and tests its contract for
+    normalized UV arithmetic only."""
+    from hypothesis import assume
+
+    for span in (abs(bx - ax), abs(by - ay)):
+        assume(span == 0.0 or span >= 1e-300)
     a, b = (ax, ay), (bx, by)
     outer = _rect_from(cx0, cx1, cy0, cy1)
     # inner rect: shrink outer by fractional insets from both sides
