@@ -591,3 +591,40 @@ def test_region_anti_filter_single_scan_no_join(stored):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_suggest_eps_plan_shape(stored):
+    """k-dist eps selection: the quantile-target frame (a handful of
+    rows) must be BROADCAST against the ranked k-dist table, and no
+    nested loop or cartesian product may appear anywhere in the
+    composed plan (the knn self-join underneath is the pinned
+    mutual_knn shape)."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.clustering import suggest_eps
+
+    df = stored.withColumn("image_id", F.col("image_id").cast("long"))
+    corpus = df.where(F.col("image_id") % 101 == 0)
+    plan = _plan(suggest_eps(corpus, 3, quantiles=(0.5, 0.9)))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_no_nested_loop_rounds(spark):
+    """Large-star/small-star rounds are groupBy-min + equi-joins only:
+    the returned label frame's plan (checkpoint-truncated) and a probe
+    round built on a live edge frame must both be free of nested
+    loops, cartesian products, and Python evaluation."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(50)], "a long, b long"
+    ).where(F.col("a") != F.col("b"))
+    out = connected_components(pairs)
+    plan = _plan(out)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
