@@ -709,6 +709,39 @@ def run_queries(spark, sf_dir: str, table_path: str, mult: int = 1) -> dict[str,
         .collect()
     )
 
+    # variable-radius production shape with the round-9 levels=
+    # injection: per-probe radius class from the id (three classes
+    # spanning three ring levels), the active-level histogram computed
+    # ONCE by the caller (untimed — the repeated-workload contract),
+    # radii scaled 1/sqrt(mult) for fixed selectivity
+    import math as _math
+
+    from rust_s2_spark.operators.covering_join import (
+        radius_level_expr,
+        within_distance_join_df_var,
+    )
+
+    def _c2(deg):
+        s = 2.0 * _math.sin(0.5 * min(_math.radians(deg), _math.pi))
+        return s * s
+
+    var_c2 = F.element_at(
+        F.array(*[F.lit(_c2(r / (mult ** 0.5))) for r in (0.1, 0.4, 1.6)]),
+        (F.col("query_id") % 3).cast("int") + 1,
+    )
+    probes_var = probes_rep.withColumn("chord2_max", var_c2)
+    var_levels = sorted(
+        int(r["l"])
+        for r in probes_var.select(
+            radius_level_expr("chord2_max").alias("l")
+        ).distinct().collect()
+    )
+    out["within_distance_var"], _ = timed(
+        lambda: within_distance_join_df_var(img, probes_var, levels=var_levels)
+        .agg(F.sum(F.col("image_id").cast("long") % 1000003))
+        .collect()
+    )
+
     # ---- round-9: streaming per-batch cost (r8 verdict #3: streaming
     # ops had oracle gates but zero bench evidence). 8 probe files →
     # 8 micro-batches under availableNow; the foreachBatch lift makes
