@@ -182,14 +182,20 @@ def suggest_eps(
     rule); convert driver-side with ``chord2_to_deg`` when an operator
     wants degrees.
 
-    The order statistic is exact via a GLOBAL row_number — a
-    single-reducer sort of n rows. That is the right tool for the
-    frame this is meant to see: eps selection runs on a bounded
-    deterministic sample of the corpus (e.g. ``id % m == 0``), never
-    all 10^12 rows — the k-dist QUANTILE of a uniform sample converges
-    to the population's, while the kNN step itself is the distributed
-    part. For a sketched full-corpus variant use
-    ``sketches.histogram_quantiles`` over ``kth_nn_chord2``.
+    The order statistic is exact AND distributed — no global sort, no
+    single-reducer window: (1) one bounded histogram aggregation over
+    the k-dist values binned by floor(log2) (≤ ~2100 possible double
+    exponents, ~60 in practice) locates, per requested rank, the bin
+    that holds it; (2) only rows in TARGET bins are ranked, with a
+    window PARTITIONED by bin (each partition holds one bin's rows,
+    never the frame), and global rank = rows-below-bin + rank-in-bin.
+    Bins are monotone in the value, so ties (equal chord², broken by
+    id) always land in one bin and the composed rank is exact. log2
+    here only ROUTES rows to bins inside one engine — the returned
+    value is the exact element itself, so the no-libm cross-engine
+    rule is untouched. The skew caveat: if one bin holds most of the
+    curve (all-duplicate k-dists), its partition is that fraction of n
+    — still never worse than the global sort this replaces.
     """
     qs = sorted(set(float(q) for q in quantiles))
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
@@ -198,20 +204,53 @@ def suggest_eps(
         df, kk, id_col=id_col, lat_col=lat_col, lng_col=lng_col,
         radius_guess_deg=radius_guess_deg, stats=stats, n_rows=n_rows,
     )
-    n = kd.count()
+    # floor(log2(v)) as the bin key; exact zeros get their own bin
+    # below every representable exponent
+    binc = F.when(
+        F.col("k_dist_chord2") == 0.0, F.lit(-1100)
+    ).otherwise(F.floor(F.log2("k_dist_chord2"))).cast("int")
+    kd = kd.withColumn("__bin", binc)
+    hist = sorted(
+        (int(r["__bin"]), int(r["n"]))
+        for r in kd.groupBy("__bin").agg(F.count("*").alias("n")).collect()
+    )  # bounded: one row per distinct double exponent
+    n = sum(c for _, c in hist)
     if n == 0:
         raise ValueError(
             f"no point has {kk} other points in the frame — k-dist "
             f"curve is empty (|df| <= k?)"
         )
-    w = Window.orderBy(F.col("k_dist_chord2").asc(), F.col("id").asc())
-    ranked = kd.withColumn("__r", F.row_number().over(w))
+    cum = {}
+    below = 0
+    for b, c in hist:
+        cum[b] = below
+        below += c
+    # rank -> (its bin, rows below that bin), driver-side over the
+    # bounded histogram
+    targets = []
+    for q in qs:
+        r = max(1, math.ceil(q * n))
+        seen = 0
+        for b, c in hist:
+            if r <= seen + c:
+                targets.append((q, r, b, cum[b]))
+                break
+            seen += c
+    tbins = sorted({b for _, _, b, _ in targets})
+    w = Window.partitionBy("__bin").orderBy(
+        F.col("k_dist_chord2").asc(), F.col("id").asc()
+    )
+    ranked = (
+        kd.where(F.col("__bin").isin(tbins))
+        .withColumn("__rb", F.row_number().over(w))
+    )
     spark = df.sparkSession
-    targets = spark.createDataFrame(
-        [(q, max(1, math.ceil(q * n))) for q in qs], "q double, __r int"
+    tdf = spark.createDataFrame(
+        [(q, b, r - c) for q, r, b, c in targets],
+        "q double, __bin int, __rb int",
     )
     return (
-        ranked.join(F.broadcast(targets), "__r")
+        ranked.join(F.broadcast(tdf), ["__bin", "__rb"])
         .select("q", F.col("k_dist_chord2").alias("eps_chord2"))
     )
 
