@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -273,6 +274,217 @@ def _attempt_ranked_df(
     )
 
 
+def _ring_cells_np(
+    lat: np.ndarray, lng: np.ndarray, lvls: np.ndarray
+) -> list[np.ndarray]:
+    """Per-row candidate ring at a PER-ROW level: own cell + all
+    neighbors at lvls[i] (the six face cells at level 0 — the 3×3 ring
+    only reaches 5 of the 6 faces there). numpy in, int64 arrays out;
+    shared by the executor-side probe-prep UDF and the driver-side
+    literal tail rounds so the two paths cannot drift."""
+    leafs = k.cell_from_latlng(
+        np.asarray(lat, dtype=np.float64), np.asarray(lng, dtype=np.float64)
+    )
+    lvls = np.asarray(lvls, dtype=np.int64)
+    out: list[np.ndarray] = [None] * len(leafs)  # type: ignore[list-item]
+    faces = k.from_face(np.arange(6, dtype=np.uint64)).view(np.int64)
+    for lv in np.unique(lvls):
+        idx = np.nonzero(lvls == lv)[0]
+        if lv <= 0:
+            for i in idx:
+                out[i] = faces
+        else:
+            p = k.parent(leafs[idx], int(lv))
+            rings = k.all_neighbors(p, int(lv))
+            pv = p.view(np.int64)
+            for n, i in enumerate(idx):
+                out[i] = np.unique(
+                    np.concatenate([pv[n : n + 1], rings[n].view(np.int64)])
+                )
+    return out
+
+
+# Tail rounds with at most this many pending probes run the driver-
+# literal path (rings computed in numpy, candidate frame broadcast,
+# fact scan pruned via the merged-range pushdown) instead of another
+# relational pass over the full probe pipeline.
+_TAIL_COLLECT_MAX = 2048
+_WIDEN_STEP = 2
+_LOG4 = math.log(4.0)
+
+
+def _start_level_np(
+    own_det: np.ndarray,
+    s_det: np.ndarray,
+    own_coarse: np.ndarray,
+    s_coarse: np.ndarray,
+    target: int,
+):
+    """Per-probe start level from local densities: own_* = the probe's
+    own-cell row count, s_* = its 3×3 ring sum, at level 7 (det) and
+    its level-4 rollup (coarse). Picks the finest level whose ring
+    still expects >= target rows. The effective density uses
+    max(9·own, ring_sum): real corpora concentrate (a city is a
+    Gaussian spot inside ONE level-7 cell, 10-100× the ring average),
+    and under-estimating density by 16× makes every city probe join a
+    ~64×-target ring — the measured 62M-candidate blowup this term
+    removes. Pure performance: any level is exact under the widening
+    contract."""
+    t = float(max(1, target))
+    r7 = np.maximum(np.maximum(9.0 * own_det, s_det).astype(np.float64), 1.0)
+    r4 = np.maximum(np.maximum(9.0 * own_coarse, s_coarse).astype(np.float64), 1.0)
+    s4 = np.maximum(s_coarse.astype(np.float64), 1.0)
+    lvl = np.where(
+        s_det >= t,
+        7 + np.floor(np.log(r7 / t) / _LOG4),
+        np.where(
+            s_coarse >= t,
+            np.minimum(6, 4 + np.floor(np.log(r4 / t) / _LOG4)),
+            np.maximum(0, 4 + np.floor(np.log(s4 / t) / _LOG4)),
+        ),
+    )
+    return np.clip(lvl, 0, 30).astype(np.int64)
+
+
+def _probe_prep_udf(cells7: np.ndarray, n7: np.ndarray, target: int):
+    """pandas UDF (qlat, qlng) → struct(jl int, ring array<long>): the
+    density-derived start level plus the round-0 candidate ring, ONE
+    Python crossing per probe batch. The bounded level-7 histogram
+    (≤ 6·4^7 cells regardless of corpus size) rides in the closure as
+    sorted numpy arrays; its level-4 rollup is derived here once."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    order = np.argsort(cells7)
+    c7s = cells7[order]
+    n7s = n7[order].astype(np.int64)
+    p4 = k.parent(c7s, 4)
+    c4s, inv = np.unique(p4, return_inverse=True)
+    n4s = np.zeros(len(c4s), dtype=np.int64)
+    np.add.at(n4s, inv, n7s)
+
+    def _lookup(cells: np.ndarray, tc: np.ndarray, tn: np.ndarray) -> np.ndarray:
+        if len(tc) == 0:
+            return np.zeros(len(cells), dtype=np.int64)
+        pos = np.clip(np.searchsorted(tc, cells), 0, len(tc) - 1)
+        return np.where(tc[pos] == cells, tn[pos], 0)
+
+    def _ring_density(leafs: np.ndarray, lvl: int, tc, tn):
+        """(own-cell count, 3×3 ring sum incl. own) per row."""
+        p = k.parent(leafs, lvl)
+        rings = k.all_neighbors(p, lvl)
+        lens = np.fromiter((len(r) for r in rings), dtype=np.int64, count=len(rings))
+        flat = np.concatenate(rings) if len(rings) else np.array([], dtype=np.uint64)
+        vals = _lookup(flat, tc, tn)
+        offs = np.zeros(len(rings), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        ringsum = (
+            np.add.reduceat(vals, offs)
+            if len(flat)
+            else np.zeros(len(rings), dtype=np.int64)
+        )
+        ringsum = np.where(lens > 0, ringsum, 0)
+        own = _lookup(p, tc, tn)
+        return own, ringsum + own
+
+    schema = StructType(
+        [
+            StructField("jl", IntegerType()),
+            StructField("ring", ArrayType(LongType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _prep(qlat: pd.Series, qlng: pd.Series) -> pd.DataFrame:
+        lat = qlat.to_numpy(np.float64)
+        lng = qlng.to_numpy(np.float64)
+        leafs = k.cell_from_latlng(lat, lng)
+        o7, s7 = _ring_density(leafs, 7, c7s, n7s)
+        o4, s4 = _ring_density(leafs, 4, c4s, n4s)
+        jl = _start_level_np(o7, s7, o4, s4, target)
+        rings = _ring_cells_np(lat, lng, jl)
+        return pd.DataFrame({"jl": jl.astype(np.int32), "ring": rings})
+
+    return _prep
+
+
+def _attempt_var(
+    df: DataFrame,
+    cand: DataFrame,
+    kk: int,
+    active: list[int],
+    lat_col: str,
+    lng_col: str,
+    id_col: str,
+    query_id_col: str,
+    qlat_col: str,
+    qlng_col: str,
+) -> DataFrame:
+    """One widening attempt over probes carrying per-row ring levels:
+    ``cand`` = (query_id, qlat, qlng, __jl, __tc) with __tc the ring
+    cells at each probe's own level. The fact side is scanned ONCE and
+    explodes to its ancestors at exactly the ``active`` levels (cell
+    ids encode their level, so the single-column equi-join can never
+    match across levels). Scoring + window rank as before, plus the
+    resolution flags computed IN the same window pass (no extra
+    shuffle): __n = candidate count, __kd = k-th distance, __ok =
+    resolved under the _safe_chord2 coverage contract (level-0 probes
+    are always final — their ring is the whole sphere)."""
+    if len(active) == 1:
+        facts = df.select(
+            id_col, lat_col, lng_col,
+            s2_parent("cell_id", active[0]).alias("__pc"),
+        )
+    else:
+        facts = df.select(
+            id_col, lat_col, lng_col,
+            F.explode(
+                F.array(*[s2_parent("cell_id", lv) for lv in active])
+            ).alias("__pc"),
+        )
+    j = facts.join(cand, F.col("__pc") == F.col("__tc"), "inner")
+    qx, qy, qz = xyz_cols(qlat_col, qlng_col)
+    px, py, pz = xyz_cols(lat_col, lng_col)
+    scored = j.withColumn("dist_chord2", chord2_expr(px, py, pz, qx, qy, qz))
+    # partitioned by (probe, attempted level): in the relational rounds
+    # each probe carries ONE level so this equals partitioning by probe;
+    # the literal tail attempts TWO levels per probe in one pass and
+    # resolves each class independently (any resolved class holds the
+    # exact top-k, so classes are interchangeable on success)
+    w_rank = Window.partitionBy(query_id_col, "__jl").orderBy(
+        F.col("dist_chord2").asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(query_id_col, "__jl")
+    safe_arr = F.array(*[F.lit(_safe_chord2(lv)) for lv in range(31)])
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("__n", F.count("*").over(w_all))
+        .withColumn(
+            "__kd",
+            F.max(F.when(F.col("rank") <= kk, F.col("dist_chord2"))).over(w_all),
+        )
+        .where(F.col("rank") <= kk)
+        .withColumn(
+            "__ok",
+            (F.col("__jl") == 0)
+            | (
+                (F.col("__n") >= kk)
+                & (F.col("__kd") <= F.element_at(safe_arr, F.col("__jl") + 1))
+            ),
+        )
+        .select(
+            query_id_col, "__jl", "rank", id_col, "dist_chord2",
+            "__ok", "__n", "__kd",
+        )
+    )
+
+
 def knn_join_df(
     df: DataFrame,
     queries: DataFrame,
@@ -300,8 +512,8 @@ def knn_join_df(
     ``stats``: precomputed density statistics from
     ``plans.stats.build_cell_stats(df, levels=(7,))`` (table metadata,
     maintained at write time next to the lineage table). When given,
-    the level-7 hot-cell aggregation below is read from this bounded
-    frame instead of re-scanning the fact table — on a REPEATED kNN
+    the bounded level-7 histogram below is read from this frame
+    instead of re-scanning the fact table — on a REPEATED kNN
     workload at 100 TB the stats scan is paid once per dataset, not
     once per query. Start levels are pure performance (the resolution
     contract makes any choice exact), so stale stats can only slow a
@@ -322,29 +534,35 @@ def knn_join_df(
     Exactness: identical widening contract to ``knn_join`` — a probe is
     final only when it holds ≥ k results whose k-th distance fits inside
     the ring's guaranteed coverage (_safe_chord2); otherwise the ring
-    coarsens by three levels and ONLY unresolved probes (left_anti on
-    the resolved ids) retry. Level 0 covers the sphere, so termination
-    is unconditional.
+    coarsens by three levels and ONLY unresolved probes retry. Level 0
+    covers the sphere, so termination is unconditional.
 
-    Skew (north rule — dense city cells): a coarse uniform start level
-    makes every city probe join its ENTIRE city cell (quadratic in city
-    rows). Instead the start level is density-adaptive: one bounded agg
-    over the fact table's level-7 parents yields total count, hottest
-    cell, and the hot-cell list (threshold-bounded, ≤ ~512 entries);
-    probes whose 3×3 detection ring touches a hot cell start fine
-    enough that a hot cell holds ~8k rows, everyone else starts at the
-    global-density level. Start level is pure performance — the
-    resolution contract makes any choice exact.
+    Start levels (round-10 rework; pure performance, exactness is
+    level-independent): each probe derives its OWN start level from the
+    local density around it — the bounded level-7 histogram (≤ 6·4^7
+    cells whatever the corpus size) rides into one pandas UDF as sorted
+    numpy arrays, and per probe the 3×3 ring sums at level 7 and at its
+    level-4 rollup pick the finest level whose ring still expects
+    ≥ 8k rows (rounded down to the even grid so the fact side explodes
+    to a handful of distinct levels). The previous two-class scheme
+    (global-average level + one hot-cell level) started sparse probes
+    far too fine — the global average is dominated by the cities — and
+    burned 3-4 full-table widening rounds per call; per-probe levels
+    resolve almost every probe in round 1. The ``radius_guess_deg``
+    fineness floor is gone for the same reason: local density evidence
+    beats the caller's guess, and a too-fine floor only adds rounds.
 
-    Scale: per round ≤ 2 shuffle equi-joins on the parent cell (one per
-    active start class; AQE broadcasts the exploded probe side once
-    pending is small) + windows on query_id. Driver traffic = the
-    bounded hot-cell stats up front and one scalar per round, however
-    many probe rows there are.
+    Scale shape: round 1 is ONE scan of the fact side (exploded to its
+    ancestors at exactly the active levels — cell ids encode their
+    level so one equi-join column suffices), one shuffle join, one
+    window pass that also computes the resolution flags (no separate
+    aggregation shuffle). Unresolved tails ≤ 2048 probes switch to the
+    driver-literal path: rings in numpy, a broadcast candidate frame,
+    and the merged-range OR-of-BETWEEN pushdown pruning the fact scan
+    (knn_join's shape). Driver traffic = the bounded histogram up
+    front, one ≤31-row level histogram per round, and the tail probes
+    once they fit the literal threshold.
     """
-    lvl_radius = max(
-        0, min(30, metrics.MIN_WIDTH.max_level(math.radians(radius_guess_deg)))
-    )
     empty_out = df.select(
         F.lit(0).cast("long").alias(query_id_col),
         F.lit(0).cast("int").alias("rank"),
@@ -354,20 +572,22 @@ def knn_join_df(
     L_DET = 7
     target = 8 * kk
     if stats is None:
-        cnts = (
-            df.groupBy(s2_parent("cell_id", L_DET).alias("__p")).count().persist()
-        )
+        hist_rows = (
+            df.groupBy(s2_parent("cell_id", L_DET).alias("__p"))
+            .count()
+            .collect()
+        )  # bounded: ≤ 6·4^7 = 98,304 rows whatever |df| is
     else:
-        cnts = (
+        hist_rows = (
             stats.where(F.col("level") == F.lit(L_DET))
             .select(F.col("cell").alias("__p"), F.col("n").alias("count"))
-            .persist()
-        )
-    tot_row = cnts.agg(
-        F.sum("count").alias("n"), F.max("count").alias("mx")
-    ).first()
-    n_tot = int(tot_row["n"] or 0)
-    max_cnt = int(tot_row["mx"] or 0)
+            .collect()
+        )  # bounded the same way — the stats table's own bound
+    cells7 = np.array([r["__p"] for r in hist_rows], dtype=np.int64).view(
+        np.uint64
+    )
+    n7 = np.array([r["count"] for r in hist_rows], dtype=np.int64)
+    n_tot = int(n7.sum()) if len(n7) else 0
     if stats is not None and n_tot == 0 and stats.limit(1).count() > 0:
         raise ValueError(
             f"stats carry no level={L_DET} rows; build with "
@@ -393,111 +613,110 @@ def knn_join_df(
                 stacklevel=2,
             )
     if n_tot == 0:
-        lvl_typ = lvl_radius
-    else:
-        # coarsest level where a typical 3×3 ring expects ≥ target rows;
-        # the caller's radius guess is honored as a FLOOR on fineness —
-        # "my neighbors are within r" means never start coarser than the
-        # level whose cell width covers r (knn_join's seed semantics)
-        lvl_typ = int(math.floor(math.log(max(1.0, 9 * n_tot / (6 * target)), 4)))
-        lvl_typ = max(lvl_typ, lvl_radius)
-    lvl_typ = max(0, min(30, lvl_typ))
-    hot_thresh = max(target, n_tot // 512)  # bounds the hot list at ~512
-    hot = [
-        int(r["__p"]) for r in cnts.where(F.col("count") > hot_thresh).collect()
-    ]
-    cnts.unpersist()
-    if hot and max_cnt > target:
-        extra = int(math.ceil(math.log(max_cnt / target, 4)))
-        lvl_dense = max(lvl_typ, min(30, L_DET + extra))
-    else:
-        hot, lvl_dense = [], lvl_typ
+        # empty fact table: the exact k-nearest result is empty for
+        # every probe — no join round can produce a row
+        return empty_out
 
-    from ..functions import s2_all_neighbors, s2_cell_from_latlng
+    spark = df.sparkSession
+    prep = _probe_prep_udf(cells7, n7, target)
+    base = queries.select(
+        query_id_col, qlat_col, qlng_col
+    ).withColumn("__p", prep(F.col(qlat_col), F.col(qlng_col)))
+    pending = base.select(
+        query_id_col, qlat_col, qlng_col,
+        F.col("__p.jl").alias("__jl"),
+        F.col("__p.ring").alias("__ring"),
+    ).persist()
+    # materializes the probe-prep cache AND yields the exact active
+    # level set (≤ 16 even levels) the fact side must explode to
+    active = sorted(
+        int(r["__jl"]) for r in pending.select("__jl").distinct().collect()
+    )
+    if not active:  # empty probe DataFrame — knn_join's contract
+        pending.unpersist()
+        return empty_out
 
-    base = queries.select(query_id_col, qlat_col, qlng_col)
-    if hot and lvl_dense != lvl_typ:
-        qdet = s2_parent(
-            s2_cell_from_latlng(F.col(qlat_col), F.col(qlng_col)), L_DET
-        )
-        ring_det = F.array_union(F.array(qdet), s2_all_neighbors(qdet, L_DET))
-        is_dense = F.arrays_overlap(
-            ring_det, F.array(*[F.lit(c) for c in hot])
-        )
-        base = base.withColumn(
-            "__lvl0",
-            F.when(is_dense, F.lit(lvl_dense)).otherwise(F.lit(lvl_typ)),
-        )
-    else:
-        base = base.withColumn("__lvl0", F.lit(lvl_typ))
-
-    pending = base.persist()
+    sel = [query_id_col, "rank", id_col, "dist_chord2"]
     persisted: list[DataFrame] = [pending]
-    resolved: DataFrame | None = None
-    all_starts = sorted({lvl_dense, lvl_typ}, reverse=True)
+    slices: list[DataFrame] = []
     attempt = 0
     while True:
-        # per-class pending counts: ≤ 2 rows to the driver, and lets a
-        # round skip classes that fully resolved in an earlier round
-        cls = {
-            int(r["__lvl0"]): int(r["n"])
-            for r in pending.groupBy("__lvl0").agg(F.count("*").alias("n")).collect()
-        }
-        active = [s for s in all_starts if cls.get(s, 0) > 0]
-        if not active:
+        cand = pending.select(
+            query_id_col, qlat_col, qlng_col, "__jl",
+            F.explode("__ring").alias("__tc"),
+        )
+        ranked = _attempt_var(
+            df, cand, kk, active,
+            lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
+        ).persist()
+        persisted.append(ranked)
+        if all(lv == 0 for lv in active) or attempt >= max_widen:
+            slices.append(ranked.select(*sel))
             break
-        # classes whose widened level collides share one branch
-        by_cur: dict[int, list[int]] = {}
-        for s in active:
-            by_cur.setdefault(max(0, s - 3 * attempt), []).append(s)
-        branches: list[tuple[int, DataFrame, DataFrame]] = []
-        for cur, ss in sorted(by_cur.items(), reverse=True):
-            pend_s = (
-                pending
-                if len(ss) == len(active)
-                else pending.where(F.col("__lvl0").isin(ss))
+        slices.append(ranked.where(F.col("__ok")).select(*sel))
+        # kd-DERIVED widening: a probe that found >= k rows but whose
+        # k-th distance exceeds the ring's coverage retries at the
+        # finest level whose one-ring contract covers that distance —
+        # the new ring provably holds every point within kd, and the
+        # new k-th can only shrink, so that retry RESOLVES by
+        # construction (one extra round, never a widening walk).
+        # Probes with < k rows are in genuinely sparse territory and
+        # jump 4 levels (256× ring area) instead. ONE aggregation
+        # serves both the resolved-id set and the kd lookup.
+        from .covering_join import radius_level_expr
+
+        pstats = ranked.groupBy(query_id_col).agg(
+            F.max("__ok").alias("__pok"),
+            F.max("__n").alias("__pn"),
+            F.max("__kd").alias("__pkd"),
+        )
+        nxt = (
+            pending.where(F.col("__jl") > 0)
+            .join(pstats, query_id_col, "left")
+            .where(~F.coalesce(F.col("__pok"), F.lit(False)))
+            .withColumn(
+                "__jl",
+                F.when(
+                    F.col("__pn") >= kk,
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.col("__jl") - 1,
+                            radius_level_expr(F.col("__pkd")),
+                        ),
+                    ),
+                ).otherwise(F.greatest(F.lit(0), F.col("__jl") - F.lit(4))),
             )
-            ranked_s = _attempt_ranked_df(
-                df, pend_s, cur, kk,
-                lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
-            ).persist()
-            persisted.append(ranked_s)
-            branches.append((cur, pend_s, ranked_s))
-        done_round = all(
-            cur == 0 for cur, _, _ in branches
-        ) or attempt >= max_widen
-        ok: DataFrame | None = None
-        for cur, pend_s, ranked_s in branches:
-            if cur == 0 or attempt >= max_widen:
-                ok_s = pend_s.select(query_id_col)
-            else:
-                safe = _safe_chord2(cur)
-                ok_s = (
-                    ranked_s.groupBy(query_id_col)
-                    .agg(
-                        F.count("*").alias("__n"),
-                        F.max("dist_chord2").alias("__dmax"),
-                    )
-                    .where((F.col("__n") >= kk) & (F.col("__dmax") <= F.lit(safe)))
-                    .select(query_id_col)
-                )
-            ok = ok_s if ok is None else ok.unionByName(ok_s)
-            slice_df = ranked_s.join(ok_s, query_id_col, "left_semi")
-            resolved = (
-                slice_df if resolved is None else resolved.unionByName(slice_df)
-            )
-        if done_round:
+            .drop("__pok", "__pn", "__pkd")
+        ).persist()
+        persisted.append(nxt)
+        # THE round action: ≤ 31 rows to the driver (level histogram of
+        # the unresolved tail); materializes this round's pipeline
+        counts = nxt.groupBy("__jl").count().collect()
+        if not counts:
             break
-        ok = ok.persist()
-        persisted.append(ok)
-        pending = pending.join(ok, query_id_col, "left_anti").persist()
-        persisted.append(pending)
+        n_pend = sum(int(r["count"]) for r in counts)
+        active = sorted(int(r["__jl"]) for r in counts)
         attempt += 1
-    if resolved is None:  # empty probe DataFrame — knn_join's contract
-        for p in persisted:
-            p.unpersist()
-        return empty_out
-    out = resolved.select(
+        if n_pend <= _TAIL_COLLECT_MAX:
+            rows = nxt.select(
+                query_id_col, qlat_col, qlng_col, "__jl"
+            ).collect()
+            slices.extend(
+                _tail_literal_rounds(
+                    spark, df, rows, kk, attempt, max_widen, persisted,
+                    lat_col, lng_col, id_col,
+                    query_id_col, qlat_col, qlng_col,
+                    queries.schema[query_id_col].dataType,
+                    cells7, n7,
+                )
+            )
+            break
+        pending = nxt.drop("__ring").withColumn(
+            "__ring", _ring_var_udf(F.col(qlat_col), F.col(qlng_col), F.col("__jl"))
+        )
+    out = slices[0] if len(slices) == 1 else _union_all(slices)
+    out = out.select(
         query_id_col,
         F.col("rank").cast("int").alias("rank"),
         id_col,
@@ -506,6 +725,166 @@ def knn_join_df(
     for p in persisted:
         p.unpersist()
     return out
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _ring_var_udf(qlat, qlng, jl):
+    """Executor-side per-row-level ring (relational big-tail retries)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(lat: pd.Series, lng: pd.Series, lv: pd.Series) -> pd.Series:
+        return pd.Series(
+            _ring_cells_np(
+                lat.to_numpy(np.float64),
+                lng.to_numpy(np.float64),
+                lv.to_numpy(np.int64),
+            )
+        )
+
+    return _ring(qlat, qlng, jl)
+
+
+def _tail_literal_rounds(
+    spark: SparkSession,
+    df: DataFrame,
+    rows: list,
+    kk: int,
+    attempt0: int,
+    max_widen: int,
+    persisted: list[DataFrame],
+    lat_col: str,
+    lng_col: str,
+    id_col: str,
+    query_id_col: str,
+    qlat_col: str,
+    qlng_col: str,
+    qid_type,
+    cells7: np.ndarray,
+    n7: np.ndarray,
+) -> list[DataFrame]:
+    """Driver-literal widening for small unresolved tails (≤
+    _TAIL_COLLECT_MAX probes): rings computed in numpy, the candidate
+    frame broadcast, and the fact scan pruned with the merged-range
+    OR-of-BETWEEN pushdown (knn_join's shape — at 100 TB a tail round
+    reads only the row groups its rings cover instead of rescanning
+    the table). Same ring/coverage contract as the relational rounds,
+    so results are identical; returns the accepted rank slices."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qids = [r[0] for r in rows]
+    qlat = np.array([r[1] for r in rows], dtype=np.float64)
+    qlng = np.array([r[2] for r in rows], dtype=np.float64)
+    jl = np.array([r[3] for r in rows], dtype=np.int64)
+    cand_schema = StructType(
+        [
+            StructField(query_id_col, qid_type),
+            StructField(qlat_col, DoubleType()),
+            StructField(qlng_col, DoubleType()),
+            StructField("__jl", IntegerType()),
+            StructField("__tc", LongType()),
+        ]
+    )
+    safe_np = np.array([_safe_chord2(lv) for lv in range(31)])
+    # exact ring row counts from the level-7 histogram: a ring cell at
+    # level <= 7 covers complete level-7 cells, so its row count is an
+    # exact range sum over the sorted histogram (prefix sums +
+    # searchsorted); used to pick the widened level for sparse probes
+    # so the next ring PROVABLY holds >= target rows instead of
+    # guessing a fixed jump
+    order7 = np.argsort(cells7)
+    c7sorted = cells7[order7]
+    pref7 = np.concatenate([[0], np.cumsum(n7[order7].astype(np.int64))])
+
+    def _exact_ring_rows(ring: np.ndarray) -> int:
+        u = ring.view(np.uint64)
+        lo = k.range_min(u)
+        hi = k.range_max(u)
+        a = np.searchsorted(c7sorted, lo, side="left")
+        b = np.searchsorted(c7sorted, hi, side="right")
+        return int((pref7[b] - pref7[a]).sum())
+
+    def _sparse_next_level(lat: float, lng: float, cur: int, target: int) -> int:
+        for lv in range(min(cur - 1, 7), -1, -1):
+            ring = _ring_cells_np(
+                np.array([lat]), np.array([lng]), np.array([lv])
+            )[0]
+            if _exact_ring_rows(ring) >= target:
+                return lv
+        return 0
+
+    slices: list[DataFrame] = []
+    sel = [query_id_col, "rank", id_col, "dist_chord2"]
+    pend = np.arange(len(qids))
+    attempt = attempt0
+    while len(pend) > 0:
+        lv = jl[pend]
+        rings = _ring_cells_np(qlat[pend], qlng[pend], lv)
+        cand_rows = [
+            (qids[i], float(qlat[i]), float(qlng[i]), int(lv_i), int(c))
+            for i, lv_i, ring in zip(pend, lv, rings)
+            for c in ring
+        ]
+        cand_df = F.broadcast(spark.createDataFrame(cand_rows, cand_schema))
+        active = sorted(int(x) for x in np.unique(lv))
+        src = df
+        if min(active) > 0 and "cell_id_biased" in df.columns:
+            all_cells = np.concatenate(rings).view(np.uint64)
+            ranges = _merged_biased_ranges(all_cells)
+            if len(ranges) <= _MAX_PUSHED_RANGES:
+                pred = F.lit(False)
+                for lo, hi in ranges:
+                    pred = pred | F.col("cell_id_biased").between(
+                        F.lit(lo), F.lit(hi)
+                    )
+                src = df.where(pred)
+        ranked = _attempt_var(
+            src, cand_df, kk, active,
+            lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
+        ).persist()
+        persisted.append(ranked)
+        if attempt >= max_widen or all(x == 0 for x in active):
+            slices.append(ranked.select(*sel))
+            break
+        slices.append(ranked.where(F.col("__ok")).select(*sel))
+        flags = ranked.select(
+            query_id_col, "__ok", "__n", "__kd"
+        ).distinct().collect()
+        info = {r[0]: (bool(r[1]), int(r[2]), r[3]) for r in flags}
+        nxt_pend = []
+        for i in pend:
+            got = info.get(qids[i])
+            if (got is not None and got[0]) or jl[i] <= 0:
+                continue  # resolved, or level-0 best-effort already out
+            nxt_pend.append(i)
+            if got is not None and got[1] >= kk and got[2] is not None:
+                # kd-derived level: finest ring that covers the k-th
+                # distance — resolves next round by construction
+                jl[i] = min(
+                    jl[i] - 1, max(0, int(np.sum(safe_np >= got[2]) - 1))
+                )
+            else:
+                # sparse probe: pick the finest level whose ring holds
+                # >= target rows FOR REAL (exact histogram range sums)
+                jl[i] = _sparse_next_level(
+                    float(qlat[i]), float(qlng[i]), int(jl[i]), 8 * kk
+                )
+        pend = np.array(nxt_pend, dtype=np.int64)
+        attempt += 1
+    return slices
 
 
 def mutual_knn_pairs(
