@@ -166,6 +166,14 @@ def main():
                 .collect()
             )
 
+        if want("dedup_vote"):
+            from rust_s2_spark.operators.dedup import ensemble_dedup_vote
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            out["dedup_vote"], _ = timed(
+                lambda: ensemble_dedup_vote(docs, "text", "doc_id").count()
+            )
+
         if want("stream_knn_8batch"):
 
             def q_stream_knn():

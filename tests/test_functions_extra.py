@@ -171,9 +171,10 @@ def test_connected_components_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(199)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="fixed point"):
-        connected_components(path, max_iter=2)
+        connected_components(path, max_iter=2, driver_max_edges=0)
     # and with enough rounds the same graph is one component
-    got = {r.component for r in connected_components(path, max_iter=12).collect()}
+    got = {r.component for r in
+           connected_components(path, max_iter=12, driver_max_edges=0).collect()}
     assert got == {0}
 
 
@@ -197,7 +198,9 @@ def test_connected_components_log_rounds_on_chains(spark):
     path = spark.createDataFrame(
         [(ids[i], ids[i + 1]) for i in range(1999)], "a long, b long"
     )
-    out = connected_components(path).collect()  # default max_iter
+    # driver_max_edges=0 forces the distributed star rounds (the
+    # round-10 small-input fast path would otherwise shortcut this)
+    out = connected_components(path, driver_max_edges=0).collect()
     assert len(out) == 2000
     assert {r.component for r in out} == {0}
 

@@ -260,7 +260,7 @@ def test_connected_components_round_shape(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)], "a long, b long"
     )
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_max_edges=0)
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
@@ -623,7 +623,7 @@ def test_connected_components_no_nested_loop_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, (i * 7 + 3) % 50) for i in range(50)], "a long, b long"
     ).where(F.col("a") != F.col("b"))
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_max_edges=0)
     plan = _plan(out)
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
                 "BatchEvalPython", "ArrowEvalPython"):
