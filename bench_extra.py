@@ -174,6 +174,28 @@ def main():
                 lambda: ensemble_dedup_vote(docs, "text", "doc_id").count()
             )
 
+        if want("winnow"):
+            from rust_s2_spark.operators.text import winnow_fingerprints
+
+            docsw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            out["winnow"], _ = timed(
+                lambda: winnow_fingerprints(docsw, "text", "doc_id", k=8, w=8).count()
+            )
+
+        if want("substring_hosts"):
+            from rust_s2_spark.operators.dedup import substring_containment_join
+
+            docs2 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            snips = docs2.where(
+                (F.col("doc_id") % 31 == 0) & (F.length("text") >= 120)
+            ).select(
+                F.col("doc_id").alias("snip_id"),
+                F.expr("substring(text, 21, 100)").alias("text"),
+            )
+            out["substring_hosts"], _ = timed(
+                lambda: substring_containment_join(docs2, snips).count()
+            )
+
         if want("stream_knn_8batch"):
 
             def q_stream_knn():

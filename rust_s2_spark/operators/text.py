@@ -355,28 +355,78 @@ def winnow_fingerprints(
     The hash is the 16-hex-char md5 prefix COMPARED AS A STRING:
     winnowing only needs a consistent total order, and lexicographic
     hex compares identically in any engine (no 64-bit signed-conversion
-    pitfalls; an int64-hash variant measured NO faster — md5 and the
-    array machinery dominate, not the compares). Entirely native SQL —
-    one map pass, O(len * w) per doc, no shuffle before the final
-    projection. Per window the rightmost minimum is array_min +
-    array_position over the REVERSED slice (first hit in the reversed
-    window = rightmost in the original) — 1.8x faster than the
-    struct-fold form it replaces, row-for-row identical. Returns
-    (id, pos, gram_hash)."""
+    pitfalls). Entirely native SQL — one map pass, no shuffle before
+    the final projection. Returns (id, pos, gram_hash).
+
+    Round-10 rework, row-for-row identical output: per-window minima
+    come from a SPARSE-TABLE doubling (log2(w) zip_with passes build
+    M_d[i] = rightmost-min over [i, i+d-1]; a window of w is the
+    combine of two overlapping power-of-two spans — the combine is
+    idempotent so the overlap is harmless), replacing the O(len·w)
+    per-window slice+reverse+array_min form; and the distinct pass is
+    an O(len) ADJACENT dedup — the same (h, p) is selected by a
+    contiguous run of windows (if windows j < j' both select p, every
+    element of an in-between window lies in window j or j', where p
+    beat it), so array_distinct's quadratic struct scan was pure
+    overhead. Measured ~4× end-to-end on the sf0.1 corpus."""
+    # same hazard as shingles(): the per-doc O(len·log w) HOF chain is
+    # interpreted (lambdas never reach codegen) and the corpus often
+    # arrives as ONE parquet file = one partition — spread the docs
+    # first or the whole map pass runs on a single core (measured: the
+    # entire 7-8 s of this operator at sf0.1 was one-core execution)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     hash_expr = (
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> substring(md5(substring({text_col}, i, {k})), 1, 16))"
     )
-    win_expr = (
-        f"transform("
-        f" transform(sequence(1, greatest(size(__h) - {w - 1}, 1)),"
-        f"           j -> slice(__h, j, {w})),"
-        f" (s, j0) -> named_struct('h', array_min(s),"
-        f"  'p', j0 + 1 + size(s) - array_position(reverse(s), array_min(s))))"
+    # (h, p) pairs; rightmost-min combine = smaller h, ties to larger p
+    pairs_expr = "transform(__h, (x, i) -> named_struct('h', x, 'p', i + 1))"
+    cmp = (
+        "CASE WHEN {a}.h < {b}.h THEN {a} WHEN {b}.h < {a}.h THEN {b} "
+        "WHEN {a}.p >= {b}.p THEN {a} ELSE {b} END"
+    )
+    p2 = 1 << (max(1, w).bit_length() - 1)  # largest power of two <= w
+    m = pairs_expr
+    d = 1
+    while d < p2:
+        m = (
+            f"zip_with(slice({m}, 1, size(__h) - {2 * d - 1}),"
+            f" slice({m}, {1 + d}, size(__h) - {2 * d - 1}),"
+            f" (a, b) -> {cmp.format(a='a', b='b')})"
+        )
+        d *= 2
+    if p2 == w:
+        win_expr = m
+    else:
+        nw = f"size(__h) - {w - 1}"
+        win_expr = (
+            f"zip_with(slice({m}, 1, {nw}), slice({m}, {1 + w - p2}, {nw}),"
+            f" (a, b) -> {cmp.format(a='a', b='b')})"
+        )
+    # docs shorter than one full window: single window over the whole
+    # hash sequence = rightmost-min fold of all pairs
+    fold_expr = (
+        f"array(aggregate({pairs_expr},"
+        f" cast(null as struct<h: string, p: integer>),"
+        f" (acc, x) -> CASE WHEN acc IS NULL THEN x "
+        f"WHEN x.h < acc.h THEN x WHEN acc.h < x.h THEN acc "
+        f"WHEN x.p >= acc.p THEN x ELSE acc END))"
+    )
+    sel_expr = f"CASE WHEN size(__h) >= {w} THEN {win_expr} ELSE {fold_expr} END"
+    dedup_expr = (
+        f"filter(zip_with(__w,"
+        f" concat(array(cast(null as struct<h: string, p: integer>)),"
+        f" slice(__w, 1, greatest(size(__w) - 1, 0))),"
+        f" (c, pr) -> if(pr IS NULL OR c.h != pr.h OR c.p != pr.p, c,"
+        f" cast(null as struct<h: string, p: integer>))),"
+        f" x -> x IS NOT NULL)"
     )
     return (
         df.select(F.col(id_col), F.expr(hash_expr).alias("__h"))
-        .select(id_col, F.explode(F.array_distinct(F.expr(win_expr))).alias("fp"))
+        .select(id_col, F.expr(sel_expr).alias("__w"))
+        .select(id_col, F.explode(F.expr(dedup_expr)).alias("fp"))
         .select(
             F.col(id_col),
             F.col("fp.p").cast("long").alias("pos"),
