@@ -628,14 +628,19 @@ def knn_join_df(
         F.col("__p.ring").alias("__ring"),
     ).persist()
     # materializes the probe-prep cache AND yields the exact active
-    # level set (≤ 16 even levels) the fact side must explode to
-    active = sorted(
-        int(r["__jl"]) for r in pending.select("__jl").distinct().collect()
-    )
+    # level set the fact side must explode to, plus the probe count —
+    # ≤ 31 rows to the driver either way
+    lv_hist = pending.groupBy("__jl").count().collect()
+    active = sorted(int(r["__jl"]) for r in lv_hist)
+    n_probes = sum(int(r["count"]) for r in lv_hist)
     if not active:  # empty probe DataFrame — knn_join's contract
         pending.unpersist()
         return empty_out
 
+    del n_probes  # an all-literal shortcut for small probe sets was
+    # benchmarked 1.5× SLOWER than the relational round at streaming
+    # batch sizes (~450 probes): scattered rings defeat the range
+    # pushdown and per-round driver orchestration beats the saving
     sel = [query_id_col, "rank", id_col, "dist_chord2"]
     persisted: list[DataFrame] = [pending]
     slices: list[DataFrame] = []
