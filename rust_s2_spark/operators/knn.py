@@ -571,22 +571,34 @@ def knn_join_df(
     ).limit(0)
     L_DET = 7
     target = 8 * kk
-    if stats is None:
+    cached = getattr(stats, "_s2_l7_hist", None) if stats is not None else None
+    if cached is not None:
+        # repeated-workload path (streaming batches, repeat calls with
+        # one injected stats frame): the bounded histogram is collected
+        # ONCE per stats object and memoized on it — DataFrames are
+        # immutable, so the capture can never go stale
+        cells7, n7 = cached
+    elif stats is None:
         hist_rows = (
             df.groupBy(s2_parent("cell_id", L_DET).alias("__p"))
             .count()
             .collect()
         )  # bounded: ≤ 6·4^7 = 98,304 rows whatever |df| is
+        cells7 = np.array([r["__p"] for r in hist_rows], dtype=np.int64).view(
+            np.uint64
+        )
+        n7 = np.array([r["count"] for r in hist_rows], dtype=np.int64)
     else:
         hist_rows = (
             stats.where(F.col("level") == F.lit(L_DET))
             .select(F.col("cell").alias("__p"), F.col("n").alias("count"))
             .collect()
         )  # bounded the same way — the stats table's own bound
-    cells7 = np.array([r["__p"] for r in hist_rows], dtype=np.int64).view(
-        np.uint64
-    )
-    n7 = np.array([r["count"] for r in hist_rows], dtype=np.int64)
+        cells7 = np.array([r["__p"] for r in hist_rows], dtype=np.int64).view(
+            np.uint64
+        )
+        n7 = np.array([r["count"] for r in hist_rows], dtype=np.int64)
+        stats._s2_l7_hist = (cells7, n7)
     n_tot = int(n7.sum()) if len(n7) else 0
     if stats is not None and n_tot == 0 and stats.limit(1).count() > 0:
         raise ValueError(
@@ -692,20 +704,32 @@ def knn_join_df(
                     ),
                 ).otherwise(F.greatest(F.lit(0), F.col("__jl") - F.lit(4))),
             )
+            # a kd-derived retry RESOLVES by construction (the ring
+            # provably covers the previous k-th distance) — carry the
+            # flag so the next round can skip its resolve-check job
+            .withColumn(
+                "__gtd",
+                (F.coalesce(F.col("__pn"), F.lit(0)) >= kk)
+                & F.col("__pkd").isNotNull(),
+            )
             .drop("__pok", "__pn", "__pkd")
         ).persist()
         persisted.append(nxt)
         # THE round action: ≤ 31 rows to the driver (level histogram of
         # the unresolved tail); materializes this round's pipeline
-        counts = nxt.groupBy("__jl").count().collect()
+        counts = nxt.groupBy("__jl").agg(
+            F.count("*").alias("count"),
+            F.min(F.col("__gtd").cast("int")).alias("g"),
+        ).collect()
         if not counts:
             break
         n_pend = sum(int(r["count"]) for r in counts)
         active = sorted(int(r["__jl"]) for r in counts)
+        all_gtd = all(int(r["g"]) == 1 for r in counts)
         attempt += 1
         if n_pend <= _TAIL_COLLECT_MAX:
             rows = nxt.select(
-                query_id_col, qlat_col, qlng_col, "__jl"
+                query_id_col, qlat_col, qlng_col, "__jl", "__gtd"
             ).collect()
             slices.extend(
                 _tail_literal_rounds(
@@ -720,6 +744,21 @@ def knn_join_df(
         pending = nxt.drop("__ring").withColumn(
             "__ring", _ring_var_udf(F.col(qlat_col), F.col(qlng_col), F.col("__jl"))
         )
+        if all_gtd:
+            # every remaining probe retries at its kd-derived level —
+            # the round is final by construction: emit and stop
+            cand = pending.select(
+                query_id_col, qlat_col, qlng_col, "__jl",
+                F.explode("__ring").alias("__tc"),
+            )
+            slices.append(
+                _attempt_var(
+                    df, cand, kk, active,
+                    lat_col, lng_col, id_col,
+                    query_id_col, qlat_col, qlng_col,
+                ).select(*sel)
+            )
+            break
     out = slices[0] if len(slices) == 1 else _union_all(slices)
     out = out.select(
         query_id_col,
@@ -794,6 +833,7 @@ def _tail_literal_rounds(
     qlat = np.array([r[1] for r in rows], dtype=np.float64)
     qlng = np.array([r[2] for r in rows], dtype=np.float64)
     jl = np.array([r[3] for r in rows], dtype=np.int64)
+    gtd = np.array([bool(r[4]) for r in rows])
     cand_schema = StructType(
         [
             StructField(query_id_col, qid_type),
@@ -859,11 +899,20 @@ def _tail_literal_rounds(
         ranked = _attempt_var(
             src, cand_df, kk, active,
             lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
-        ).persist()
-        persisted.append(ranked)
-        if attempt >= max_widen or all(x == 0 for x in active):
+        )
+        if (
+            bool(np.all(gtd[pend]))
+            or attempt >= max_widen
+            or all(x == 0 for x in active)
+        ):
+            # kd-derived levels resolve by construction (the ring
+            # provably covers each probe's previous k-th distance), so
+            # an all-guaranteed round needs no resolve-check job: emit
+            # lazily and let the final checkpoint materialize it once
             slices.append(ranked.select(*sel))
             break
+        ranked = ranked.persist()
+        persisted.append(ranked)
         slices.append(ranked.where(F.col("__ok")).select(*sel))
         flags = ranked.select(
             query_id_col, "__ok", "__n", "__kd"
@@ -881,12 +930,14 @@ def _tail_literal_rounds(
                 jl[i] = min(
                     jl[i] - 1, max(0, int(np.sum(safe_np >= got[2]) - 1))
                 )
+                gtd[i] = True
             else:
                 # sparse probe: pick the finest level whose ring holds
                 # >= target rows FOR REAL (exact histogram range sums)
                 jl[i] = _sparse_next_level(
                     float(qlat[i]), float(qlng[i]), int(jl[i]), 8 * kk
                 )
+                gtd[i] = False
         pend = np.array(nxt_pend, dtype=np.int64)
         attempt += 1
     return slices
