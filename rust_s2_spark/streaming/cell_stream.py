@@ -338,6 +338,24 @@ def streaming_knn(
     spark = facts.sparkSession
     if stats is None:
         stats = build_cell_stats(facts, levels=(7,))
+    # cache the static side's kNN-relevant columns for the stream's
+    # lifetime: every micro-batch (and every widening attempt within
+    # one) re-reads the fact scan otherwise — a long-running stream
+    # pays one cache build for N batches (the standard stream-static
+    # join discipline; the projection keeps the cache narrow)
+    id_col = cols.get("id_col", "image_id")
+    keep = [
+        c
+        for c in (
+            cols.get("lat_col", "lat"),
+            cols.get("lng_col", "lng"),
+            id_col,
+            "cell_id",
+            "cell_id_biased",
+        )
+        if c in facts.columns
+    ]
+    facts = facts.select(*keep).persist()
     # materialize ONCE up front, whatever the caller passed: a lazy
     # stats frame would re-evaluate its lineage (a full fact scan +
     # aggregation) inside EVERY micro-batch's knn_join_df — exactly
