@@ -196,6 +196,18 @@ def main():
                 lambda: substring_containment_join(docs2, snips).count()
             )
 
+        if want("traj_crossings"):
+            from rust_s2_spark.operators.polyline import polyline_crossing_join
+            from rust_s2_spark.plans.driver_queries import (
+                TRAJ_MAX_SEG_DEG,
+                _trajectories,
+            )
+
+            traj = _trajectories(spark, sf_dir).where(F.col("traj_id") % 4 == 0)
+            out["traj_crossings"], _ = timed(
+                lambda: polyline_crossing_join(traj, TRAJ_MAX_SEG_DEG).count()
+            )
+
         if want("stream_knn_8batch"):
 
             def q_stream_knn():

@@ -242,6 +242,13 @@ def polyline_crossing_join(
     cells = samples.withColumn(
         "scell", s2_parent(s2_cell_from_latlng("slat", "slng"), lvl)
     )
+    # samples are spaced half a cell width, so consecutive samples land
+    # in the same cell ~half the time — dedup the sample CELLS before
+    # the 9× ring explode and its neighbor kernel (round-10: the ring
+    # UDF and the ring dedup below then see a fraction of the rows;
+    # ring-of-union == union-of-rings, so the candidate set is
+    # unchanged)
+    cells = cells.dropDuplicates(["tid", "sidx", "scell"])
     ring = cells.select(
         "tid", "sidx", "alat", "alng", "blat", "blng",
         F.explode(
