@@ -1050,23 +1050,13 @@ def idw_interpolate(
         F.col(id_col), F.col(value_col).cast("double").alias("__v")
     )
     j = nn.join(vals, id_col)
-    # exact hits: min fact id at chord² == 0 per probe
-    exact = (
-        j.where(F.col("dist_chord2") == 0.0)
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col(id_col).cast("long").asc()
-                )
-            ),
-        )
-        .where(F.col("__r") == 1)
-        .select(query_id_col, F.col("__v").alias("__exact"))
-    )
     # ANSI double division throws on zero — try_divide yields NULL for
     # chord² == 0 terms, poisoning that probe's fold to NULL, which the
-    # exact-hit override then supplies (such a probe always has one)
+    # exact-hit override then supplies (such a probe always has one).
+    # The exact-hit rule (min fact id at chord² == 0) rides the SAME
+    # aggregation as the fold (round-10): min over a (long id, value)
+    # struct orders by id first, so no separate window pass or second
+    # evaluation of the join subtree is needed — bit-identical output.
     w = F.try_divide(F.lit(1.0), F.col("dist_chord2"))
     terms = j.select(
         query_id_col,
@@ -1075,19 +1065,25 @@ def idw_interpolate(
             (w * F.col("__v")).alias("num"),
             w.alias("den"),
         ).alias("__t"),
+        F.when(
+            F.col("dist_chord2") == 0.0,
+            F.struct(
+                F.col(id_col).cast("long").alias("i"),
+                F.col("__v").alias("v"),
+            ),
+        ).alias("__e"),
     )
-    fold = (
-        terms.groupBy(query_id_col)
-        .agg(F.array_sort(F.collect_list("__t")).alias("__ts"))
-        .select(
-            query_id_col,
+    fold = terms.groupBy(query_id_col).agg(
+        F.array_sort(F.collect_list("__t")).alias("__ts"),
+        F.min("__e").alias("__em"),
+    )
+    return fold.select(
+        query_id_col,
+        F.coalesce(
+            F.col("__em.v"),
             F.try_divide(
                 F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x["num"]),
                 F.aggregate("__ts", F.lit(0.0), lambda a, x: a + x["den"]),
-            ).alias("__idw"),
-        )
-    )
-    return fold.join(exact, query_id_col, "left").select(
-        query_id_col,
-        F.coalesce(F.col("__exact"), F.col("__idw")).alias("est"),
+            ),
+        ).alias("est"),
     )
