@@ -418,7 +418,7 @@ def _attempt_var(
     df: DataFrame,
     cand: DataFrame,
     kk: int,
-    active: list[int],
+    active: "list[int] | DataFrame",
     lat_col: str,
     lng_col: str,
     id_col: str,
@@ -436,7 +436,16 @@ def _attempt_var(
     shuffle): __n = candidate count, __kd = k-th distance, __ok =
     resolved under the _safe_chord2 coverage contract (level-0 probes
     are always final — their ring is the whole sphere)."""
-    if len(active) == 1:
+    if isinstance(active, DataFrame):
+        # lazy level set (a ≤31-row distinct over the probe side,
+        # broadcast): the fact side explodes to one ancestor per active
+        # level WITHOUT the driver ever collecting the set — one fewer
+        # job per call than the literal-list form the tail rounds use
+        facts = df.crossJoin(F.broadcast(active)).select(
+            id_col, lat_col, lng_col,
+            s2_parent("cell_id", F.col("__lvl")).alias("__pc"),
+        )
+    elif len(active) == 1:
         facts = df.select(
             id_col, lat_col, lng_col,
             s2_parent("cell_id", active[0]).alias("__pc"),
@@ -639,35 +648,37 @@ def knn_join_df(
         F.col("__p.jl").alias("__jl"),
         F.col("__p.ring").alias("__ring"),
     ).persist()
-    # materializes the probe-prep cache AND yields the exact active
-    # level set the fact side must explode to, plus the probe count —
-    # ≤ 31 rows to the driver either way
-    lv_hist = pending.groupBy("__jl").count().collect()
-    active = sorted(int(r["__jl"]) for r in lv_hist)
-    n_probes = sum(int(r["count"]) for r in lv_hist)
-    if not active:  # empty probe DataFrame — knn_join's contract
-        pending.unpersist()
-        return empty_out
-
-    del n_probes  # an all-literal shortcut for small probe sets was
-    # benchmarked 1.5× SLOWER than the relational round at streaming
-    # batch sizes (~450 probes): scattered rings defeat the range
-    # pushdown and per-round driver orchestration beats the saving
+    # (an all-literal shortcut for small probe sets was benchmarked
+    # 1.5× SLOWER than the relational round at streaming batch sizes:
+    # scattered rings defeat the range pushdown and per-round driver
+    # orchestration beats the saving)
     sel = [query_id_col, "rank", id_col, "dist_chord2"]
     persisted: list[DataFrame] = [pending]
     slices: list[DataFrame] = []
     attempt = 0
+    # round 0 never collects the level set: the fact side derives it
+    # relationally (broadcast distinct over the probe side) — one
+    # fewer driver action per call; later rounds know it from the
+    # round counts
+    active: list[int] | None = None
     while True:
         cand = pending.select(
             query_id_col, qlat_col, qlng_col, "__jl",
             F.explode("__ring").alias("__tc"),
         )
+        lv_arg = (
+            pending.select(F.col("__jl").alias("__lvl")).distinct()
+            if active is None
+            else active
+        )
         ranked = _attempt_var(
-            df, cand, kk, active,
+            df, cand, kk, lv_arg,
             lat_col, lng_col, id_col, query_id_col, qlat_col, qlng_col,
         ).persist()
         persisted.append(ranked)
-        if all(lv == 0 for lv in active) or attempt >= max_widen:
+        if (
+            active is not None and all(lv == 0 for lv in active)
+        ) or attempt >= max_widen:
             slices.append(ranked.select(*sel))
             break
         slices.append(ranked.where(F.col("__ok")).select(*sel))
