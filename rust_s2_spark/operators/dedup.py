@@ -392,8 +392,11 @@ def connected_components(
     current edge set (which the paper bounds by |E| + n); edges are
     localCheckpoint'ed per round to truncate the iterative lineage.
 
-    Returns (v, component): one row per vertex that appears in ``pairs``
-    (isolated docs have no pair rows and stay out, by construction).
+    Returns (v, component): one row per vertex that appears in a
+    NON-self pair (isolated docs have no pair rows and stay out, by
+    construction; a vertex appearing ONLY in self-pairs (v, v) is
+    likewise treated as isolated — the a != b filter drops such rows,
+    and downstream select_canonical keeps absent docs by construction).
 
     ``driver_max_edges``: edge sets at or below this bound skip the
     distributed rounds and run exact union-find over the collected

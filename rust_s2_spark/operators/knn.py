@@ -609,7 +609,11 @@ def knn_join_df(
         n7 = np.array([r["count"] for r in hist_rows], dtype=np.int64)
         stats._s2_l7_hist = (cells7, n7)
     n_tot = int(n7.sum()) if len(n7) else 0
-    if stats is not None and n_tot == 0 and stats.limit(1).count() > 0:
+    if stats is not None and n_tot == 0:
+        # empty stats — including an entirely empty frame — can never
+        # seed start levels; raising the build hint here beats the
+        # misleading wrong-corpus error the n_rows check would give
+        # (round-9 ADVICE) and beats silently returning no neighbors
         raise ValueError(
             f"stats carry no level={L_DET} rows; build with "
             f"build_cell_stats(df, levels=({L_DET},))"

@@ -115,3 +115,47 @@ def test_chord2_to_deg_roundtrip():
         assert chord2_to_deg(s * s) == pytest.approx(deg, rel=1e-12)
     assert chord2_to_deg(4.0) == pytest.approx(180.0)
     assert chord2_to_deg(5.0) == pytest.approx(180.0)  # clamped
+
+
+def test_log2_binning_weakly_monotone_at_power_boundaries(spark):
+    """Round-9 ADVICE: suggest_eps' exactness rests on floor(log2(x))
+    being weakly monotone in x; pin it at the bin boundaries by pushing
+    values one ULP either side of powers of two through the SAME
+    binning expression the operator uses."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = []
+    for e in range(-60, 61, 7):
+        p = 2.0**e
+        vals.extend([math.nextafter(p, 0.0), p, math.nextafter(p, math.inf)])
+    vals = sorted(v for v in vals if v > 0.0)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    binc = F.when(F.col("v") == 0.0, F.lit(-1100)).otherwise(
+        F.floor(F.log2("v"))
+    ).cast("int")
+    rows = df.select("i", binc.alias("b")).orderBy("i").collect()
+    bins = [r["b"] for r in rows]
+    assert bins == sorted(bins), "floor(log2) bin not weakly monotone at ULP boundaries"
+
+
+def test_knn_df_empty_stats_frame_raises_build_hint(spark, sf_dir):
+    """An injected stats frame with NO level-7 rows (including an
+    entirely empty frame) must raise the build_cell_stats hint — never
+    silently return an empty result (round-10 guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.knn import knn_join_df
+    from rust_s2_spark.sources import images_from_orders
+
+    img = images_from_orders(spark, sf_dir, with_bytes=False)
+    probes = img.limit(5).select(
+        F.col("image_id").cast("long").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lng").alias("qlng"),
+    )
+    empty_stats = spark.createDataFrame([], "level int, cell long, n long")
+    with pytest.raises(ValueError, match="build_cell_stats"):
+        knn_join_df(img, probes, 3, stats=empty_stats)

@@ -115,14 +115,31 @@ def main():
         docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
         out["winnow"] = grab(winnow_fingerprints(docs, "text", "doc_id", k=8, w=8))
 
-        # --- connected components (result plan; before = star-round
-        # output, after = the small-input union-find fast path) ---
-        from rust_s2_spark.operators.dedup import connected_components
+        # --- trajectory crossings (fully lazy plan) ---
+        from rust_s2_spark.operators.polyline import polyline_crossing_join
+        from rust_s2_spark.plans.driver_queries import (
+            TRAJ_MAX_SEG_DEG,
+            _trajectories,
+        )
 
-        pairs = spark.createDataFrame(
-            [(i, (i * 7 + 3) % 50) for i in range(50)], "a long, b long"
-        ).where(F.col("a") != F.col("b"))
-        out["connected_components_small"] = grab(connected_components(pairs))
+        traj = _trajectories(spark, "/root/testdata/sf0.01").where(
+            F.col("traj_id") % 4 == 0
+        )
+        out["traj_crossings"] = grab(
+            polyline_crossing_join(traj, TRAJ_MAX_SEG_DEG)
+        )
+
+        # --- IDW assembly (the part after the eager kNN join) ---
+        from rust_s2_spark.operators.knn import idw_interpolate
+
+        facts_idw = img.withColumn(
+            "val", (F.col("phash") % 997).cast("double")
+        )
+        out["idw"] = grab(
+            idw_interpolate(
+                facts_idw, probes.limit(500), 3, "val", radius_guess_deg=2.0
+            )
+        )
 
         for name, text in out.items():
             with open(f"{outdir}/{name}_{tag}.txt", "w") as f:
