@@ -208,6 +208,54 @@ def main():
                 lambda: polyline_crossing_join(traj, TRAJ_MAX_SEG_DEG).count()
             )
 
+        if want("ingest_encode"):
+            import tempfile as _tf
+
+            def _ing():
+                p = _tf.mkdtemp(prefix="s2ing_") + "/images"
+                try:
+                    write_images_table(spark, sf_dir, p, with_bytes=False)
+                finally:
+                    shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+            out["ingest_encode"], _ = timed(_ing)
+
+        if want("qdct_pipeline"):
+            from rust_s2_spark.operators.multimodal import (
+                encode_images_qdct,
+                image_fidelity_audit,
+            )
+            from rust_s2_spark.sources import images_from_orders
+            from rust_s2_spark.sources.images import layout_write
+
+            imgb_q = images_from_orders(spark, sf_dir, with_bytes=True)
+
+            def q_qdct():
+                import tempfile as _tf
+
+                key = F.col("image_id").cast("long")
+                lossy = encode_images_qdct(imgb_q.where(key % 3 == 0))
+                mixed = imgb_q.where(key % 3 != 0).unionByName(lossy)
+                path = _tf.mkdtemp(prefix="s2qdctx_") + "/images"
+                try:
+                    layout_write(mixed, path)
+                    stored = read_images_table(spark, path)
+                    blocks = [F.md5(F.col("image_id"))]
+                    for _ in range(11):
+                        blocks.append(F.md5(blocks[-1]))
+                    stored = stored.withColumn(
+                        "orig_bytes", F.unhex(F.concat(*blocks))
+                    )
+                    audit = image_fidelity_audit(stored)
+                    n_rows, sse_sum, sse_max = audit.agg(
+                        F.count("*"), F.sum("sse"), F.max("sse")
+                    ).first()
+                    assert n_rows == n_images, n_rows
+                finally:
+                    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+            out["qdct_pipeline"], _ = timed(q_qdct)
+
         if want("stream_knn_8batch"):
 
             def q_stream_knn():
