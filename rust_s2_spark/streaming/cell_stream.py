@@ -371,8 +371,15 @@ def streaming_knn(
             facts, batch_df, kk,
             radius_guess_deg=radius_guess_deg, stats=stats, **cols,
         )
+        # the result is already materialized (knn_join_df returns a
+        # localCheckpoint) across as many partitions as the widening
+        # pipeline used — a micro-batch would commit ~64 tiny files
+        # per trigger through the dynamic-overwrite protocol; coalesce
+        # to a handful (guide §6 file sizing; no extra shuffle)
+        n_parts = out.rdd.getNumPartitions()
         (
-            out.withColumn("__batch_id", F.lit(int(batch_id)))
+            out.coalesce(max(1, min(n_parts, 4)))
+            .withColumn("__batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
