@@ -648,7 +648,17 @@ def knn_join_df(
         return empty_out
 
     spark = df.sparkSession
-    prep = _probe_prep_udf(cells7, n7, target)
+    # the prep UDF closure carries the histogram (~MBs at full level-7
+    # occupancy) — reuse the constructed UDF across repeat calls with
+    # the same source frame and k instead of re-pickling per call
+    prep_cache = getattr(src, "_s2_prep_udfs", None)
+    if prep_cache is None:
+        prep_cache = {}
+        src._s2_prep_udfs = prep_cache
+    prep = prep_cache.get(target)
+    if prep is None:
+        prep = _probe_prep_udf(cells7, n7, target)
+        prep_cache[target] = prep
     base = queries.select(
         query_id_col, qlat_col, qlng_col
     ).withColumn("__p", prep(F.col(qlat_col), F.col(qlng_col)))
