@@ -170,19 +170,29 @@ def cm_sketch_estimate(
     counters; a key's estimated count = min over rows of its counter —
     always >= the true count, tight for heavy hitters.
 
-    Returns (key, cm_count) for every DISTINCT key. Scale shape: the
-    sketch itself is ONE explode(d tags) + groupBy — d*w counters total
-    regardless of input size (the streaming/mergeable shape: counters
-    add) — and estimation broadcasts those d*w rows against the
-    distinct keys. Deterministic md5 bucketing means the DuckDB oracle
-    rebuilds every counter and every min bit-for-bit.
+    Returns (key, cm_count) for every DISTINCT key. Scale shape: both
+    branches are key-only column-pruned scans — the estimation side is
+    the distinct-keys pass, and the counters derive from the per-key
+    exact counts by a d-way explode over DISTINCT keys (a counter is
+    the sum of the counts of the keys hashing into it — the same longs
+    ``_cm_counters`` sums one raw row at a time, so the values are
+    bit-identical), then broadcast (d*w rows) against the keys. The
+    d md5 bucketings therefore run once per DISTINCT key, not once per
+    raw row: on a duplicate-heavy 100 TB key column the hash work and
+    the explode volume drop by the duplication factor. Deterministic
+    md5 bucketing means the DuckDB oracle rebuilds every counter and
+    every min bit-for-bit. (``_cm_counters`` keeps the raw-row explode
+    shape: streaming counters and heavy_hitters never materialize a
+    per-key table.)
     """
     v = F.col(value_col).cast("string")
 
-    counts = _cm_counters(df, value_col, d, w)
-    keys = df.select(v.alias("key")).distinct()
-    kb = keys.select(
+    per_key = (
+        df.select(v.alias("key")).groupBy("key").agg(F.count("*").alias("__n"))
+    )
+    kb = per_key.select(
         "key",
+        "__n",
         F.explode(
             F.array(
                 *[
@@ -194,7 +204,8 @@ def cm_sketch_estimate(
                 ]
             )
         ).alias("t"),
-    ).select("key", F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+    ).select("key", "__n", F.col("t.i").alias("i"), F.col("t.b").alias("b"))
+    counts = kb.groupBy("i", "b").agg(F.sum("__n").alias("c"))
     return (
         kb.join(F.broadcast(counts), ["i", "b"])
         .groupBy("key")
