@@ -594,6 +594,66 @@ def test_cm_sketch_properties(spark):
     assert again == est
 
 
+def test_cm_counters_equal_raw_row_fold(spark):
+    """Round-10 restructure pin: cm_sketch_estimate derives its d x w
+    counters from per-key counts (one explode over DISTINCT keys)
+    instead of exploding every raw row. The counter a key reads must
+    equal the raw-row fold — duplicates summed through the per-key
+    path, null values contributing nothing — so estimates are
+    bit-identical to the pre-restructure (and oracle) definition."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.operators.sketches import _cm_bucket, cm_sketch_estimate
+
+    d, w = 3, 8  # tiny grid -> guaranteed collisions exercise the sums
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 2 + [(None,)] * 4 + [("d",)]
+    df = spark.createDataFrame(rows, "v string").repartition(5)
+    est = {r.key: r.cm_count for r in cm_sketch_estimate(df, "v", d=d, w=w).collect()}
+    # raw-row reference: counter(i,b) = #rows whose value hashes there
+    raw = (
+        df.where(F.col("v").isNotNull())
+        .select(
+            *[_cm_bucket(i, F.col("v").cast("string"), w).alias(f"b{i}") for i in range(d)]
+        )
+        .collect()
+    )
+    counters: dict = {}
+    for r in raw:
+        for i in range(d):
+            counters[(i, r[f"b{i}"])] = counters.get((i, r[f"b{i}"]), 0) + 1
+    vals = {r.v for r in df.where(F.col("v").isNotNull()).distinct().collect()}
+    bucket_of = {
+        (i, r.v): r[f"b{i}"]
+        for r in df.where(F.col("v").isNotNull())
+        .distinct()
+        .select(
+            "v",
+            *[_cm_bucket(i, F.col("v").cast("string"), w).alias(f"b{i}") for i in range(d)],
+        )
+        .collect()
+        for i in range(d)
+    }
+    want = {
+        v: min(counters[(i, bucket_of[(i, v)])] for i in range(d)) for v in vals
+    }
+    assert est == want
+    assert None not in est  # null keys never surface
+
+
+def test_heavy_hitters_null_keys_excluded(spark):
+    """Round-10 xxhash64 pin: md5 bucketing dropped null keys via null
+    buckets; xxhash64 never returns null, so the exclusion now rides an
+    explicit isNotNull — a corpus whose NULLs alone clear the threshold
+    must still emit no null-key row, in BOTH regimes."""
+    from rust_s2_spark.operators.sketches import heavy_hitters
+
+    rows = [(None,)] * 20 + [("x",)] * 6 + [("y",)] * 2
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    for mode in ("literal", "join"):
+        out = {r.key: r.n for r in heavy_hitters(df, "k", 5, d=3, w=16, mode=mode).collect()}
+        assert out == {"x": 6}, (mode, out)
+
+
 def test_substring_containment_join_planted(spark):
     """Planted quotes: the snippet lives verbatim in two docs (host +
     origin), a mutated snippet matches nothing, and a short-overlap
