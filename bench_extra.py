@@ -281,6 +281,25 @@ def main():
 
             out["stream_knn_8batch"], _ = timed(q_stream_knn)
 
+        if want("cm_counts") or want("heavy_hitters"):
+            # the two late-round sketch rows, bench-identical calls
+            from rust_s2_spark.operators.sketches import (
+                cm_sketch_estimate,
+                heavy_hitters,
+            )
+
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            if want("cm_counts"):
+                out["cm_counts"], _ = timed(
+                    lambda: cm_sketch_estimate(
+                        li, "l_orderkey", d=4, w=256
+                    ).count()
+                )
+            if want("heavy_hitters"):
+                out["heavy_hitters"], _ = timed(
+                    lambda: heavy_hitters(li, "l_orderkey", 10, d=4, w=256).count()
+                )
+
         print(json.dumps({k: round(v, 3) for k, v in out.items()}))
     finally:
         shutil.rmtree(os.path.dirname(table_path), ignore_errors=True)
